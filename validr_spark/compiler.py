@@ -1,0 +1,514 @@
+"""Schema tree → Catalyst validation plan.
+
+`SparkCompiler.compile(T.dict(...)) -> ValidationPlan`; `plan.apply(df)`
+adds, in ONE narrow projection (no shuffle, whole-stage codegen):
+
+* one coerced output column per schema field (type-cast per §1.2 of
+  SURVEY.md), and
+* a ``_violations array<struct<rule_id, position, message, value>>`` column —
+  at most one violation per (row, field), the FIRST failing check of that
+  field, exactly the error the reference validator would raise
+  (fail-fast per value; the per-field independence matches the reference
+  model layer's collect-all-fields semantics, `_validator_c.pyx:1320-1355`).
+
+Cross-cutting wrapper semantics (`_validator_c.pyx:381-421`): "null" means
+None (plus '' for string-accepting validators); null+default → default,
+null+optional → null-output, null otherwise → required violation;
+``invalid_to``/``invalid_to_default`` suppress the violation and substitute a
+pre-validated fallback.  Compile-time SchemaError parity (invalid defaults,
+bad regexes, ambiguous unions) is guaranteed by pre-compiling the schema
+through the pure-Python backend before any Catalyst expression is built.
+
+Scale notes (100 TB design): row validation is embarrassingly parallel —
+a single projection over the scan, no shuffle, no driver collect.  Violations
+explode only rows that actually have violations (filter first, then explode),
+so the violations job shuffles ~violation-rate × data, not the full table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as st
+
+from .errors import SchemaError
+from .pyvalidate import Compiler as PyCompiler
+from .rules import (
+    BUILDERS,
+    NULL_VIOLATION,
+    VIOLATION_TYPE,
+    CoreRule,
+    build_pyudf_rule,
+    mkviol,
+    value_repr,
+)
+from .schema import Schema, T
+
+__all__ = ["SparkCompiler", "ValidationPlan", "ValidationResult"]
+
+
+@dataclass
+class NodePlan:
+    """Compiled (value, error) expressions for one schema node."""
+
+    output_type: st.DataType
+    value: callable          # (col) -> Column  coerced output
+    error: callable          # (col, pos) -> Column  violation struct | null
+
+
+_WRAPPER_PARAMS = ("optional", "default", "invalid_to", "invalid_to_default",
+                   "desc", "object")
+
+
+def _elem_type(input_type) -> st.DataType:
+    if isinstance(input_type, st.ArrayType):
+        return input_type.elementType
+    return st.NullType()
+
+
+class SparkCompiler:
+    """Compiles schema trees into Catalyst validation plans.
+
+    ``validators`` may inject custom rule builders with signature
+    ``(compiler, schema, input_type, path) -> CoreRule`` — the same extension
+    point as the reference's ``Compiler(validators={...})``
+    (schema.py:355-359).  A schema node whose validator is unknown to the
+    expression backend but registered in the Python backend automatically
+    falls back to a vectorized pandas-UDF rule.
+    """
+
+    def __init__(self, validators: dict | None = None,
+                 py_validators: dict | None = None):
+        self.builders = dict(BUILDERS)
+        if validators:
+            self.builders.update(validators)
+        self._py = PyCompiler(validators=py_validators)
+
+    # ------------------------------------------------------------------
+    def compile(self, schema) -> "ValidationPlan":
+        if hasattr(schema, "__schema__"):
+            schema = schema.__schema__
+        if not isinstance(schema, Schema):
+            raise SchemaError(f"{type(schema)} object is not schema")
+        if schema.validator == "model":
+            schema = T(schema.items).__schema__ if schema.items else schema
+        if schema.validator != "dict" or schema.items is None:
+            # single-column plans are allowed: wrap as one field named 'value'
+            schema = Schema(validator="dict", items={"value": schema})
+        # SchemaError parity: the python backend performs all compile-time
+        # checks (default/invalid_to pre-validation, regex compile, union
+        # ambiguity, unknown validator) — reference pyx:361-378.
+        self._py.compile(schema)
+        return ValidationPlan(self, schema)
+
+    # ------------------------------------------------------------------
+    def compile_node(self, schema: Schema, input_type: st.DataType,
+                     path: str) -> NodePlan:
+        v = schema.validator
+        if v == "dict":
+            core = self._dict_core(schema, input_type, path)
+        elif v == "list":
+            core = self._list_core(schema, input_type, path)
+        elif v == "union":
+            core = self._union_core(schema, input_type, path)
+        elif v == "model":
+            inner = T(schema.items).__schema__
+            core = self._dict_core(inner, input_type, path)
+        else:
+            builder = self.builders.get(v)
+            if builder is None:
+                if v in self._py.validators:
+                    builder = build_pyudf_rule  # auto Arrow-batch fallback
+                else:
+                    raise SchemaError(f"validator {v!r} not found")
+            core = builder(self, schema, input_type, path)
+        return self._wrap(core, schema, input_type, path)
+
+    # ------------------------------------------------------------------
+    # the cross-cutting null/default/invalid_to wrapper (pyx:381-421)
+    # ------------------------------------------------------------------
+    def _wrap(self, core: CoreRule, schema: Schema,
+              input_type: st.DataType, path: str) -> NodePlan:
+        params = schema.params
+        optional = bool(params.get("optional", False))
+        default = params.get("default", None)
+        invalid_to_default = bool(params.get("invalid_to_default", False))
+        has_invalid_to = "invalid_to" in params
+        if core.accept_string:
+            has_default = not (default is None or default == "")
+        else:
+            has_default = default is not None
+        suppress = has_invalid_to or invalid_to_default
+
+        # pre-validated fallback literals via the python backend
+        py_validate = self._py.compile(schema)
+        null_result = py_validate(None) if (has_default or optional) else None
+        fallback = py_validate(params["invalid_to"]) if has_invalid_to else (
+            py_validate(None) if invalid_to_default else None)
+        out_t = core.output_type
+        null_lit = F.lit(null_result).cast(out_t)
+        fallback_lit = F.lit(fallback).cast(out_t) if suppress else None
+
+        str_input = isinstance(input_type, st.StringType)
+
+        def is_null(col: Column) -> Column:
+            if core.accept_string and str_input:
+                return col.isNull() | (col == "")
+            return col.isNull()
+
+        # post-validate null recheck (pyx:397-408): a coerced result that is
+        # null/'' counts as missing again.
+        def post_null(val: Column) -> Column:
+            if core.accept_string and isinstance(out_t, st.StringType):
+                return val.isNull() | (val == "")
+            return val.isNull()
+
+        def value(col: Column) -> Column:
+            coerced = core.coerce(col)
+            err = core.error(col, F.lit(""))
+            ok_val = F.when(err.isNotNull() | post_null(coerced),
+                            fallback_lit if suppress else
+                            (null_lit if (has_default or optional)
+                             else F.lit(None).cast(out_t))
+                            ).otherwise(coerced)
+            if has_default or optional:
+                return F.when(is_null(col), null_lit).otherwise(ok_val)
+            if suppress:
+                return F.when(is_null(col), fallback_lit).otherwise(ok_val)
+            return F.when(is_null(col), F.lit(None).cast(out_t)).otherwise(ok_val)
+
+        def error(col: Column, pos: Column) -> Column:
+            if suppress:
+                return NULL_VIOLATION
+            required = mkviol(f"{path}.required", pos, "required",
+                              value_repr(col, input_type))
+            core_err = core.error(col, pos)
+            coerced = core.coerce(col)
+            not_null_branch = F.when(core_err.isNotNull(), core_err).otherwise(
+                F.when(post_null(coerced),
+                       NULL_VIOLATION if (has_default or optional) else required
+                       ).otherwise(NULL_VIOLATION))
+            if has_default or optional:
+                return F.when(is_null(col), NULL_VIOLATION).otherwise(
+                    not_null_branch)
+            return F.when(is_null(col), required).otherwise(not_null_branch)
+
+        return NodePlan(out_t, value, error)
+
+    # ------------------------------------------------------------------
+    # containers
+    # ------------------------------------------------------------------
+    def _dict_core(self, schema: Schema, input_type, path: str) -> CoreRule:
+        items = schema.items or {}
+        prefix = f"{path}." if path else ""
+        if not isinstance(input_type, st.StructType):
+            # static type mismatch: every non-null value is 'must be dict'
+            out_t = st.StructType([st.StructField(k, st.NullType())
+                                   for k in items]) if items else input_type
+
+            def coerce(col):
+                return F.lit(None).cast(out_t)
+
+            def error(col, pos):
+                return F.when(col.isNotNull(),
+                              mkviol(f"{path}.type", pos, "must be dict",
+                                     value_repr(col, input_type))
+                              ).otherwise(NULL_VIOLATION)
+
+            return CoreRule(out_t, coerce, error, accept_string=False,
+                            string_output=False)
+
+        field_types = {f.name: f.dataType for f in input_type.fields}
+        children = {}
+        for k, sub in items.items():
+            children[k] = self.compile_node(
+                sub, field_types.get(k, st.NullType()), f"{prefix}{k}")
+        out_t = st.StructType([st.StructField(k, c.output_type)
+                               for k, c in children.items()])
+
+        def getf(col, k):
+            if k in field_types:
+                return col.getField(k)
+            return F.lit(None)
+
+        def coerce(col):
+            return F.struct(*[children[k].value(getf(col, k)).alias(k)
+                              for k in children])
+
+        def error(col, pos):
+            # fail-fast in field order (dict validator, pyx:580-582)
+            errs = [children[k].error(getf(col, k),
+                                      F.concat(pos, F.lit(f".{k}"))
+                                      if path else F.lit(k))
+                    for k in children]
+            first = F.coalesce(*errs, NULL_VIOLATION) if errs else NULL_VIOLATION
+            return F.when(col.isNotNull(), first).otherwise(NULL_VIOLATION)
+
+        return CoreRule(out_t, coerce, error, accept_string=False,
+                        string_output=False)
+
+    def _list_core(self, schema: Schema, input_type, path: str) -> CoreRule:
+        minlen = int(schema.params.get("minlen", 0))
+        maxlen = int(schema.params.get("maxlen", 1024))
+        unique = bool(schema.params.get("unique", False))
+        inner_schema = schema.items
+        if not isinstance(input_type, st.ArrayType):
+            out_t = st.ArrayType(st.NullType())
+
+            def coerce(col):
+                return F.lit(None).cast(out_t)
+
+            def error(col, pos):
+                return F.when(col.isNotNull(),
+                              mkviol(f"{path}.type", pos, "not list",
+                                     value_repr(col, input_type))
+                              ).otherwise(NULL_VIOLATION)
+
+            return CoreRule(out_t, coerce, error, accept_string=False,
+                            string_output=False)
+
+        et = input_type.elementType
+        inner: Optional[NodePlan] = None
+        if inner_schema is not None:
+            inner = self.compile_node(inner_schema, et, f"{path}[]")
+        out_t = st.ArrayType(inner.output_type if inner else et)
+
+        def coerce(col):
+            if inner is None:
+                return col
+            return F.transform(col, lambda x: inner.value(x))
+
+        def error(col, pos):
+            n = F.size(col)
+            checks = []
+            if inner is not None:
+                elem_errs = F.transform(
+                    col,
+                    lambda x, i: inner.error(
+                        x, F.concat(pos, F.lit("["), i.cast("string"),
+                                    F.lit("]"))))
+                first_elem = F.get(F.filter(elem_errs,
+                                            lambda e: e.isNotNull()), 0)
+                # element errors at index < maxlen fire before the length cap
+                first_elem_idx = F.array_position(
+                    F.transform(elem_errs, lambda e: e.isNotNull()),
+                    F.lit(True)) - 1
+                elem_fires = first_elem.isNotNull() & \
+                    (first_elem_idx < F.lit(maxlen))
+                checks.append((elem_fires, first_elem))
+            if unique:
+                if inner is None:
+                    raise SchemaError(
+                        "unable to check unique for non-hashable types")
+                coerced = coerce(col)
+                dup_flags = F.transform(
+                    coerced,
+                    lambda x, i: F.exists(F.slice(coerced, F.lit(1), i),
+                                          lambda p: p.eqNullSafe(x)))
+                dup_idx = F.array_position(dup_flags, F.lit(True)) - 1
+                dup_viol = mkviol(
+                    f"{path}[].unique",
+                    F.concat(pos, F.lit("["), dup_idx.cast("string"),
+                             F.lit("]")),
+                    "not unique",
+                    value_repr(F.get(col, dup_idx.cast("int")), et))
+                checks.append(((dup_idx >= 0) & (dup_idx < maxlen), dup_viol))
+            vrepr = value_repr(col, input_type)
+            checks.append((n > maxlen,
+                           mkviol(f"{path}.maxlen", pos,
+                                  f"list length must <= {maxlen}", vrepr)))
+            if minlen > 0:
+                checks.append((n < minlen,
+                               mkviol(f"{path}.minlen", pos,
+                                      f"list length must >= {minlen}", vrepr)))
+            out = NULL_VIOLATION
+            for cond, viol in reversed(checks):
+                out = F.when(cond, viol).otherwise(out)
+            return F.when(col.isNull(), NULL_VIOLATION).otherwise(out)
+
+        return CoreRule(out_t, coerce, error, accept_string=False,
+                        string_output=False)
+
+    def _union_core(self, schema: Schema, input_type, path: str) -> CoreRule:
+        """union: tagged (dict) form dispatches on the `by` field of a struct
+        column; list (shape) form dispatches statically on the Spark input
+        type — Spark columns have exactly one type, so the runtime
+        shape-dispatch of the reference (pyx:695-709) resolves at compile
+        time."""
+        by = schema.params.get("by")
+        if isinstance(schema.items, dict):
+            if not isinstance(input_type, st.StructType):
+                return self._type_mismatch_core(
+                    input_type, path, "must be dict")
+            tags = {}
+            field_types = {f.name: f.dataType for f in input_type.fields}
+            for tag, sub in schema.items.items():
+                body = sub if sub.validator == "dict" else T(sub.items).__schema__
+                keep = {k: v for k, v in (body.items or {}).items()}
+                branch_schema = Schema(validator="dict", items=keep,
+                                       params=body.params)
+                tags[tag] = self._dict_core(branch_schema, input_type, path)
+            expect = "{" + ", ".join(sorted(tags)) + "}"
+            out_fields: dict[str, st.DataType] = {by: st.StringType()}
+            for core in tags.values():
+                for f_ in core.output_type.fields:
+                    out_fields.setdefault(f_.name, f_.dataType)
+            out_t = st.StructType([st.StructField(k, t)
+                                   for k, t in out_fields.items()])
+
+            def tag_col(col):
+                if by in field_types:
+                    return col.getField(by).cast("string")
+                return F.lit(None).cast("string")
+
+            def coerce(col):
+                tc = tag_col(col)
+                result = F.lit(None).cast(out_t)
+                for tag, core in tags.items():
+                    branch = core.coerce(col)
+                    fields = [F.lit(tag).alias(by)]
+                    for k, t in out_fields.items():
+                        if k == by:
+                            continue
+                        if k in [f_.name for f_ in core.output_type.fields]:
+                            fields.append(branch.getField(k).cast(t).alias(k))
+                        else:
+                            fields.append(F.lit(None).cast(t).alias(k))
+                    result = F.when(tc == tag, F.struct(*fields)).otherwise(result)
+                return result
+
+            def error(col, pos):
+                tc = tag_col(col)
+                by_pos = F.concat(pos, F.lit(f".{by}")) if path else F.lit(by)
+                missing = mkviol(f"{path}.{by}.required" if path
+                                 else f"{by}.required",
+                                 by_pos, "required", F.lit("None"))
+                unknown = mkviol(f"{path}.{by}.enum" if path
+                                 else f"{by}.enum", by_pos,
+                                 f"expect one of {expect}",
+                                 value_repr(tc, st.StringType()))
+                out = unknown
+                for tag, core in tags.items():
+                    out = F.when(tc == tag, core.error(col, pos)).otherwise(out)
+                out = F.when(tc.isNull() | (tc == ""), missing).otherwise(out)
+                return F.when(col.isNull(), NULL_VIOLATION).otherwise(out)
+
+            return CoreRule(out_t, coerce, error, accept_string=False,
+                            string_output=False)
+
+        # list (shape) form: pick the branch whose shape matches input_type
+        branches = {"scalar": None, "list": None, "dict": None}
+        for sub in schema.items:
+            shape = ("list" if sub.validator == "list"
+                     else "dict" if sub.validator in ("dict", "model")
+                     else "scalar")
+            branches[shape] = sub
+        if isinstance(input_type, st.ArrayType):
+            pick, reject = branches["list"], "not allowed list"
+        elif isinstance(input_type, st.StructType):
+            pick, reject = branches["dict"], "not allowed dict"
+        else:
+            pick, reject = branches["scalar"], "not allowed scalar value"
+        if pick is None:
+            return self._type_mismatch_core(input_type, path, reject)
+        sub_plan = self.compile_node(pick, input_type, path)
+        return CoreRule(sub_plan.output_type, sub_plan.value, sub_plan.error,
+                        accept_string=False, string_output=False)
+
+    def _type_mismatch_core(self, input_type, path, message) -> CoreRule:
+        def coerce(col):
+            return F.lit(None).cast(input_type)
+
+        def error(col, pos):
+            return F.when(col.isNotNull(),
+                          mkviol(f"{path}.type", pos, message,
+                                 value_repr(col, input_type))
+                          ).otherwise(NULL_VIOLATION)
+
+        return CoreRule(input_type, coerce, error, accept_string=False,
+                        string_output=False)
+
+
+class ValidationPlan:
+    """A compiled schema, applicable to any DataFrame with matching columns."""
+
+    def __init__(self, compiler: SparkCompiler, schema: Schema):
+        self.compiler = compiler
+        self.schema = schema
+
+    @property
+    def fields(self) -> list[str]:
+        return list(self.schema.items.keys())
+
+    def rule_manifest(self) -> str:
+        """Stable lineage string for checkpoint manifests (schema identity)."""
+        return self.schema.repr(prefix=False, desc=False)
+
+    def apply(self, df: DataFrame, id_cols: list[str] | None = None,
+              violation_col: str = "_violations") -> "ValidationResult":
+        """One projection: coerced schema columns + violations array.
+
+        Extra input columns are dropped (reference pyx:577-584: extra keys
+        silently dropped); missing columns validate as null (→ required).
+        """
+        in_types = {f.name: f.dataType for f in df.schema.fields}
+        id_cols = list(id_cols or [])
+        out_cols: list[Column] = [F.col(c) for c in id_cols
+                                  if c not in self.schema.items]
+        err_cols: list[Column] = []
+        for name, sub in self.schema.items.items():
+            node = self.compiler.compile_node(
+                sub, in_types.get(name, st.NullType()), name)
+            col = F.col(name) if name in in_types else F.lit(None)
+            out_cols.append(node.value(col).alias(name))
+            err_cols.append(node.error(col, F.lit(name)))
+        viol = F.filter(F.array(*err_cols), lambda e: e.isNotNull()) \
+            if err_cols else F.array().cast(st.ArrayType(VIOLATION_TYPE))
+        annotated = df.select(*out_cols, viol.alias(violation_col))
+        return ValidationResult(annotated, id_cols, violation_col)
+
+
+class ValidationResult:
+    """Annotated DataFrame + derived views (all lazy, no driver collect)."""
+
+    def __init__(self, df: DataFrame, id_cols: list[str],
+                 violation_col: str = "_violations"):
+        self.df = df
+        self.id_cols = id_cols
+        self._vc = violation_col
+
+    def clean(self) -> DataFrame:
+        """Rows that passed every check, with coerced columns."""
+        return (self.df.filter(F.size(F.col(self._vc)) == 0)
+                .drop(self._vc))
+
+    def violations(self) -> DataFrame:
+        """One row per violation: (id..., rule_id, position, message, value).
+
+        Filters before exploding so the explode touches only failing rows
+        (~violation-rate × data, not the full table).
+        """
+        v = (self.df.filter(F.size(F.col(self._vc)) > 0)
+             .select(*self.id_cols, F.explode(F.col(self._vc)).alias("v")))
+        return v.select(*self.id_cols, "v.rule_id", "v.position",
+                        "v.message", "v.value")
+
+    def summary(self) -> DataFrame:
+        """Violation counts per rule_id (partial-agg friendly)."""
+        return (self.violations().groupBy("rule_id")
+                .agg(F.count("*").alias("n_violations"))
+                .orderBy("rule_id"))
+
+    def verdicts(self, partition_col: str) -> DataFrame:
+        """Per-partition pass/fail + metrics (north-star verdict table)."""
+        return (self.df.groupBy(partition_col)
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(F.size(F.col(self._vc))).alias("n_violations"),
+                     F.sum(F.when(F.size(F.col(self._vc)) > 0, 1)
+                           .otherwise(0)).alias("n_bad_rows"))
+                .withColumn("verdict",
+                            F.when(F.col("n_violations") == 0,
+                                   F.lit("pass")).otherwise(F.lit("fail"))))
