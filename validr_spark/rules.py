@@ -49,7 +49,9 @@ VIOLATION_TYPE = st.StructType([
     st.StructField("value", st.StringType()),
 ])
 
-NULL_VIOLATION = F.lit(None).cast(VIOLATION_TYPE)
+def NULL_VIOLATION() -> Column:
+    """Typed null violation (lazy: Column creation needs an active session)."""
+    return F.lit(None).cast(VIOLATION_TYPE)
 
 
 def _as_col(x, caster="string") -> Column:
@@ -99,7 +101,7 @@ def chain(col: Column, pos: Column, input_type: st.DataType,
           checks: list[tuple[Column, str, object]], path: str) -> Column:
     """First failing check wins (validr is fail-fast within one value)."""
     vrepr = value_repr(col, input_type)
-    out = NULL_VIOLATION
+    out = NULL_VIOLATION()
     for fail_cond, rule_suffix, message in reversed(checks):
         rid = path + rule_suffix if rule_suffix.startswith("[") \
             else f"{path}.{rule_suffix}"
@@ -175,7 +177,7 @@ def build_bool(sc, schema, input_type, path):
             return col
 
         def error(col, pos):
-            return NULL_VIOLATION
+            return NULL_VIOLATION()
     elif isinstance(input_type, st.StringType):
         trues = sorted(v for v in TRUE_VALUES if isinstance(v, str))
         falses = sorted(v for v in FALSE_VALUES if isinstance(v, str))
@@ -275,7 +277,7 @@ def build_str(sc, schema, input_type, path, accept_any_object=False):
             return F.when(col.isNotNull(),
                           mkviol(f"{path}.type", pos, "invalid string",
                                  value_repr(col, input_type))
-                          ).otherwise(NULL_VIOLATION)
+                          ).otherwise(NULL_VIOLATION())
         s = base(col)
         n = F.char_length(s)
         checks = []
@@ -314,7 +316,7 @@ def build_bytes(sc, schema, input_type, path):
             return F.when(col.isNotNull(),
                           mkviol(f"{path}.type", pos, "invalid bytes",
                                  value_repr(col, input_type))
-                          ).otherwise(NULL_VIOLATION)
+                          ).otherwise(NULL_VIOLATION())
         n = F.octet_length(col)
         checks = []
         if minlen > 0:
@@ -361,7 +363,7 @@ def build_enum(sc, schema, input_type, path):
 
 def build_any(sc, schema, input_type, path):
     return CoreRule(input_type, lambda col: col,
-                    lambda col, pos: NULL_VIOLATION,
+                    lambda col, pos: NULL_VIOLATION(),
                     accept_string=False, string_output=False)
 
 
@@ -390,7 +392,7 @@ def make_regex_builder(name: str, pattern: str, default_maxlen: int):
                               mkviol(f"{path}.type", pos,
                                      "value must be string",
                                      value_repr(col, input_type))
-                              ).otherwise(NULL_VIOLATION)
+                              ).otherwise(NULL_VIOLATION())
             s = base(col)
             n = F.char_length(s)
             checks = []
@@ -576,7 +578,7 @@ def build_pyudf_rule(sc, schema, input_type, path, output_type=None,
         return F.when(msg.isNotNull(),
                       mkviol(f"{path}.{validator_name}", pos, msg,
                              value_repr(col, input_type))
-                      ).otherwise(NULL_VIOLATION)
+                      ).otherwise(NULL_VIOLATION())
 
     return CoreRule(output_type, coerce, error, accept_string=accept_string,
                     string_output=string_output)
