@@ -1,0 +1,307 @@
+"""Spark validation plan: differential vs the row backend + golden
+violations (positions, rule_ids, messages, clipped values)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark import Compiler as PyCompiler
+from validr_spark import Invalid, SchemaError, T
+from validr_spark.compiler import SparkCompiler
+
+
+def run_plan(spark, schema, rows, ddl):
+    df = spark.createDataFrame(rows, ddl)
+    plan = SparkCompiler().compile(schema)
+    res = plan.apply(df, id_cols=["rid"])
+    out = {r["rid"]: r for r in res.df.collect()}
+    return out
+
+
+def _plain(v):
+    """Rows → dicts recursively so Spark structs compare to py dicts."""
+    if hasattr(v, "asDict"):
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    return v
+
+
+def differential(spark, schema, values, ddl_type, pyschema=None,
+                 loose_messages=False):
+    """Column of `ddl_type` with `values`; Spark outcome must equal the row
+    backend outcome (coerced value or first-error rule/position)."""
+    rows = [(i, v) for i, v in enumerate(values)]
+    out = run_plan(spark, T.dict(v=schema),
+                   rows, f"rid int, v {ddl_type}")
+    py = PyCompiler().compile(T.dict(v=(pyschema or schema)))
+    for i, raw in enumerate(values):
+        got = out[i]
+        try:
+            expect = py({"v": raw})["v"]
+            assert got["_violations"] == [], \
+                f"value {raw!r}: unexpected violations {got['_violations']}"
+            assert _plain(got["v"]) == expect, \
+                f"value {raw!r}: coerced {got['v']!r} != {expect!r}"
+        except Invalid as ex:
+            assert len(got["_violations"]) == 1, \
+                f"value {raw!r}: expected violation {ex}, got " \
+                f"{got['_violations']}"
+            viol = got["_violations"][0]
+            expect_pos = ex.position or "v"
+            if not expect_pos.startswith("v"):
+                expect_pos = "v" + ("" if expect_pos.startswith("[")
+                                    else ".") + expect_pos
+            assert viol["position"] == expect_pos, \
+                f"value {raw!r}: position {viol['position']} != {expect_pos}"
+            if not loose_messages:
+                assert viol["message"] == ex.message, \
+                    f"value {raw!r}: message {viol['message']!r} != " \
+                    f"{ex.message!r}"
+
+
+def test_int_string_input(spark):
+    differential(spark, T.int.min(0).max(9),
+                 ["0", "9", "5", "-1", "10", "abc", "1.5", " 7 ", None, ""],
+                 "string")
+
+
+def test_int_long_input(spark):
+    differential(spark, T.int.min(0).max(100), [0, 100, -1, 101, None],
+                 "long")
+
+
+def test_int_double_input(spark):
+    differential(spark, T.int, [1.9, -1.9, 0.0, None], "double")
+
+
+def test_float_checks(spark):
+    differential(spark, T.float.min(0).exmax(1),
+                 ["0", "0.5", "1", "-0.1", "x", None, ""], "string")
+    differential(spark, T.float, [0.0, -100.0, 1e308, None], "double")
+
+
+def test_bool(spark):
+    differential(spark, T.bool,
+                 ["True", "yes", "ON", "y", "1", "0", "off", "N", "x", "",
+                  None], "string")
+
+
+def test_str_checks(spark):
+    differential(spark, T.str.minlen(2).maxlen(4),
+                 ["ab", "abcd", "a", "abcde", "中文字", None, ""], "string")
+    differential(spark, T.str.strip, ["  ab  ", "ab"], "string")
+    differential(spark, T.str.escape, ["&><'\"", "plain"], "string")
+    differential(spark, T.str.match("[a-z]+"),
+                 ["abc", "ABC", "abc1"], "string")
+    differential(spark, T.str, [1, 123, None], "long")
+
+
+def test_str_optional_default(spark):
+    differential(spark, T.str.optional, [None, "", "x"], "string")
+    differential(spark, T.str.default("d"), [None, "", "x"], "string")
+    differential(spark, T.int.optional, [None, "", "5"], "string")
+    differential(spark, T.int.default(3), [None, "", "5"], "string")
+
+
+def test_invalid_to(spark):
+    differential(spark, T.int.invalid_to(1), ["x", "5", None], "string")
+    differential(spark, T.int.optional.invalid_to_default,
+                 ["x", "5", None], "string")
+
+
+def test_enum(spark):
+    differential(spark, T.enum("A B C"), ["A", "B", "X", " A", None, ""],
+                 "string")
+    differential(spark, T.enum([1, 2, 3]), [1, 3, 4, None], "long")
+
+
+def test_regex_validators(spark):
+    differential(spark, T.phone,
+                 ["13387654321", "+8613387654321", "1331234567x", None],
+                 "string")
+    differential(spark, T.slug, ["aa-b-c", "123-abc", "a--b", "-a", "中文"],
+                 "string")
+    differential(spark, T.idcard,
+                 ["210727198507128796", "43138976061660X", "1234"], "string")
+
+
+def test_network_expr(spark):
+    # expr backend emits a generic message where the reference embeds the
+    # ipaddress module's detailed text (documented divergence)
+    differential(spark, T.ipv4,
+                 ["127.0.0.1", "255.255.255.255", "256.0.0.0", "1.x.1.1",
+                  " 10.0.0.1 ", None], "string", loose_messages=True)
+    differential(spark, T.fqdn,
+                 ["github.com", "mx.gmail.com.", "a", "localhost", "a..bc",
+                  "aaa_bbb.com", "-a", "a-", "999.999.999.999", "a.bc"],
+                 "string")
+    differential(spark, T.uuid,
+                 ["5bd4b82a-35d4-456c-9838-c3a0ab24bb9b",
+                  "5bd4B82A35d4456c9838c3a0ab24bb9b",
+                  "xxxxxxxx-35d4-456c-9838-c3a0ab24bb9b", None], "string")
+    differential(spark, T.uuid.version(4),
+                 ["5bd4b82a-35d4-456c-9838-c3a0ab24bb9b",
+                  "5bd4b82a-35d4-156c-9838-c3a0ab24bb9b"], "string")
+
+
+def test_url_expr(spark):
+    # NOTE: scheme/length checks are expression-side; exotic urlparse
+    # normalizations are not reproduced (documented divergence)
+    differential(spark, T.url,
+                 ["https://github.com", "http://tool.lu/regex/",
+                  "github.com", "", None,
+                  "https://www.google.com/" + "x" * 256], "string")
+
+
+def test_pandas_udf_backends(spark):
+    differential(spark, T.email,
+                 ["12345678@qq.com", " 123@163.com ", "123 @163.com",
+                  "中文@qq.com", "qq.com", None, ""], "string")
+    differential(spark, T.ipv6,
+                 ["2001:db8:2de:0:0:0:0:e13", "::1", "2001::25de::cade",
+                  None], "string")
+    differential(spark, T.date,
+                 ["2016-07-09", "2016-7-9", "2016-13-09", "07-09", None],
+                 "string")
+    differential(spark, T.datetime,
+                 ["2016-07-09T00:00:00.123Z", "2016-07-09T00:00:00.000000Z",
+                  "2016-07-09T00:00:00Z"], "string")
+    differential(spark, T.time, ["12:00:59", "24:00:00", "23:60:30"],
+                 "string")
+    differential(spark, T.timedelta,
+                 ["12h59s", "2d59m59s", "10x", "23:30:30", None, ""],
+                 "string")
+    differential(spark, T.timedelta.min(10).max("24h"),
+                 ["10s", "24h", "9s", "24h1s"], "string")
+    differential(spark, T.timedelta, [10.0, 9.9, None], "double")
+
+
+def test_list_checks(spark):
+    differential(spark, T.list(T.int.min(0).max(9)),
+                 [[1, 2], [], [0, 9], [1, -1], [1, 10, -1], None],
+                 "array<long>")
+    differential(spark, T.list(T.int).minlen(1).maxlen(3),
+                 [[1], [], [1, 2, 3, 4], None], "array<long>")
+    differential(spark, T.list(T.int).unique,
+                 [[1, 2, 3], [1, 2, 2], [2, 2]], "array<long>")
+    differential(spark, T.list(T.str.minlen(2)),
+                 [["ab", "cd"], ["ab", "c"]], "array<string>")
+
+
+def test_nested_struct(spark):
+    differential(spark, T.dict(userid=T.int.min(0).max(9)),
+                 [{"userid": 5}, {"userid": 15}, None],
+                 "struct<userid:long>")
+    differential(
+        spark, T.dict(k=T.dict(k2=T.int.min(0))),
+        [{"k": {"k2": 1}}, {"k": {"k2": -1}}, {"k": None}],
+        "struct<k:struct<k2:long>>")
+
+
+def test_list_of_struct(spark):
+    differential(
+        spark, T.list(T.dict(x=T.int.max(5))),
+        [[{"x": 1}, {"x": 9}], [{"x": 2}]],
+        "array<struct<x:long>>")
+
+
+def test_union_tagged(spark):
+    schema = T.union(
+        cat=T.dict(sound=T.str),
+        dog=T.dict(legs=T.int),
+    ).by("kind")
+    rows = [
+        (0, ("cat", "meow", None)),
+        (1, ("dog", None, 4)),
+        (2, ("bird", None, None)),
+        (3, (None, "x", None)),
+    ]
+    df = spark.createDataFrame(
+        [(i, {"kind": k, "sound": s, "legs": l}) for i, (k, s, l) in rows],
+        "rid int, v struct<kind:string,sound:string,legs:long>")
+    plan = SparkCompiler().compile(T.dict(v=schema))
+    out = {r["rid"]: r for r in plan.apply(df, id_cols=["rid"]).df.collect()}
+    assert out[0]["_violations"] == []
+    assert out[0]["v"]["kind"] == "cat"
+    assert out[1]["_violations"] == []
+    assert out[2]["_violations"][0]["position"] == "v.kind"
+    assert "expect one of" in out[2]["_violations"][0]["message"]
+    assert out[3]["_violations"][0]["message"] == "required"
+
+
+def test_union_shape_static(spark):
+    # shape dispatch resolves statically on the Spark column type
+    differential(spark, T.union([T.int.min(0), T.list(T.int)]),
+                 [[1, 2], [7]], "array<long>",
+                 pyschema=T.union([T.int.min(0), T.list(T.int)]))
+    differential(spark, T.union([T.int.min(0), T.list(T.int)]),
+                 [5, -1], "long")
+
+
+def test_value_clipping(spark):
+    df = spark.createDataFrame([(0, "x" * 100)], "rid int, v string")
+    plan = SparkCompiler().compile(T.dict(v=T.str.maxlen(10)))
+    viol = plan.apply(df, id_cols=["rid"]).violations().collect()[0]
+    assert viol["value"] == "'" + "x" * 75 + "..'"
+    assert viol["rule_id"] == "v.maxlen"
+
+
+def test_rule_ids_and_missing_column(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    plan = SparkCompiler().compile(T.dict(a=T.int, b=T.str))
+    viols = plan.apply(df).violations().collect()
+    assert [(v["rule_id"], v["position"]) for v in viols] == \
+        [("b.required", "b")]
+
+
+def test_extra_columns_dropped(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, extra string")
+    plan = SparkCompiler().compile(T.dict(a=T.int))
+    res = plan.apply(df)
+    assert res.clean().columns == ["a"]
+
+
+def test_schema_error_parity(spark):
+    with pytest.raises(SchemaError):
+        SparkCompiler().compile(T.dict(a=T.int.default("x")))
+    with pytest.raises(SchemaError):
+        SparkCompiler().compile(T.dict(a=T.unknown))
+    with pytest.raises(SchemaError):
+        SparkCompiler().compile(T.dict(a=T.union([T.int, T.str])))
+
+
+def test_custom_spark_validator_fallback(spark):
+    """A custom python validator with no expression builder runs as an
+    Arrow-batch UDF automatically."""
+    from validr_spark import Invalid, validator
+
+    @validator(accept=str, output=str)
+    def choice_validator(compiler, items):
+        choices = set(items.split())
+
+        def validate(value):
+            if value in choices:
+                return value
+            raise Invalid("invalid choice")
+
+        return validate
+
+    sc = SparkCompiler(py_validators={"choice": choice_validator})
+    df = spark.createDataFrame([(0, "A"), (1, "Z")], "rid int, v string")
+    plan = sc.compile(T.dict(v=T.choice("A B")))
+    out = {r["rid"]: r for r in plan.apply(df, id_cols=["rid"]).df.collect()}
+    assert out[0]["v"] == "A" and out[0]["_violations"] == []
+    assert out[1]["_violations"][0]["message"] == "invalid choice"
+
+
+def test_verdicts(spark):
+    df = spark.createDataFrame(
+        [("p1", 5), ("p1", -1), ("p2", 3)], "part string, v long")
+    plan = SparkCompiler().compile(T.dict(v=T.int.min(0)))
+    res = plan.apply(df, id_cols=["part"])
+    verd = {r["part"]: r for r in res.verdicts("part").collect()}
+    assert verd["p1"]["verdict"] == "fail"
+    assert verd["p1"]["n_bad_rows"] == 1
+    assert verd["p2"]["verdict"] == "pass"

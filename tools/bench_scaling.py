@@ -1,0 +1,98 @@
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency ≥0.8 going from N to 4N executors).
+
+No real cluster exists in this sandbox, so we run the SAME sequence-
+validation job at local[8] and local[32] (one subprocess each — a JVM can't
+change master), on the SAME pre-materialized parquet input, and report
+throughput at both plus efficiency = T_32 / (4 × T_8).  Results go to
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+import bench
+bench.CPUS = %(cpus)d
+spark = bench.build_session(%(cpus)d)
+spark.sparkContext.setLogLevel("ERROR")
+bench.ensure_seq_table(spark)
+# one timed warm run discarded, then the measured run
+bench.bench_sequences(spark)
+out = bench.bench_sequences(spark)
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ)
+    code = CHILD % {"repo": REPO, "cpus": cpus}
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=1800)
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no result from local[{cpus}]:\n{p.stdout[-2000:]}"
+                       f"\n{p.stderr[-2000:]}")
+
+
+def main():
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    n_large = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "32"))
+    r_small = run(n_small)
+    r_large = run(n_large)
+    ratio = n_large / n_small
+    eff = (r_large["sequences_per_sec"]
+           / (ratio * r_small["sequences_per_sec"]))
+    md = f"""# BENCH — measured engine numbers
+
+## North-star throughput: sequence validation (row checks + verdicts +
+uniqueness + referential + consistency), {r_small['rows']:,} rows,
+{r_small['tokens']:,} tokens, 1% injected violations, deterministic seed=42.
+
+Same parquet input, same job, two parallelism levels (sandbox stand-in for
+N vs 4N executors — no real cluster available here):
+
+| parallelism | wall sec | sequences/s | tokens/s |
+|---|---|---|---|
+| local[{n_small}] (N) | {r_small['seconds']:.2f} | {r_small['sequences_per_sec']:,.0f} | {r_small['tokens_per_sec']:,.0f} |
+| local[{n_large}] (4N) | {r_large['seconds']:.2f} | {r_large['sequences_per_sec']:,.0f} | {r_large['tokens_per_sec']:,.0f} |
+
+**Scaling efficiency N→4N = throughput_4N / ({ratio:.0f} × throughput_N) =
+{eff:.3f}** (target ≥ 0.8 per BASELINE.json; single-machine memory-bandwidth
+sharing bounds local-mode scaling — on a real 4N-executor cluster each
+executor keeps its own memory bandwidth).
+
+Violations found: {r_small['violations']:,} row violations,
+{r_small['dup_keys']:,} duplicated doc_ids, {r_small['orphans']:,} referential
+orphans, {r_small['inconsistent']:,} n_tok inconsistencies.
+
+## Reference single-node baseline (BASELINE.md)
+
+validr:default ≈ 139k validations/s single-core (≈7.2 µs per ~10-field
+payload).  Our engine validates {r_large['sequences_per_sec']:,.0f} rows/s
+(4 fields + per-token range checks over ~{r_large['tokens']//max(r_large['rows'],1)}
+tokens/row ⇒ {r_large['tokens_per_sec']:,.0f} scalar checks/s on token
+elements alone) on local[{n_large}].
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "n_small": n_small, "n_large": n_large,
+        "seq_per_sec_small": r_small["sequences_per_sec"],
+        "seq_per_sec_large": r_large["sequences_per_sec"],
+        "efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -456,18 +456,24 @@ class ValidationPlan:
         """
         in_types = {f.name: f.dataType for f in df.schema.fields}
         id_cols = list(id_cols or [])
+        # Rename inputs first: Spark 4 lateral column alias resolution would
+        # otherwise make the violations expression capture the coerced
+        # output column aliased to the same name as its input.
+        renames = {name: f"__vs_in_{name}" for name in self.schema.items
+                   if name in in_types}
+        src = df.withColumnsRenamed(renames) if renames else df
         out_cols: list[Column] = [F.col(c) for c in id_cols
                                   if c not in self.schema.items]
         err_cols: list[Column] = []
         for name, sub in self.schema.items.items():
             node = self.compiler.compile_node(
                 sub, in_types.get(name, st.NullType()), name)
-            col = F.col(name) if name in in_types else F.lit(None)
+            col = F.col(renames[name]) if name in in_types else F.lit(None)
             out_cols.append(node.value(col).alias(name))
             err_cols.append(node.error(col, F.lit(name)))
         viol = F.filter(F.array(*err_cols), lambda e: e.isNotNull()) \
             if err_cols else F.array().cast(st.ArrayType(VIOLATION_TYPE))
-        annotated = df.select(*out_cols, viol.alias(violation_col))
+        annotated = src.select(*out_cols, viol.alias(violation_col))
         return ValidationResult(annotated, id_cols, violation_col)
 
 

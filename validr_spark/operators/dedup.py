@@ -78,16 +78,17 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     overflow-free (unlike (a·x+b) mod p in 64-bit ANSI arithmetic), and
     deterministic across runs/parallelism.
     """
-    def _hasher(s):
-        # factory closure: a default-arg lambda would be mis-detected as a
-        # two-parameter (element, index) HOF lambda by pyspark
-        return lambda x: F.xxhash64(x, F.lit(s))
+    seeds = [seed * 1000003 + i for i in range(num_hashes)]
+    init = F.array(*[F.lit((1 << 63) - 1) for _ in seeds])
 
-    sig = []
-    for i in range(num_hashes):
-        sig.append(F.array_min(F.transform(shingle_col,
-                                           _hasher(seed * 1000003 + i))))
-    return F.array(*sig)
+    def step(acc, x):
+        hashes = F.array(*[F.xxhash64(x, F.lit(s)) for s in seeds])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    # one fold over the shingle set: the shingle expression is evaluated
+    # ONCE per row (a per-hash array_min(transform(...)) would re-inline
+    # and re-evaluate the shingle construction num_hashes times)
+    return F.aggregate(shingle_col, init, step)
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
@@ -102,7 +103,12 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     sig = minhash_signature(shingles(F.col(text_col), shingle_k),
                             num_hashes, seed)
-    sigs = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    # repartition = optimizer barrier: without it CollapseProject inlines the
+    # signature expression into every band expression (bands× recompute);
+    # it also pre-spreads rows for the self-join.  Payload is tiny
+    # (id + num_hashes longs).
+    sigs = (df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+            .repartition(F.col("doc")))
     banded = sigs.select(
         "doc",
         F.explode(F.transform(

@@ -357,7 +357,8 @@ def build_enum(sc, schema, input_type, path):
         return chain(col, pos, input_type,
                      [(~col.isin(items), "enum", msg)], path)
 
-    return CoreRule(input_type, coerce, error, accept_string=False,
+    # reference enum uses default accept hints → '' counts as null
+    return CoreRule(input_type, coerce, error, accept_string=True,
                     string_output=False)
 
 
@@ -545,7 +546,8 @@ def build_pyudf_rule(sc, schema, input_type, path, output_type=None,
         output_type = _UDF_OUTPUT_TYPES.get(schema.validator, st.StringType())
     bare = _leaf_schema_no_wrapper(schema)
     bare.params["optional"] = True  # wrapper handles required; keep core pure
-    py_validate = PyCompiler().compile(bare)
+    py_compiler = getattr(sc, "_py", None) or PyCompiler()
+    py_validate = py_compiler.compile(bare)
     ret_type = st.StructType([
         st.StructField("value", output_type),
         st.StructField("message", st.StringType()),
