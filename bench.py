@@ -52,13 +52,17 @@ def build_session(cpus: int):
 
 def ensure_seq_table(spark):
     """Materialize the deterministic sequences table once (excluded from
-    timing: we benchmark the engine, not the generator)."""
+    timing: we benchmark the engine, not the generator).
+
+    Partition count is FIXED (not CPU-derived): the same files must feed
+    both parallelism levels of the scaling bench, and there must be enough
+    splits to keep the largest level busy (128 ≥ 4×32 tasks/core-wave).
+    """
     from validr_spark.datagen import make_sequences
 
     marker = os.path.join(SEQ_CACHE, "_SUCCESS")
     if not os.path.exists(marker):
-        (make_sequences(spark, SEQ_ROWS, maxlen=SEQ_MAXLEN,
-                        partitions=max(CPUS * 2, 16))
+        (make_sequences(spark, SEQ_ROWS, maxlen=SEQ_MAXLEN, partitions=128)
          .write.mode("overwrite").parquet(SEQ_CACHE))
     return spark.read.parquet(SEQ_CACHE)
 

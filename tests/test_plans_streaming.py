@@ -1,0 +1,223 @@
+"""Resumable manifest runs, sources layer, streaming validation, CLI."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark import T
+from validr_spark.compiler import SparkCompiler
+from validr_spark.plans import ManifestStore, ResumableValidation
+from validr_spark.sources import TableSource, read_table, write_table
+
+
+def seq_schema():
+    return T.dict(
+        doc_id=T.str.minlen(1),
+        n_tok=T.int.min(1).max(100),
+        source=T.enum("a b c"),
+    )
+
+
+@pytest.fixture()
+def seq_df(spark):
+    rows = []
+    for i in range(300):
+        src = "abc"[i % 3]
+        n_tok = 999 if i % 50 == 0 else (i % 90) + 1   # 2 bad per source
+        rows.append((f"{src}-{i:04d}", n_tok, src))
+    return spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+
+
+def test_resumable_run_and_skip(spark, seq_df, tmp_path):
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "manifest"),
+                             violations_path=str(tmp_path / "violations"),
+                             batch_parts=2)
+    rep1 = rv.run(spark, seq_df, id_cols=["doc_id"])
+    assert rep1["n_parts_processed"] == 3
+
+    # violations landed partitioned by _part, 2 bad rows per source
+    v = spark.read.parquet(str(tmp_path / "violations"))
+    assert v.count() == 6
+    assert set(v.select("_part").distinct().toPandas()["_part"]) == {"a", "b", "c"}
+
+    # manifest has one done row per part with correct metrics
+    man = ManifestStore(spark, str(tmp_path / "manifest")).read().collect()
+    by_part = {r["part"]: r for r in man}
+    assert set(by_part) == {"a", "b", "c"}
+    assert all(r["status"] == "done" and r["verdict"] == "fail"
+               and r["n_rows"] == 100 and r["n_violations"] == 2
+               and r["n_bad_rows"] == 2 for r in man)
+
+    # second run: everything checkpointed → nothing to do
+    rep2 = rv.run(spark, seq_df, id_cols=["doc_id"])
+    assert rep2["n_parts_processed"] == 0
+    # and the violations output was not duplicated
+    assert spark.read.parquet(str(tmp_path / "violations")).count() == 6
+
+
+def test_resume_picks_up_new_partition_only(spark, seq_df, tmp_path):
+    plan = SparkCompiler().compile(
+        T.dict(doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(100),
+               source=T.enum("a b c d")))
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"))
+    rv.run(spark, seq_df, id_cols=["doc_id"])
+    grown = seq_df.union(spark.createDataFrame(
+        [("d-0001", 5, "d"), ("d-0002", 0, "d")],
+        seq_df.schema))
+    rep = rv.run(spark, grown, id_cols=["doc_id"])
+    assert rep["parts"] == ["d"]
+    man = {r["part"]: r for r in
+           ManifestStore(spark, str(tmp_path / "m")).read().collect()}
+    assert man["d"]["n_rows"] == 2 and man["d"]["n_violations"] == 1
+
+
+def test_lineage_change_invalidates_checkpoints(spark, seq_df, tmp_path):
+    kw = dict(part_col="source", manifest_path=str(tmp_path / "m"),
+              violations_path=str(tmp_path / "v"))
+    plan1 = SparkCompiler().compile(seq_schema())
+    rv1 = ResumableValidation(plan1, **kw)
+    rv1.run(spark, seq_df, id_cols=["doc_id"])
+
+    tighter = T.dict(doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(50),
+                     source=T.enum("a b c"))
+    rv2 = ResumableValidation(SparkCompiler().compile(tighter), **kw)
+    assert rv2.lineage != rv1.lineage
+    rep = rv2.run(spark, seq_df, id_cols=["doc_id"])
+    assert rep["n_parts_processed"] == 3      # all redone under new lineage
+
+
+def test_zero_violation_run(spark, tmp_path):
+    df = spark.createDataFrame([("x-1", 5, "a"), ("x-2", 6, "b")],
+                               "doc_id string, n_tok int, source string")
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"))
+    rv.run(spark, df, id_cols=["doc_id"])
+    man = ManifestStore(spark, str(tmp_path / "m")).read().collect()
+    assert all(r["verdict"] == "pass" and r["n_violations"] == 0
+               for r in man)
+
+
+def test_null_partition_key(spark, tmp_path):
+    df = spark.createDataFrame([("x-1", 5, None), ("x-2", 200, "a")],
+                               "doc_id string, n_tok int, source string")
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"))
+    rep = rv.run(spark, df, id_cols=["doc_id"])
+    assert "__null__" in rep["parts"]
+    man = {r["part"]: r for r in
+           ManifestStore(spark, str(tmp_path / "m")).read().collect()}
+    # null source row: enum violation counts under the __null__ part
+    assert man["__null__"]["verdict"] == "fail"
+
+
+# --- sources ----------------------------------------------------------------
+
+def test_read_table_projection_predicate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    write_table(df, p, mode="overwrite")
+    out = read_table(spark, p, columns=["id"], predicate="id < 10")
+    assert out.columns == ["id"] and out.count() == 10
+    # projection+filter reach the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
+
+
+def test_table_source_partitioned_write(spark, tmp_path):
+    p = str(tmp_path / "pt")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_table(df, p, mode="overwrite", partition_by=["s"])
+    src = TableSource(p, partition_col="s")
+    assert src.load(spark).count() == 2
+
+
+# --- streaming ----------------------------------------------------------------
+
+def test_stream_violations_availablenow(spark, tmp_path):
+    from validr_spark.streaming import stream_violations
+
+    # file stream over a small parquet dir: deterministic, no timing games
+    data = str(tmp_path / "in")
+    rows = [(f"d-{i}", 999 if i % 10 == 0 else 5, "a") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    df.write.parquet(data)
+
+    sdf = spark.readStream.schema(df.schema).parquet(data)
+    viol = stream_violations(SparkCompiler().compile(seq_schema()), sdf,
+                             id_cols=["doc_id"])
+    assert viol.isStreaming
+    q = (viol.writeStream.format("memory").queryName("viol_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM viol_test").collect()
+    assert len(got) == 5
+    assert all(r["rule_id"] == "n_tok.max" for r in got)
+
+
+def test_windowed_verdicts_stream(spark, tmp_path):
+    from validr_spark.streaming import windowed_verdicts
+
+    data = str(tmp_path / "in2")
+    base = "2026-01-01 00:{m:02d}:00"
+    rows = []
+    for m in range(10):
+        for i in range(6):
+            bad = (m < 5 and i == 0)    # first 5 minutes each have 1 bad row
+            rows.append((f"d-{m}-{i}", 999 if bad else 5, "a",
+                         base.format(m=m)))
+    df = spark.createDataFrame(
+        rows, "doc_id string, n_tok int, source string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(data)
+
+    sdf = spark.readStream.schema(
+        "doc_id string, n_tok int, source string, ts timestamp").parquet(data)
+    verd = windowed_verdicts(SparkCompiler().compile(seq_schema()), sdf,
+                             ts_col="ts", window="5 minutes",
+                             watermark="1 minute", partition_col="source")
+    q = (verd.writeStream.format("memory").queryName("verd_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window"]["start"].minute, r["verdict"]): r
+           for r in spark.sql("SELECT * FROM verd_test").collect()}
+    assert (0, "fail") in got and (5, "pass") in got
+    assert got[(0, "fail")]["n_rows"] == 30
+    assert got[(0, "fail")]["n_violations"] == 5
+
+
+# --- cli ----------------------------------------------------------------------
+
+def test_cli_validate_and_resume(spark, seq_df, tmp_path, capsys):
+    from validr_spark.cli import main
+
+    inp = str(tmp_path / "input")
+    seq_df.write.parquet(inp)
+    schema_file = str(tmp_path / "schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict", "doc_id": "str.minlen(1)",
+                   "n_tok": "int.min(1).max(100)",
+                   "source": "enum('a b c')"}, f)
+    argv = ["validate", "--input", inp, "--schema", schema_file,
+            "--part-col", "source", "--violations", str(tmp_path / "v"),
+            "--manifest", str(tmp_path / "m"), "--id-cols", "doc_id"]
+    assert main(argv) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_parts_processed"] == 3
+    assert main(argv) == 0                      # resume: nothing pending
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["n_parts_processed"] == 0
+
+    assert main(["manifest", "--manifest", str(tmp_path / "m")]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3 and all(json.loads(x)["status"] == "done"
+                                   for x in lines)

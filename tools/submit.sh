@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Package the engine and launch a validation run via spark-submit,
+# the north-rule launch shape: spark-submit --py-files validr_spark.zip.
+#
+#   tools/submit.sh local[8] validate --input ... --schema ... --part-col ...
+#
+# On a real cluster, replace the master with yarn/k8s; the zip is the only
+# artifact executors need.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${1:?master (e.g. local[8], yarn)}"
+shift
+
+ZIP="$(mktemp -d)/validr_spark.zip"
+(cd "$REPO" && python - "$ZIP" <<'EOF'
+import sys, zipfile, pathlib
+zf = zipfile.ZipFile(sys.argv[1], "w", zipfile.ZIP_DEFLATED)
+for p in sorted(pathlib.Path("validr_spark").rglob("*.py")):
+    zf.write(p, p.as_posix())
+zf.close()
+print("packaged", sys.argv[1])
+EOF
+)
+
+DRIVER="$(mktemp -d)/driver.py"
+cat > "$DRIVER" <<'EOF'
+import sys
+from validr_spark.cli import main
+sys.exit(main(sys.argv[1:]))
+EOF
+
+exec spark-submit --master "$MASTER" \
+    --conf spark.sql.adaptive.enabled=true \
+    --py-files "$ZIP" \
+    "$DRIVER" "$@"

@@ -1,0 +1,116 @@
+"""spark-submit entry point: distributed schema validation as a job.
+
+Usage (north-rule launch shape):
+
+    spark-submit --master <cluster> --py-files validr_spark.zip \\
+        -m validr_spark.cli ... # or a tiny driver file calling main()
+
+    python -m validr_spark.cli validate \\
+        --input /data/sequences --schema schema.json --part-col source \\
+        --violations /out/violations --manifest /out/manifest \\
+        --id-cols doc_id [--batch-parts 64] [--fresh]
+
+The schema file is validr's isomorph JSON form, e.g.::
+
+    {"$self": "dict",
+     "doc_id": "str.minlen(1).maxlen(64)",
+     "tokens": ["int.min(0).max(50256)"],
+     "n_tok": "int.min(1)",
+     "source": ["enum", "web", "books", "code", "wiki", "forums"]}
+
+(NB: multi-item enums use the ``["enum", item, ...]`` list form;
+``"enum('a b c')"`` element strings follow reference semantics and treat
+the string as a set of CHARACTERS — same as guyskk/validr.)
+Re-running the same command resumes: partitions with a ``done`` manifest
+row for the current lineage are skipped (see plans/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+def _build_session(master: str | None, shuffle_partitions: int | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("validr_spark")
+    if master:
+        b = b.master(master)
+    b = (b.config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true"))
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def cmd_validate(args) -> int:
+    from .compiler import SparkCompiler
+    from .plans import ResumableValidation
+    from .schema import T
+    from .sources import TableSource
+
+    with open(args.schema) as f:
+        schema_obj = json.load(f)
+    plan = SparkCompiler().compile(T(schema_obj))
+
+    spark = _build_session(args.master, args.shuffle_partitions)
+    df = TableSource(args.input, fmt=args.format).load(spark)
+
+    run = ResumableValidation(
+        plan, part_col=args.part_col,
+        manifest_path=args.manifest, violations_path=args.violations,
+        batch_parts=args.batch_parts,
+        extra_lineage=uuid.uuid4().hex if args.fresh else "",
+    )
+    report = run.run(spark, df, id_cols=args.id_cols)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_manifest(args) -> int:
+    from .plans import ManifestStore
+
+    spark = _build_session(args.master, None)
+    store = ManifestStore(spark, args.manifest)
+    rows = store.read().orderBy("finished_at").collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="validr_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="resumable validation run")
+    v.add_argument("--input", required=True)
+    v.add_argument("--format", default="auto",
+                   help="auto|parquet|iceberg|table")
+    v.add_argument("--schema", required=True,
+                   help="isomorph-JSON schema file")
+    v.add_argument("--part-col", required=True)
+    v.add_argument("--violations", required=True)
+    v.add_argument("--manifest", required=True)
+    v.add_argument("--id-cols", nargs="*", default=[])
+    v.add_argument("--batch-parts", type=int, default=64)
+    v.add_argument("--fresh", action="store_true",
+                   help="ignore existing checkpoints (new lineage)")
+    v.add_argument("--master", default=None)
+    v.add_argument("--shuffle-partitions", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    m = sub.add_parser("manifest", help="dump a manifest table")
+    m.add_argument("--manifest", required=True)
+    m.add_argument("--master", default=None)
+    m.set_defaults(fn=cmd_manifest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -444,8 +444,16 @@ class ValidationPlan:
         return list(self.schema.items.keys())
 
     def rule_manifest(self) -> str:
-        """Stable lineage string for checkpoint manifests (schema identity)."""
-        return self.schema.repr(prefix=False, desc=False)
+        """Stable lineage string for checkpoint manifests (schema identity).
+
+        Uses the full isomorph-JSON form: dict repr() renders only field
+        NAMES, so nested rule changes (e.g. n_tok.max 100→50) must come
+        from to_primitive() to invalidate checkpoints.
+        """
+        import json
+
+        return json.dumps(self.schema.to_primitive(), sort_keys=True,
+                          ensure_ascii=False)
 
     def apply(self, df: DataFrame, id_cols: list[str] | None = None,
               violation_col: str = "_violations") -> "ValidationResult":

@@ -59,40 +59,49 @@ def parse_duration(text: str) -> datetime.timedelta:
     return datetime.timedelta(microseconds=sign * total_ns / _US)
 
 
-# descending unit ladders used when formatting
-_LARGE_BASIC = [("h", _HOUR), ("m", _MIN), ("s", _SEC)]
-_LARGE_EXT = [("y", _YEAR), ("mo", _MONTH), ("d", _DAY)] + _LARGE_BASIC
-_SMALL = [("ms", _MS), ("us", _US), ("ns", _NS)]
-
-
 def format_duration(delta: datetime.timedelta, extended: bool = False) -> str:
-    """Format timedelta → shortest Go-duration string ("1h1m5s")."""
+    """Format timedelta → Go-duration string, byte-identical to the
+    reference's vendored durationpy.to_str (durationpy.py:113-189),
+    including its quirks which the reference inherits:
+
+    * the small/large split tests the SIGNED seconds (< 1), so every
+      negative duration formats through the sub-second decomposition
+      ("-1000ms" for −1 s);
+    * zero formats as "0" (no unit);
+    * sub-second values decompose into concatenated ms/us/ns components
+      ("1ms500us"), not a single unit.
+    """
     total = delta.total_seconds()
     sign = "-" if total < 0 else ""
-    ns = abs(total) * _SEC
+    ns = abs(total * _SEC)
+    body = _small_body(ns) if total < 1 else _large_body(ns, extended)
+    return sign + body
+
+
+def _small_body(ns: float) -> str:
+    if not ns:
+        return "0"
     out = []
-    if abs(total) < 1:
-        # sub-second: single largest non-zero unit
-        for unit, scale in _SMALL:
-            if ns >= scale:
-                out.append(f"{ns / scale:g}{unit}")
-                break
-        else:
-            out.append("0s" if ns == 0 else f"{ns:g}ns")
-    else:
-        ladder = _LARGE_EXT if extended else _LARGE_BASIC
-        rem = ns
-        for unit, scale in ladder:
-            qty = int(rem // scale)
-            if qty:
-                out.append(f"{qty}{unit}")
-                rem -= qty * scale
-        frac = rem / _SEC
-        if frac:
-            # leftover sub-second tail folds into seconds
-            if out and out[-1].endswith("s") and not out[-1].endswith("ms"):
-                qty = float(out[-1][:-1])
-                out[-1] = f"{qty + frac:g}s"
-            else:
-                out.append(f"{frac:g}s")
-    return sign + "".join(out)
+    for unit, scale in (("ms", _MS), ("us", _US)):
+        qty = int(ns / scale)
+        if qty:
+            ns -= scale * qty
+            out.append(f"{qty:g}{unit}")
+    if ns:
+        out.append(f"{ns:g}ns")
+    return "".join(out)
+
+
+def _large_body(ns: float, extended: bool) -> str:
+    out = []
+    ladder = [("y", _YEAR), ("mo", _MONTH), ("d", _DAY)] if extended else []
+    ladder += [("h", _HOUR), ("m", _MIN)]
+    for unit, scale in ladder:
+        qty = int(ns / scale)
+        if qty:
+            ns -= scale * qty
+            out.append(f"{qty:g}{unit}")
+    seconds = float(ns) / float(_SEC)
+    if seconds:
+        out.append(f"{seconds:g}s")
+    return "".join(out)

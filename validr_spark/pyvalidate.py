@@ -554,8 +554,10 @@ def str_validator(compiler, minlen=0, maxlen=1024 * 1024, strip=False,
 @validator(accept=object, output=object)
 def nstr_validator(compiler, minlen=0, maxlen=1024 * 1024, strip=False,
                    escape=False, match=None):
-    return _make_str_core(compiler, minlen, maxlen, strip, escape, match,
-                          accept_any_object=True)
+    # same core as str (int coerced, other objects rejected); only the
+    # null semantics differ via accept/output=object (pyx:907: the
+    # accept_object flag is never actually set by the nstr registration)
+    return _make_str_core(compiler, minlen, maxlen, strip, escape, match)
 
 
 @validator(accept=bytes, output=bytes)
@@ -620,7 +622,9 @@ def datetime_validator(compiler, format="%Y-%m-%dT%H:%M:%S.%fZ",
 
 
 def _coerce_timedelta(value) -> datetime.timedelta:
-    if isinstance(value, (int, float)) and not isinstance(value, bool):
+    # bool passes: it is an int subclass and the reference accepts it
+    # (pyx:998-1000 isinstance(value, (int, float)))
+    if isinstance(value, (int, float)):
         return datetime.timedelta(seconds=value)
     if isinstance(value, str):
         return parse_duration(value)
@@ -694,46 +698,103 @@ def ipv6_validator(compiler, output_object=False):
     return validate
 
 
-# RFC5321 dot-atom local part (ascii only: allow_smtputf8=False)
-_EMAIL_LOCAL_RE = re.compile(
-    r"\A[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]+"
-    r"(?:\.[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]+)*\Z")
-_DNS_LABEL_RE = re.compile(r"\A(?!-)[A-Za-z0-9-]{1,63}(?<!-)\Z")
+# Email syntax per RFC 2822/5321 dot-atom + IDNA 2008 hostname, with the
+# exact acceptance envelope and error strings of python-email-validator
+# (the reference vendors it at _vendor/email_validator.py and calls it with
+# allow_smtputf8=False, check_deliverability=False, allow_empty_local=False,
+# pyx:1100-1105).  The messages are part of the observable contract
+# (Invalid.message), so they are reproduced verbatim.
+_EM_ATEXT = r"a-zA-Z0-9_!#\$%&'\*\+\-/=\?\^`\{\|\}~"
+_EM_DOT_ATOM = re.compile("[" + _EM_ATEXT + r"]+(?:\.[" + _EM_ATEXT + r"]+)*$")
+_EM_ATEXT_UTF8 = _EM_ATEXT + "\u0080-\U0010FFFF"
+_EM_DOT_ATOM_UTF8 = re.compile(
+    "[" + _EM_ATEXT_UTF8 + r"]+(?:\.[" + _EM_ATEXT_UTF8 + r"]+)*$")
+_EM_ONE_ATEXT = re.compile("[" + _EM_ATEXT + "]")
+_EM_HOST_LABEL = r"(?:(?:[a-zA-Z0-9][a-zA-Z0-9\-]*)?[a-zA-Z0-9])"
+_EM_HOSTNAME = re.compile(_EM_HOST_LABEL + r"(?:\." + _EM_HOST_LABEL + r")*$")
+
+
+class _EmailSyntaxError(ValueError):
+    pass
+
+
+def _email_local_part(local: str) -> str:
+    if len(local) == 0:
+        raise _EmailSyntaxError("There must be something before the @-sign.")
+    if len(local) > 64:
+        raise _EmailSyntaxError(
+            "The email address is too long before the @-sign.")
+    if _EM_DOT_ATOM.match(local):
+        return local
+    if not _EM_DOT_ATOM_UTF8.match(local):
+        bad = ", ".join(sorted({c for c in local
+                                if not _EM_ONE_ATEXT.match(c)}))
+        raise _EmailSyntaxError(
+            "The email address contains invalid characters before the "
+            "@-sign: %s." % bad)
+    # it would only be valid under SMTPUTF8, which is disabled
+    raise _EmailSyntaxError(
+        "Internationalized characters before the @-sign are not supported.")
+
+
+def _email_domain_part(domain: str) -> str:
+    import idna
+
+    if len(domain) == 0:
+        raise _EmailSyntaxError("There must be something after the @-sign.")
+    try:
+        domain = idna.uts46_remap(domain, std3_rules=False, transitional=False)
+    except idna.IDNAError as ex:
+        raise _EmailSyntaxError(
+            "The domain name %s contains invalid characters (%s)."
+            % (domain, ex)) from None
+    if domain.endswith("."):
+        raise _EmailSyntaxError("An email address cannot end with a period.")
+    if domain.startswith("."):
+        raise _EmailSyntaxError(
+            "An email address cannot have a period immediately after the "
+            "@-sign.")
+    if ".." in domain:
+        raise _EmailSyntaxError(
+            "An email address cannot have two periods in a row.")
+    try:
+        domain = idna.encode(domain, uts46=False).decode("ascii")
+    except idna.IDNAError as ex:
+        raise _EmailSyntaxError(
+            "The domain name %s contains invalid characters (%s)."
+            % (domain, ex)) from None
+    try:
+        domain_i18n = idna.decode(domain.encode("ascii"))
+    except idna.IDNAError as ex:
+        raise _EmailSyntaxError(
+            "The domain name %s is not valid IDNA (%s)." % (domain, ex)
+        ) from None
+    if len(domain) > 255:
+        raise _EmailSyntaxError(
+            "The email address is too long after the @-sign.")
+    if not _EM_HOSTNAME.match(domain):
+        raise _EmailSyntaxError(
+            "The email address contains invalid characters after the "
+            "@-sign.")
+    if "." not in domain:
+        raise _EmailSyntaxError(
+            "The domain name %s is not valid. It should have a period."
+            % domain_i18n)
+    if not re.search(r"[A-Za-z]$", domain):
+        raise _EmailSyntaxError(
+            "The domain name %s is not valid. It is not within a valid "
+            "top-level domain." % domain_i18n)
+    return domain_i18n
 
 
 def _normalize_email(value: str) -> str:
-    """Validate + normalize an email (ascii local part, IDNA domain).
-
-    Mirrors the acceptance envelope of the reference's vendored
-    python-email-validator with allow_smtputf8=False,
-    check_deliverability=False, allow_empty_local=False.
-    """
-    if "@" not in value:
-        raise ValueError("no @ sign")
-    local, _, domain = value.rpartition("@")
-    if not local or not domain:
-        raise ValueError("empty part")
-    if len(local) > 64:
-        raise ValueError("local part too long")
-    if not _EMAIL_LOCAL_RE.match(local):
-        raise ValueError("invalid local part")
-    domain = domain.rstrip(".").lower()
-    if not domain or "." not in domain:
-        raise ValueError("invalid domain")
-    labels = domain.split(".")
-    ascii_labels = []
-    for label in labels:
-        if not label:
-            raise ValueError("empty domain label")
-        if not label.isascii():
-            label = label.encode("idna").decode("ascii")  # raises on bad
-        if not _DNS_LABEL_RE.match(label):
-            raise ValueError("invalid domain label")
-        ascii_labels.append(label)
-    ascii_domain = ".".join(ascii_labels)
-    if len(ascii_domain) > 253 or len(local) + 1 + len(ascii_domain) > 254:
-        raise ValueError("email too long")
-    return f"{local}@{ascii_domain}"
+    """ascii local part + IDNA domain → 'local@domain-display-form'."""
+    parts = value.split("@")
+    if len(parts) != 2:
+        raise _EmailSyntaxError(
+            "The email address is not valid. It must have exactly one "
+            "@-sign.")
+    return _email_local_part(parts[0]) + "@" + _email_domain_part(parts[1])
 
 
 @validator(accept=str, output=str)
@@ -741,6 +802,8 @@ def email_validator(compiler):
     def validate(value):
         try:
             return _normalize_email(value.strip())
+        except _EmailSyntaxError as ex:
+            raise Invalid(str(ex)) from None
         except Exception:
             raise Invalid("invalid email address") from None
 
@@ -768,6 +831,9 @@ def url_validator(compiler, scheme="http https", maxlen=255,
         return parsed if output_object else urlunparse(parsed)
 
     return validate
+
+
+_DNS_LABEL_RE = re.compile(r"\A(?!-)[A-Za-z0-9-]{1,63}(?<!-)\Z")
 
 
 def _fqdn_relative(value: str) -> str | None:

@@ -296,8 +296,11 @@ def build_str(sc, schema, input_type, path, accept_any_object=False):
 
 
 def build_nstr(sc, schema, input_type, path):
-    rule = build_str(sc, schema, input_type, path, accept_any_object=True)
-    # nstr: accept=object → '' is NOT null-equivalent, None stays None
+    # same coercion core as str (int → str, other types rejected: the
+    # reference's accept_object flag is never set by the nstr registration,
+    # pyx:907); only null semantics differ: '' is NOT null-equivalent and
+    # None stays None under optional.
+    rule = build_str(sc, schema, input_type, path)
     rule.accept_string = False
     rule.string_output = False
     return rule

@@ -1,0 +1,118 @@
+"""Source/sink layer for the validation engine.
+
+The north-rule input is "an Iceberg table of pre-tokenized training
+sequences".  This sandbox has no Iceberg runtime jar, so the layer is
+format-gated: ``iceberg`` identifiers are used when the catalog loads,
+otherwise a partitioned-parquet layout with the same logical shape
+(explicit partition column → partition pruning) stands in.  All engine
+code above this layer sees only DataFrames and a partition-column name,
+so swapping the format is a config change, not a code change.
+
+Scale notes (100 TB target):
+* Readers never infer schemas row-wise; parquet/Iceberg carry their own.
+* ``predicate``/``columns`` are applied straight after ``load`` so Catalyst
+  pushes filters and pruning into the scan (check ``PushedFilters`` /
+  ``ReadSchema`` in ``.explain("formatted")``).
+* Sinks default to partitioned writes with dynamic partition overwrite —
+  the idempotency contract ``plans.manifest`` relies on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ICEBERG_PROBED: dict[int, bool] = {}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    key = id(spark)
+    if key not in _ICEBERG_PROBED:
+        try:
+            spark.sql("SELECT 1").collect()
+            jvm = spark.sparkContext._jvm
+            jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource")
+            _ICEBERG_PROBED[key] = True
+        except Exception:
+            _ICEBERG_PROBED[key] = False
+    return _ICEBERG_PROBED[key]
+
+
+def read_table(spark: SparkSession, location: str, fmt: str = "auto",
+               columns: list[str] | None = None,
+               predicate: str | None = None,
+               options: dict | None = None) -> DataFrame:
+    """Load a table; push projection/predicate into the scan immediately.
+
+    ``fmt='auto'``: catalog identifiers (``db.table``) resolve via
+    ``spark.table`` (Iceberg/hive); paths resolve as parquet.
+    """
+    if fmt == "auto":
+        fmt = "table" if ("/" not in location and "." in location) else "parquet"
+    if fmt == "table" or (fmt == "iceberg" and iceberg_available(spark)):
+        df = spark.table(location)
+    elif fmt == "parquet" or fmt == "iceberg":  # iceberg fallback
+        reader = spark.read
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.parquet(location)
+    else:
+        reader = spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(location)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_table(df: DataFrame, location: str, fmt: str = "parquet",
+                mode: str = "append", partition_by: list[str] | None = None,
+                dynamic_overwrite: bool = True) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+        if mode == "overwrite" and dynamic_overwrite:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    if fmt == "parquet":
+        writer.parquet(location)
+    elif fmt == "iceberg":
+        writer.format("iceberg").save(location)
+    else:
+        writer.format(fmt).save(location)
+
+
+@dataclass
+class TableSource:
+    """A named, partitioned input table (the engine's scan unit)."""
+
+    location: str
+    fmt: str = "auto"
+    partition_col: str | None = None
+    columns: list[str] | None = None
+    predicate: str | None = None
+    options: dict = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return read_table(spark, self.location, self.fmt,
+                          columns=self.columns, predicate=self.predicate,
+                          options=self.options)
+
+
+@dataclass
+class TableSink:
+    """A partitioned output table (violations / manifest / clean rows)."""
+
+    location: str
+    fmt: str = "parquet"
+    mode: str = "overwrite"
+    partition_by: list[str] | None = None
+
+    def write(self, df: DataFrame) -> None:
+        write_table(df, self.location, self.fmt, self.mode,
+                    self.partition_by)

@@ -1,0 +1,7 @@
+"""Structured Streaming validation: same compiled plans over streams."""
+
+from .validate import (stream_violations, validate_stream, windowed_verdicts,
+                       write_violations_stream)
+
+__all__ = ["validate_stream", "stream_violations", "windowed_verdicts",
+           "write_violations_stream"]
