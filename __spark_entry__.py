@@ -212,6 +212,49 @@ def q_events_validate(spark, sf):
         F.count(F.lit(1)).alias("n_violations")).orderBy("rule_id")
 
 
+def q_doc_profile(spark, sf):
+    from validr_spark.operators.stats import column_profile
+
+    df = _load(spark, sf, "documents")
+    return (column_profile(df, ["doc_id", "text", "lang", "n_chars"])
+            .select("column", "n_rows", "n_nulls",
+                    F.round("null_rate", 6).alias("null_rate"),
+                    F.round("min", 4).alias("min_v"),
+                    F.round("max", 4).alias("max_v"),
+                    F.round("avg", 4).alias("avg_v"))
+            .orderBy("column"))
+
+
+def q_chars_quantiles(spark, sf):
+    from validr_spark.operators.stats import length_distribution
+
+    df = _load(spark, sf, "documents")
+    q = length_distribution(df, "n_chars", [0.0, 0.25, 0.5, 0.75, 1.0],
+                            exact=True)
+    e = F.col("quantiles")
+    return q.select(*[F.round(e[i].cast("double"), 4).alias(f"q{i}")
+                      for i in range(5)])
+
+
+def q_orphan_rows(spark, sf):
+    from validr_spark.operators.referential import orphan_violations
+
+    orders = _load(spark, sf, "orders")
+    cust = (_load(spark, sf, "customer")
+            .select(F.col("c_custkey").alias("o_custkey")))
+    return (orphan_violations(orders, cust, key="o_custkey",
+                              id_col="o_orderkey")
+            .orderBy("o_orderkey"))
+
+
+def q_dup_keys_salted(spark, sf):
+    from validr_spark.operators.uniqueness import duplicate_keys
+
+    df = _load(spark, sf, "documents")
+    return (duplicate_keys(df, "doc_id", two_phase=True)
+            .orderBy("doc_id"))
+
+
 # --- rows-only queries (non-SQL-expressible; weaker driver check) ----------
 
 def q_minhash_pairs(spark, sf):
@@ -252,6 +295,34 @@ def q_sequences_validate(spark, sf):
     return res.summary()
 
 
+def q_manifest_run(spark, sf):
+    """Resumable manifest-checkpointed run (plans/manifest.py) over the
+    generated sequences table; returns the per-partition verdict rows."""
+    import tempfile
+
+    from validr_spark.compiler import SparkCompiler
+    from validr_spark.datagen import make_sequences, sequences_schema
+    from validr_spark.plans import ManifestStore, ResumableValidation
+
+    tmp = tempfile.mkdtemp(prefix="vs_manifest_")
+    seq = make_sequences(spark, 20_000, maxlen=64)
+    plan = SparkCompiler().compile(sequences_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=f"{tmp}/manifest",
+                             violations_path=f"{tmp}/violations")
+    rv.run(spark, seq, id_cols=["doc_id"])
+    return (ManifestStore(spark, f"{tmp}/manifest").read()
+            .select("part", "n_rows", "n_bad_rows", "n_violations", "verdict")
+            .orderBy("part"))
+
+
+def q_ngram_jaccard(spark, sf):
+    df = _load(spark, sf, "documents")
+    return (dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.4)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_multimodal_features(spark, sf):
     from validr_spark.operators.multimodal import (extract_features,
                                                    make_fake_media)
@@ -281,7 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_stats": q_embedding_stats,
         "events_validate": q_events_validate,
+        "doc_profile": q_doc_profile,
+        "chars_quantiles": q_chars_quantiles,
+        "orphan_rows": q_orphan_rows,
+        "dup_keys_salted": q_dup_keys_salted,
         # rows-only (no SQL oracle)
+        "manifest_run": q_manifest_run,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
@@ -466,6 +543,59 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_sum(list_transform(embedding,
                          x -> x::DOUBLE * x::DOUBLE)))), 4) AS avg_norm
             FROM embeddings
+        """,
+        "doc_profile": """
+            WITH m AS (
+              SELECT 'doc_id' AS col, count(*)::BIGINT AS n_rows,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     min(doc_id)::DOUBLE AS mn, max(doc_id)::DOUBLE AS mx,
+                     avg(doc_id) AS av
+              FROM documents
+              UNION ALL
+              SELECT 'text', count(*)::BIGINT,
+                     CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT),
+                     min(length(text))::DOUBLE, max(length(text))::DOUBLE,
+                     avg(length(text))
+              FROM documents
+              UNION ALL
+              SELECT 'lang', count(*)::BIGINT,
+                     CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT),
+                     min(length(lang))::DOUBLE, max(length(lang))::DOUBLE,
+                     avg(length(lang))
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*)::BIGINT,
+                     CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(n_chars)::DOUBLE, max(n_chars)::DOUBLE, avg(n_chars)
+              FROM documents
+            )
+            SELECT col AS "column", n_rows, n_nulls,
+                   round(n_nulls::DOUBLE / n_rows, 6) AS null_rate,
+                   round(mn, 4) AS min_v, round(mx, 4) AS max_v,
+                   round(av, 4) AS avg_v
+            FROM m ORDER BY col
+        """,
+        "chars_quantiles": """
+            SELECT round(quantile_cont(n_chars, 0.0), 4) AS q0,
+                   round(quantile_cont(n_chars, 0.25), 4) AS q1,
+                   round(quantile_cont(n_chars, 0.5), 4) AS q2,
+                   round(quantile_cont(n_chars, 0.75), 4) AS q3,
+                   round(quantile_cont(n_chars, 1.0), 4) AS q4
+            FROM documents
+        """,
+        "orphan_rows": """
+            SELECT o.o_orderkey, 'o_custkey.referential' AS rule_id,
+                   'o_custkey' AS position,
+                   'value not present in dimension o_custkey' AS message,
+                   o.o_custkey::VARCHAR AS value
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+            ORDER BY o.o_orderkey
+        """,
+        "dup_keys_salted": """
+            SELECT doc_id, count(*)::BIGINT AS n_occurrences
+            FROM documents GROUP BY doc_id HAVING count(*) > 1
+            ORDER BY doc_id
         """,
         "events_validate": f"""
             WITH v AS (

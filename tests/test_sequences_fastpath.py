@@ -1,0 +1,79 @@
+"""Explode-based sequence fast path ≡ generic compiler, row for row."""
+
+from pyspark.sql import functions as F
+
+from validr_spark.compiler import SparkCompiler
+from validr_spark.datagen import (SOURCES, VOCAB, make_sequences,
+                                  make_sources_dim, sequences_schema)
+from validr_spark.operators import sequences as seqops
+
+
+def _norm(df, id_col):
+    return sorted(
+        tuple(r) for r in
+        df.select(id_col, "rule_id", "position", "message", "value")
+        .collect())
+
+
+def test_fastpath_matches_generic_engine(spark):
+    df = make_sequences(spark, 4000, maxlen=64).withColumn(
+        "_rid", F.monotonically_increasing_id())
+
+    generic = SparkCompiler().compile(sequences_schema()).apply(
+        df, id_cols=["_rid"]).violations()
+    fast = seqops.sequence_violations(
+        df, vocab=VOCAB, maxlen=8192, sources=SOURCES, id_col="_rid",
+        max_n_tok=8192)
+
+    g, f = _norm(generic, "_rid"), _norm(fast, "_rid")
+    assert len(g) > 0
+    assert g == f
+
+
+def test_fastpath_maxlen_suppression(spark):
+    # bad element at idx < maxlen suppresses the list maxlen violation;
+    # bad element only at idx >= maxlen lets maxlen win
+    rows = [
+        (0, list(range(10)) + [-5] + [0] * 10),   # bad elem idx 10 < 16
+        (1, [0] * 20),                            # only too long
+        (2, [0] * 15 + [99999] * 5),              # bad elem at 15 < 16
+        (3, [0] * 16 + [-1]),                     # bad elem only at 16
+    ]
+    df = spark.createDataFrame(rows, "_rid long, tokens array<int>") \
+        .withColumn("doc_id", F.concat(F.lit("d-"), F.col("_rid"))) \
+        .withColumn("n_tok", F.lit(1)) \
+        .withColumn("source", F.lit("web"))
+
+    from validr_spark import T
+    schema = T.dict(
+        doc_id=T.str.minlen(1).maxlen(64),
+        tokens=T.list(T.int.min(0).max(50256)).minlen(1).maxlen(16),
+        n_tok=T.int.min(1).max(16),
+        source=T.enum(" ".join(SOURCES)),
+    )
+    generic = SparkCompiler().compile(schema).apply(
+        df, id_cols=["_rid"]).violations()
+    fast = seqops.sequence_violations(
+        df, vocab=50257, maxlen=16, sources=SOURCES, id_col="_rid",
+        max_n_tok=16)
+    assert _norm(generic, "_rid") == _norm(fast, "_rid")
+    by_rid = {}
+    for r in _norm(fast, "_rid"):
+        by_rid.setdefault(r[0], []).append(r[1])
+    assert by_rid[0] == ["tokens[].min"]
+    assert by_rid[1] == ["tokens.maxlen"]
+    assert by_rid[2] == ["tokens[].max"]
+    assert by_rid[3] == ["tokens.maxlen"]
+
+
+def test_sequence_report_counts(spark):
+    df = make_sequences(spark, 20000, maxlen=64)
+    rep = seqops.sequence_report(df, make_sources_dim(spark), vocab=VOCAB,
+                                 maxlen=8192, sources=SOURCES,
+                                 max_n_tok=8192)
+    total_rows = sum(r["n_rows"] for r in rep["per_source"])
+    assert total_rows == 20000
+    assert rep["dup_keys"] > 0
+    assert sum(r["n_orphans"] for r in rep["per_source"]) > 0
+    assert sum(r["n_token_violations"] for r in rep["per_source"]) > 0
+    assert sum(r["n_inconsistent"] for r in rep["per_source"]) > 0

@@ -42,6 +42,7 @@ from .rules import (
     VIOLATION_TYPE,
     CoreRule,
     build_pyudf_rule,
+    chain,
     mkviol,
     value_repr,
 )
@@ -57,6 +58,13 @@ class NodePlan:
     output_type: st.DataType
     value: callable          # (col) -> Column  coerced output
     error: callable          # (col, pos) -> Column  violation struct | null
+    # boolean predicate: true iff error() is non-null.  Containers scan
+    # elements with this (no per-element violation-struct construction).
+    invalid: callable = None
+    # whole-array fast paths (see CoreRule) — set only when the wrapper
+    # params don't change element semantics (no optional/default/invalid_to)
+    array_invalid: callable = None
+    array_value: callable = None
 
 
 _WRAPPER_PARAMS = ("optional", "default", "invalid_to", "invalid_to_default",
@@ -166,10 +174,16 @@ class SparkCompiler:
                 return val.isNull() | (val == "")
             return val.isNull()
 
+        def core_invalid(col: Column) -> Column:
+            # cheap boolean equivalent of core.error(col).isNotNull(),
+            # valid for non-null inputs (the wrapper guards nulls)
+            if core.invalid is not None:
+                return core.invalid(col)
+            return core.error(col, F.lit("")).isNotNull()
+
         def value(col: Column) -> Column:
             coerced = core.coerce(col)
-            err = core.error(col, F.lit(""))
-            ok_val = F.when(err.isNotNull() | post_null(coerced),
+            ok_val = F.when(core_invalid(col) | post_null(coerced),
                             fallback_lit if suppress else
                             (null_lit if (has_default or optional)
                              else F.lit(None).cast(out_t))
@@ -196,7 +210,24 @@ class SparkCompiler:
                     not_null_branch)
             return F.when(is_null(col), required).otherwise(not_null_branch)
 
-        return NodePlan(out_t, value, error)
+        def invalid(col: Column) -> Column:
+            if suppress:
+                return F.lit(False)
+            bad = core_invalid(col)
+            if not (has_default or optional):
+                bad = bad | post_null(core.coerce(col))
+            if has_default or optional:
+                return F.when(is_null(col), F.lit(False)).otherwise(bad)
+            return F.when(is_null(col), F.lit(True)).otherwise(bad)
+
+        # whole-array fast paths survive the wrapper only when the wrapper
+        # adds no element-level semantics: a null element must mean
+        # 'required' (core.array_invalid flags it) and the coerced element
+        # must be the plain core coercion.
+        plain = not (optional or has_default or suppress)
+        arr_inv = core.array_invalid if plain else None
+        arr_val = core.array_value if plain else None
+        return NodePlan(out_t, value, error, invalid, arr_inv, arr_val)
 
     # ------------------------------------------------------------------
     # containers
@@ -204,6 +235,8 @@ class SparkCompiler:
     def _dict_core(self, schema: Schema, input_type, path: str) -> CoreRule:
         items = schema.items or {}
         prefix = f"{path}." if path else ""
+        if isinstance(input_type, st.MapType):
+            return self._map_core(schema, input_type, path)
         if not isinstance(input_type, st.StructType):
             # static type mismatch: every non-null value is 'must be dict'
             out_t = st.StructType([st.StructField(k, st.NullType())
@@ -250,6 +283,81 @@ class SparkCompiler:
         return CoreRule(out_t, coerce, error, accept_string=False,
                         string_output=False)
 
+    def _map_core(self, schema: Schema, input_type: st.MapType,
+                  path: str) -> CoreRule:
+        """Dynamic dict over a MapType column: ``.key(schema)`` /
+        ``.value(schema)`` validate every entry, ``slim`` drops null/''
+        values, minlen/maxlen bound the entry count (reference dynamic-dict
+        semantics, pyx:544-596).  Key/value rules must be expression-backed
+        (Catalyst forbids UDFs inside lambda higher-order functions) —
+        email-style UDF validators in a map schema raise at plan time.
+        """
+        from .schema import _as_schema
+
+        minlen = int(schema.params.get("minlen", 0))
+        maxlen = int(schema.params.get("maxlen", 1024))
+        slim = bool(schema.params.get("slim", False))
+        key_s = schema.params.get("key")
+        val_s = schema.params.get("value")
+        key_rule = (self.compile_node(_as_schema(key_s), input_type.keyType,
+                                      f"{path}.$self_key")
+                    if key_s is not None else None)
+        val_rule = (self.compile_node(_as_schema(val_s), input_type.valueType,
+                                      f"{path}.$self_value")
+                    if val_s is not None else None)
+        key_out = key_rule.output_type if key_rule else input_type.keyType
+        val_out = val_rule.output_type if val_rule else input_type.valueType
+        out_t = st.MapType(key_out, val_out)
+
+        def coerce(col):
+            out = col
+            if key_rule:
+                out = F.transform_keys(out, lambda k, v: key_rule.value(k))
+            if val_rule:
+                out = F.transform_values(out, lambda k, v: val_rule.value(v))
+            if slim:
+                if isinstance(val_out, st.StringType):
+                    out = F.map_filter(
+                        out, lambda k, v: v.isNotNull() & (v != ""))
+                else:
+                    out = F.map_filter(out, lambda k, v: v.isNotNull())
+            return out
+
+        def error(col, pos):
+            checks = []
+            n = F.size(col)
+            if maxlen >= 0:
+                checks.append((n > maxlen, "maxlen",
+                               f"dict length must <= {maxlen}"))
+            if minlen > 0:
+                checks.append((n < minlen, "minlen",
+                               f"dict length must >= {minlen}"))
+            length_viol = chain(col, pos, input_type, checks, path)
+
+            def entry_err(e):
+                errs = []
+                if key_rule:
+                    kpos = (F.concat(pos, F.lit(".$self_key")) if path
+                            else F.lit("$self_key"))
+                    errs.append(key_rule.error(e.getField("key"), kpos))
+                if val_rule:
+                    kname = e.getField("key").cast("string")
+                    vpos = (F.concat(pos, F.lit("."), kname) if path
+                            else kname)
+                    errs.append(val_rule.error(e.getField("value"), vpos))
+                if not errs:
+                    return NULL_VIOLATION()
+                return F.coalesce(*errs)
+
+            first_entry = F.get(
+                F.filter(F.transform(F.map_entries(col), entry_err),
+                         lambda x: x.isNotNull()), 0)
+            return F.when(col.isNull(), NULL_VIOLATION()).otherwise(
+                F.coalesce(length_viol, first_entry, NULL_VIOLATION()))
+
+        return CoreRule(out_t, coerce, error, accept_string=False,
+                        string_output=False)
+
     def _list_core(self, schema: Schema, input_type, path: str) -> CoreRule:
         minlen = int(schema.params.get("minlen", 0))
         maxlen = int(schema.params.get("maxlen", 1024))
@@ -279,25 +387,36 @@ class SparkCompiler:
         def coerce(col):
             if inner is None:
                 return col
+            if inner.array_value is not None:
+                # vectorized array cast — no per-element lambda
+                return inner.array_value(col)
             return F.transform(col, lambda x: inner.value(x))
 
         def error(col, pos):
             n = F.size(col)
             checks = []
             if inner is not None:
-                elem_errs = F.transform(
-                    col,
-                    lambda x, i: inner.error(
-                        x, F.concat(pos, F.lit("["), i.cast("string"),
-                                    F.lit("]"))))
-                first_elem = F.get(F.filter(elem_errs,
-                                            lambda e: e.isNotNull()), 0)
+                # scan with the cheap boolean predicate; build the ONE
+                # violation struct only for the first offending element
+                # (vs a struct per element — 10-50× less work per row on
+                # long token arrays).
+                hof_pos1 = F.array_position(
+                    F.transform(col, lambda x: inner.invalid(x)),
+                    F.lit(True))                      # 1-based, 0 = none
+                if inner.array_invalid is not None:
+                    # cheap whole-array screen first: the interpreted
+                    # per-element HOF runs only on flagged (~bad-rate) rows
+                    pos1 = F.when(inner.array_invalid(col), hof_pos1) \
+                        .otherwise(F.lit(0))
+                else:
+                    pos1 = hof_pos1
+                bad_idx = (pos1 - 1).cast("int")
+                first_elem = inner.error(
+                    F.get(col, bad_idx),
+                    F.concat(pos, F.lit("["), bad_idx.cast("string"),
+                             F.lit("]")))
                 # element errors at index < maxlen fire before the length cap
-                first_elem_idx = F.array_position(
-                    F.transform(elem_errs, lambda e: e.isNotNull()),
-                    F.lit(True)) - 1
-                elem_fires = first_elem.isNotNull() & \
-                    (first_elem_idx < F.lit(maxlen))
+                elem_fires = (pos1 > 0) & (pos1 <= F.lit(maxlen))
                 checks.append((elem_fires, first_elem))
             if unique:
                 if inner is None:
@@ -329,8 +448,25 @@ class SparkCompiler:
                 out = F.when(cond, viol).otherwise(out)
             return F.when(col.isNull(), NULL_VIOLATION()).otherwise(out)
 
+        def list_invalid(col):
+            # boolean twin of error(); a bad element at index ≥ maxlen
+            # implies size > maxlen, so the union of conditions matches.
+            n = F.size(col)
+            inv = n > maxlen
+            if minlen > 0:
+                inv = inv | (n < minlen)
+            if inner is not None:
+                if inner.array_invalid is not None:
+                    inv = inv | inner.array_invalid(col)
+                else:
+                    inv = inv | F.exists(col, lambda x: inner.invalid(x))
+            if unique:
+                c = coerce(col)
+                inv = inv | (F.size(F.array_distinct(c)) < F.size(c))
+            return F.coalesce(inv, F.lit(False))
+
         return CoreRule(out_t, coerce, error, accept_string=False,
-                        string_output=False)
+                        string_output=False, invalid=list_invalid)
 
     def _union_core(self, schema: Schema, input_type, path: str) -> CoreRule:
         """union: tagged (dict) form dispatches on the `by` field of a struct

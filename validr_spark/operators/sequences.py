@@ -1,0 +1,193 @@
+"""Scale-tuned validation pipeline for the tokenized-sequence table
+(doc_id, tokens:array<int>, n_tok, source) — the north-star workload.
+
+Why this exists: the generic compiler validates array elements with
+Catalyst lambda HOFs (`transform`/`exists`), which evaluate *interpreted*
+(CodegenFallback) at ~20 µs/element — 10-30× slower than whole-stage
+codegen.  For 10^12 sequences × 10^2..10^4 tokens that is the difference
+between hours and weeks.  This module expresses the SAME checks as two
+fully-codegen'd passes:
+
+1. **row-level pass** — the compiled plan for the scalar fields plus the
+   list *length* rules (``T.list.minlen/maxlen`` without an element schema
+   compiles to plain CASE expressions: no HOF anywhere);
+2. **token-level pass** — ``posexplode`` → ``filter(bad)`` →
+   ``groupBy(id).min(struct(idx, …))``: whole-stage codegen end to end,
+   and only the ~violation-rate fraction of tokens reaches the shuffle
+   (map-side partial min).
+
+The union reproduces the generic engine's violations EXACTLY (same
+rule_id / position / message / value strings, same fail-fast-per-field
+choice, including the "element error at index < maxlen beats the maxlen
+violation" rule) — asserted by tests/test_sequences_fastpath.py against
+``SparkCompiler().compile(schema).apply(df)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compiler import SparkCompiler
+from ..schema import T
+
+
+def rowlevel_schema(vocab: int, maxlen: int, sources: list[str],
+                    max_id_len: int = 64, max_n_tok: int | None = None):
+    """The sequence schema MINUS the per-element rule (length rules only —
+    compiles to pure CASE expressions, no higher-order functions)."""
+    return T.dict(
+        doc_id=T.str.minlen(1).maxlen(max_id_len),
+        tokens=T.list.minlen(1).maxlen(maxlen),
+        n_tok=T.int.min(1).max(max_n_tok if max_n_tok is not None else maxlen),
+        source=T.enum(" ".join(sources)),
+    )
+
+
+def token_range_violations(df: DataFrame, id_col: str, vocab: int,
+                           maxlen: int,
+                           tokens_col: str = "tokens") -> DataFrame:
+    """First out-of-range/null token per row, as a violations row with the
+    generic engine's exact formatting (rule ids ``tokens[].required/min/
+    max``, position ``tokens[i]``).
+
+    Only tokens at index < maxlen are considered: the generic chain lets
+    the list's own maxlen violation win for later indices.
+    """
+    x, i = F.col("_x"), F.col("_i")
+    bad = (df.select(F.col(id_col),
+                     F.posexplode(tokens_col).alias("_i", "_x"))
+           .filter((i < maxlen)
+                   & (x.isNull() | (x < 0) | (x >= vocab))))
+    first = bad.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_i"), F.col("_x"))).alias("_f"))
+    fi = F.col("_f._i")
+    fx = F.col("_f._x")
+    hi = vocab - 1
+    return first.select(
+        F.col(id_col),
+        F.when(fx.isNull(), F.lit("tokens[].required"))
+         .when(fx < 0, F.lit("tokens[].min"))
+         .otherwise(F.lit("tokens[].max")).alias("rule_id"),
+        F.concat(F.lit("tokens["), fi.cast("string"), F.lit("]"))
+         .alias("position"),
+        F.when(fx.isNull(), F.lit("required"))
+         .when(fx < 0, F.lit("value must >= 0"))
+         .otherwise(F.lit(f"value must <= {hi}")).alias("message"),
+        fx.cast("string").alias("value"),
+    )
+
+
+def sequence_violations(df: DataFrame, *, vocab: int, maxlen: int = 8192,
+                        sources: list[str], id_col: str,
+                        max_id_len: int = 64,
+                        max_n_tok: int | None = None) -> DataFrame:
+    """All violations for the sequence schema, two codegen passes, exact
+    parity with ``SparkCompiler().compile(full_schema).apply(df)``."""
+    plan = SparkCompiler().compile(
+        rowlevel_schema(vocab, maxlen, sources, max_id_len, max_n_tok))
+    row_v = plan.apply(df, id_cols=[id_col]).violations()
+    tok_v = token_range_violations(df, id_col, vocab, maxlen)
+
+    # fail-fast parity: when an element error (idx < maxlen) exists, the
+    # generic chain SUPPRESSES the tokens.maxlen violation for that row.
+    # Both sides of this anti-join are violation rows (~violation-rate),
+    # not data rows.
+    row_keep = row_v.filter(F.col("rule_id") != "tokens.maxlen")
+    row_maxlen = (row_v.filter(F.col("rule_id") == "tokens.maxlen")
+                  .join(tok_v.select(id_col), on=id_col, how="left_anti"))
+    return row_keep.unionByName(row_maxlen).unionByName(tok_v)
+
+
+def build_report_queries(df: DataFrame, dim: DataFrame, *, vocab: int,
+                         maxlen: int = 8192, sources: list[str],
+                         max_id_len: int = 64,
+                         max_n_tok: int | None = None) -> dict:
+    """Build (don't run) the three verdict queries; see sequence_report."""
+    from .uniqueness import duplication_report
+
+    plan = SparkCompiler().compile(
+        rowlevel_schema(vocab, maxlen, sources, max_id_len, max_n_tok))
+    dimj = F.broadcast(dim.select("source").withColumn("_in_dim", F.lit(1)))
+
+    # pass 1: row-level checks + verdict dimensions (scan-bound, codegen)
+    res = plan.apply(
+        df.withColumn("_n_tok_raw", F.col("n_tok"))
+          .withColumn("_size_raw", F.size("tokens"))
+          .withColumn("_src_raw", F.col("source")),
+        id_cols=["_n_tok_raw", "_size_raw", "_src_raw"])
+    nviol = F.size("_violations")
+    agg1 = (res.df
+            .join(dimj, res.df["source"] == dimj["source"], "left")
+            .groupBy("_src_raw")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("_size_raw").alias("n_tokens"),
+                 F.sum(nviol).alias("n_row_violations"),
+                 F.sum(F.when(nviol > 0, 1).otherwise(0)).alias("n_bad_rows"),
+                 F.sum(F.when(F.col("_in_dim").isNull(), 1).otherwise(0))
+                  .alias("n_orphans"),
+                 F.sum(F.when(F.col("_n_tok_raw") != F.col("_size_raw"), 1)
+                       .otherwise(0)).alias("n_inconsistent")))
+
+    # pass 2: token-range counts per source (codegen explode pipeline;
+    # only bad tokens reach the partial agg).  The source STRING is
+    # dictionary-encoded to a tiny int BEFORE the explode — carrying a
+    # string per exploded token costs more than the range check itself.
+    src_id = F.lit(-1)
+    for k, s in enumerate(sources):
+        src_id = F.when(F.col("source") == s, F.lit(k)).otherwise(src_id)
+    x = F.col("_x")
+    agg2 = (df.select(src_id.alias("_sid"),
+                      F.explode("tokens").alias("_x"))
+            .filter(x.isNull() | (x < 0) | (x >= vocab))
+            .groupBy("_sid")
+            .agg(F.count(F.lit(1)).alias("n_token_violations")))
+    return {"agg1": agg1, "agg2": agg2,
+            "dup": duplication_report(df, "doc_id"),
+            "sources": sources}
+
+
+def collect_report(queries: dict) -> dict:
+    """Execute the three verdict queries (the scan/shuffle work — time
+    THIS for throughput numbers; planning is one-time at real scale).
+
+    The three jobs are submitted CONCURRENTLY (Spark's scheduler shares
+    executor cores between jobs): driver-side submit/collect latency
+    overlaps, and stage tails of one job fill idle cores of another —
+    the serial fraction that would otherwise cap N→4N scaling.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    sources = queries["sources"]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f1 = pool.submit(queries["agg1"].collect)
+        f2 = pool.submit(queries["agg2"].collect)
+        f3 = pool.submit(queries["dup"].collect)
+        agg1_rows, agg2_rows, dup_rows = (f1.result(), f2.result(),
+                                          f3.result())
+    tokviol = {(sources[r["_sid"]] if r["_sid"] >= 0 else None):
+               r["n_token_violations"] for r in agg2_rows}
+    per_source = [
+        {**r.asDict(),
+         "n_token_violations": int(tokviol.get(r["_src_raw"], 0)),
+         "source": r["_src_raw"]}
+        for r in agg1_rows
+    ]
+    for row in per_source:
+        row.pop("_src_raw", None)
+    per_source.sort(key=lambda r: (r["source"] is None, r["source"]))
+    dup = dup_rows[0]
+    return {"per_source": per_source,
+            "dup_keys": int(dup["n_dup_keys"]),
+            "n_keys": int(dup["n_keys"])}
+
+
+def sequence_report(df: DataFrame, dim: DataFrame, **kw) -> dict:
+    """One-shot verdict metrics for the bench / manifest pipeline:
+    per-source rows, tokens, row-level violations, token violations,
+    referential orphans, n_tok consistency — 2 codegen scans + 1
+    uniqueness shuffle, no HOF anywhere.
+
+    Returns {"per_source": [...rows...], "dup_keys": int, "n_keys": int}.
+    """
+    return collect_report(build_report_queries(df, dim, **kw))

@@ -74,9 +74,15 @@ def null_rates(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 def length_distribution(df: DataFrame, column: str,
                         probabilities: list[float] | None = None,
-                        relative_error: float = 0.001) -> DataFrame:
-    """Quantiles of a length-like column via approx_percentile sketch
-    (mergeable t-digest-style sketch — scales to any row count)."""
+                        relative_error: float = 0.001,
+                        exact: bool = False) -> DataFrame:
+    """Quantiles of a length-like column.
+
+    Default: ``percentile_approx`` sketch (mergeable, one-pass — the only
+    sane choice at 10^12 rows).  ``exact=True`` uses the exact
+    ``percentile`` aggregate (linear interpolation, matches DuckDB's
+    quantile_cont) for small-scale oracle comparison.
+    """
     probabilities = probabilities or [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
     dtype = dict((f.name, f.dataType) for f in df.schema.fields)[column]
     c = F.col(column)
@@ -85,6 +91,6 @@ def length_distribution(df: DataFrame, column: str,
     elif isinstance(dtype, st.ArrayType):
         c = F.size(c)
     probs = "array(" + ", ".join(map(str, probabilities)) + ")"
-    acc = int(1.0 / relative_error)
-    return df.select(c.alias("x")).agg(
-        F.expr(f"percentile_approx(x, {probs}, {acc})").alias("quantiles"))
+    fn = (f"percentile(x, {probs})" if exact
+          else f"percentile_approx(x, {probs}, {int(1.0 / relative_error)})")
+    return df.select(c.alias("x")).agg(F.expr(fn).alias("quantiles"))

@@ -95,6 +95,16 @@ class CoreRule:
     string_output: bool = True    # null-output is '' instead of None
     # containers set this to re-wrap children at apply time
     children: dict = field(default_factory=dict)
+    # optional cheap boolean predicate: true iff error() would be non-null.
+    # Containers use it to scan elements WITHOUT building a violation
+    # struct per element (the struct is built once, for the first offender).
+    invalid: Callable[[Column], Column] | None = None
+    # optional WHOLE-ARRAY fast paths, defined on array<input_type> columns.
+    # Catalyst lambda HOFs (transform/filter/exists) evaluate interpreted at
+    # ~20µs/element; array_min/array_max/cast are tight JVM loops ~10×
+    # faster, and the per-element HOF then runs only on flagged rows.
+    array_invalid: Callable[[Column], Column] | None = None   # any elem bad?
+    array_value: Callable[[Column], Column] | None = None     # coerce array
 
 
 def chain(col: Column, pos: Column, input_type: st.DataType,
@@ -130,6 +140,13 @@ def build_int(sc, schema, input_type, path):
     """
     lo = int(schema.params.get("min", -(2 ** 64 - 1)))
     hi = int(schema.params.get("max", 2 ** 64 - 1))
+    # fast path: integral input with int64-safe bounds → pure LONG math.
+    # (decimal(38,0) per-element comparisons are ~10× slower in codegen and
+    # the tokens[] hot loop runs this per token at 10^12-row scale.)
+    integral_input = isinstance(
+        input_type, (st.ByteType, st.ShortType, st.IntegerType, st.LongType,
+                     st.BooleanType))
+    fast = integral_input and LONG_MIN <= lo and hi <= LONG_MAX
 
     if isinstance(input_type, st.StringType):
         def coerce(col):
@@ -137,7 +154,7 @@ def build_int(sc, schema, input_type, path):
                           F.trim(col).try_cast("decimal(38,0)")
                           ).otherwise(F.lit(None)).try_cast("long")
 
-        def parsed_dec(col):
+        def parsed(col):
             return F.when(col.rlike(_INT_STR_RE),
                           F.trim(col).try_cast("decimal(38,0)")
                           ).otherwise(F.lit(None))
@@ -147,28 +164,57 @@ def build_int(sc, schema, input_type, path):
             # int() truncates toward zero
             return F.when(ok, col).otherwise(F.lit(None)).try_cast("long")
 
-        def parsed_dec(col):
+        def parsed(col):
             return coerce(col).cast("decimal(38,0)")
     else:  # integral / boolean / decimal
         def coerce(col):
             return col.try_cast("long")
 
-        def parsed_dec(col):
-            return col.try_cast("decimal(38,0)")
+        def parsed(col):
+            return col.try_cast("long" if fast else "decimal(38,0)")
+
+    def _bound_lit(v):
+        return F.lit(v) if fast else F.lit(v).cast("decimal(38,0)")
+
+    has_lo = lo > -(2 ** 64 - 1) or lo >= LONG_MIN
+    has_hi = hi < 2 ** 64 - 1 or hi <= LONG_MAX
 
     def error(col, pos):
-        v = parsed_dec(col)
+        v = parsed(col)
         checks = [(v.isNull(), "type", "invalid int")]
-        if lo > -(2 ** 64 - 1) or lo >= LONG_MIN:
-            checks.append((v < F.lit(lo).cast("decimal(38,0)"),
-                           "min", f"value must >= {lo}"))
-        if hi < 2 ** 64 - 1 or hi <= LONG_MAX:
-            checks.append((v > F.lit(hi).cast("decimal(38,0)"),
-                           "max", f"value must <= {hi}"))
+        if has_lo:
+            checks.append((v < _bound_lit(lo), "min", f"value must >= {lo}"))
+        if has_hi:
+            checks.append((v > _bound_lit(hi), "max", f"value must <= {hi}"))
         return chain(col, pos, input_type, checks, path)
 
+    def invalid(col):
+        v = parsed(col)
+        cond = v.isNull()
+        if has_lo:
+            cond = cond | (v < _bound_lit(lo))
+        if has_hi:
+            cond = cond | (v > _bound_lit(hi))
+        return cond
+
+    array_invalid = array_value = None
+    if fast:
+        # whole-array screen: null elements via array_compact size drop
+        # (array_min/max SKIP nulls), bounds via array_min/array_max.
+        def array_invalid(arr):
+            cond = F.size(F.array_compact(arr)) < F.size(arr)
+            if has_lo:
+                cond = cond | (F.array_min(arr) < F.lit(lo))
+            if has_hi:
+                cond = cond | (F.array_max(arr) > F.lit(hi))
+            return F.coalesce(cond, F.lit(False))
+
+        def array_value(arr):
+            return arr.cast("array<long>")
+
     return CoreRule(st.LongType(), coerce, error, accept_string=True,
-                    string_output=False)
+                    string_output=False, invalid=invalid,
+                    array_invalid=array_invalid, array_value=array_value)
 
 
 def build_bool(sc, schema, input_type, path):
