@@ -276,6 +276,14 @@ def q_lsh_topk(spark, sf):
                                [float(x) for x in query], k=10, nbits=6)
 
 
+def q_ivf_topk(spark, sf):
+    emb = _load(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") != 0),
+                               [float(x) for x in query], k=10,
+                               n_centroids=32, nprobe=16)
+
+
 def q_text_profile(spark, sf):
     df = _load(spark, sf, "documents")
     prof = textstats.text_profile(df)
@@ -362,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "text_profile": q_text_profile,
         "sequences_validate": q_sequences_validate,
         "multimodal_features": q_multimodal_features,

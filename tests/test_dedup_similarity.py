@@ -1,0 +1,187 @@
+"""Dedup + similarity operators: codegen/HOF equivalence, bounded state,
+approximate-path error bounds vs their exact twins (VERDICT r01 items
+2, 4, 5, 7), and byte-bounded repartitioning (item 6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators import dedup, drift, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# --- minhash: codegen signatures ≡ HOF reference ---------------------------
+
+def test_minhash_codegen_equals_hof(spark, docs):
+    """The explode+groupBy-min signature path must be byte-identical to the
+    interpreted aggregate/zip_with reference implementation."""
+    num_hashes, k, seed = 32, 5, 42
+    hof = docs.select(
+        F.col("doc_id").alias("doc"),
+        dedup.minhash_signature(
+            dedup.shingles(F.col("text"), k), num_hashes, seed).alias("sig"))
+    fast = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes,
+                                    k, seed)
+    h = {r["doc"]: r["sig"] for r in hof.collect()}
+    f = {r["doc"]: r["sig"] for r in fast.collect()}
+    # HOF path emits a (null-sig) row for null text; fast path omits it —
+    # both produce zero band rows downstream, so compare non-null only.
+    h = {d: s for d, s in h.items() if s is not None}
+    assert len(f) == len(h) > 0
+    assert f == h
+
+
+def test_minhash_candidates_find_exact_dups(spark):
+    rows = [("a", "the quick brown fox jumps over the lazy dog " * 4),
+            ("b", "the quick brown fox jumps over the lazy dog " * 4),
+            ("c", "completely different text about distributed systems " * 4)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.minhash_candidates(df, num_hashes=32, bands=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a", "b") in got
+    assert all(p == ("a", "b") for p in got)
+
+
+def test_lsh_candidate_recall_vs_exact_jaccard(spark, docs):
+    """Bounded-error check: LSH banding must recover ≥80% of the pairs the
+    exact all-pairs n-gram Jaccard finds above 0.8 on the prefix corpus."""
+    d = docs.withColumn("text", F.substring("text", 1, 120)) \
+            .withColumn("doc_id", F.col("doc_id").cast("string"))
+    grams = d.select(F.col("doc_id").alias("doc"),
+                     dedup.word_ngrams(F.col("text"), 3).alias("g"))
+    l, r = grams.alias("l"), grams.alias("r")
+    inter = F.size(F.array_intersect("l.g", "r.g"))
+    union = F.size(F.array_union("l.g", "r.g"))
+    exact = {(x["id_a"], x["id_b"]) for x in
+             (l.join(r, F.col("l.doc") < F.col("r.doc"))
+              .select(F.col("l.doc").alias("id_a"),
+                      F.col("r.doc").alias("id_b"),
+                      (inter / union).alias("j"))
+              .filter(F.col("j") >= 0.8).collect())}
+    assert len(exact) > 0
+    cand = {(x["id_a"], x["id_b"]) for x in
+            dedup.minhash_candidates(d, num_hashes=64, bands=16).collect()}
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+# --- exact_duplicates: bounded reducer state -------------------------------
+
+def test_exact_duplicates_bounded_hot_fingerprint(spark):
+    """A 10^5-dupe fingerprint (the empty-doc pathology) must aggregate a
+    bounded id sample, not the full duplicate list."""
+    hot = spark.range(100_000).select(
+        F.format_string("h-%06d", F.col("id")).alias("doc_id"),
+        F.lit("").alias("text"))
+    cold = spark.createDataFrame(
+        [("c-1", "unique text one"), ("c-2", "unique text two")],
+        "doc_id string, text string")
+    out = dedup.exact_duplicates(hot.union(cold)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 100_000
+    assert len(row["doc_ids"]) == 16
+    assert row["doc_ids"] == [f"h-{i:06d}" for i in range(16)]
+
+
+# --- drift: approx vs exact twin -------------------------------------------
+
+def test_ks_approx_bounded_error_vs_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    a = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(4000)],
+                              "x double")
+    b = spark.createDataFrame([(rng.gauss(0.3, 1.1),) for _ in range(4000)],
+                              "x double")
+    exact = drift.ks_exact(a, b, "x").first()["ks"]
+    approx = drift.ks_approx(a, b, "x", grid_size=128).first()["ks"]
+    assert exact > 0.05                      # the shift is detectable
+    # grid ECDF ≤ true ECDF sup-difference; error bounded by grid resolution
+    assert approx <= exact + 1e-9
+    assert abs(exact - approx) <= 2.0 / 128 + 0.02
+
+
+def test_ks_exact_row_guard(spark):
+    a = spark.range(60).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="ks_approx"):
+        drift.ks_exact(a, a, "x", max_rows=100)
+    assert drift.ks_exact(a, a, "x", max_rows=None).first()["ks"] == 0.0
+
+
+# --- similarity: approximate top-k vs exact twin ---------------------------
+
+def _query_vec(embs):
+    return [float(x) for x in
+            embs.orderBy("vec_id").first()["embedding"]]
+
+
+def test_lsh_topk_recall(spark, embs):
+    q = _query_vec(embs)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(embs, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_topk(embs, q, k=10, nbits=6,
+                                  multiprobe=1, n_tables=8).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"lsh recall {recall}"
+
+
+def test_ivf_topk_recall(spark, embs):
+    q = _query_vec(embs)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(embs, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(embs, q, k=10, n_centroids=32,
+                                  nprobe=16).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"ivf recall {recall}"
+
+
+def test_ivf_assignment_deterministic(spark, embs):
+    cents = similarity.ivf_centroids(embs, n_centroids=8)
+    a = embs.select("vec_id", similarity.ivf_assign_col(
+        F.col("embedding"), cents).alias("c")).collect()
+    b = embs.select("vec_id", similarity.ivf_assign_col(
+        F.col("embedding"), cents).alias("c")).collect()
+    assert {r["vec_id"]: r["c"] for r in a} == {r["vec_id"]: r["c"] for r in b}
+    assert len({r["c"] for r in a}) > 1      # cells actually partition
+
+
+# --- multimodal: byte-bounded repartition ----------------------------------
+
+def test_repartition_by_size_bounds_outlier(spark):
+    """One 100× outlier payload: per-partition byte totals must stay within
+    2× of each other (excluding the unavoidable outlier-holding partition
+    exceeding target by at most that single row)."""
+    small = spark.range(400).select(
+        F.format_string("s-%04d", F.col("id")).alias("media_id"),
+        F.sha2(F.col("id").cast("string"), 512).cast("binary")
+        .alias("content"))           # 64 B each
+    big = spark.createDataFrame([("big-1",)], "media_id string").select(
+        "media_id",
+        F.repeat(F.lit("x"), 6400).cast("binary").alias("content"))  # 100×
+    df = small.union(big)
+    out = multimodal.repartition_by_size(df, target_bytes=4096)
+
+    sizes = (out.withColumn("_p", F.spark_partition_id())
+             .groupBy("_p").agg(F.sum(F.octet_length("content")).alias("b"))
+             .collect())
+    per_part = sorted(r["b"] for r in sizes)
+    # outlier row alone exceeds target — its partition is allowed to;
+    # all OTHER partitions stay within 2× of the target fill
+    rest = [b for b in per_part if b < 6400]
+    assert len(rest) >= 2
+    assert max(rest) <= 2 * 4096
+    # nothing lost
+    assert out.count() == 401

@@ -92,6 +92,59 @@ def test_lineage_change_invalidates_checkpoints(spark, seq_df, tmp_path):
     assert rep["n_parts_processed"] == 3      # all redone under new lineage
 
 
+def test_relaxed_lineage_clears_stale_violations(spark, seq_df, tmp_path):
+    """A re-validated partition that is now CLEAN must not keep stale
+    violation rows on disk nor report verdict=fail from them (the old
+    dynamic-overwrite path never touched partitions with zero new rows)."""
+    kw = dict(part_col="source", manifest_path=str(tmp_path / "m"),
+              violations_path=str(tmp_path / "v"))
+    strict = SparkCompiler().compile(seq_schema())          # max=100 → fails
+    ResumableValidation(strict, **kw).run(spark, seq_df, id_cols=["doc_id"])
+    assert spark.read.parquet(str(tmp_path / "v")).count() == 6
+
+    relaxed = SparkCompiler().compile(
+        T.dict(doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(1000),
+               source=T.enum("a b c")))
+    rv2 = ResumableValidation(relaxed, **kw)
+    rv2.run(spark, seq_df, id_cols=["doc_id"])
+
+    man = ManifestStore(spark, str(tmp_path / "m")).read() \
+        .filter(F.col("lineage") == rv2.lineage).collect()
+    assert len(man) == 3
+    assert all(r["verdict"] == "pass" and r["n_violations"] == 0
+               for r in man)
+    # stale rows physically gone, not merely filtered
+    try:
+        n_left = spark.read.parquet(str(tmp_path / "v")).count()
+    except Exception:
+        n_left = 0          # whole sink dir empty
+    assert n_left == 0
+
+
+def test_crash_retry_same_batch_no_duplicates(spark, seq_df, tmp_path):
+    """Re-running a batch whose manifest append never landed (crash between
+    violations write and manifest commit) must replace, not duplicate,
+    that batch's violation rows."""
+    kw = dict(part_col="source", manifest_path=str(tmp_path / "m"),
+              violations_path=str(tmp_path / "v"))
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, **kw)
+
+    # simulate the crash: run the batch body directly, skip manifest append
+    class NoCommit:
+        def append(self, rows):
+            pass
+    rv._run_batch(spark, NoCommit(), seq_df, ["a", "b", "c"],
+                  ["doc_id"], run_id="crashed")
+    assert spark.read.parquet(str(tmp_path / "v")).count() == 6
+
+    rep = rv.run(spark, seq_df, id_cols=["doc_id"])   # retry commits
+    assert rep["n_parts_processed"] == 3
+    v = spark.read.parquet(str(tmp_path / "v"))
+    assert v.count() == 6                              # replaced, not 12
+    assert v.select("_run_id").distinct().count() == 1
+
+
 def test_zero_violation_run(spark, tmp_path):
     df = spark.createDataFrame([("x-1", 5, "a"), ("x-2", 6, "b")],
                                "doc_id string, n_tok int, source string")
@@ -131,6 +184,35 @@ def test_read_table_projection_predicate(spark, tmp_path):
     # projection+filter reach the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
+
+
+def test_read_table_auto_relative_parquet_path(spark):
+    """fmt='auto' must read a relative dotted path like 'data.parquet' as
+    parquet, not route it to the catalog as a db.table identifier."""
+    import shutil
+
+    from validr_spark.sources.tables import _looks_like_catalog_ident
+
+    # extension allowlist: parquet-looking names are never catalog idents
+    assert not _looks_like_catalog_ident(spark, "data.parquet")
+    assert not _looks_like_catalog_ident(spark, "out.pq")
+    # dotted, non-existent, no data extension → catalog identifier
+    assert _looks_like_catalog_ident(spark, "mydb.mytable")
+    assert not _looks_like_catalog_ident(spark, "plain")     # undotted
+
+    # end-to-end: relative path in the process cwd (== JVM cwd)
+    rel = "vs_test_tmp.pq"
+    try:
+        spark.range(5).write.mode("overwrite").parquet(rel)
+        assert read_table(spark, rel).count() == 5
+        # existence probe: a dotted dir that exists is NOT a catalog ident
+        rel2 = "vs_test.tmpdir"
+        spark.range(3).write.mode("overwrite").parquet(rel2)
+        assert not _looks_like_catalog_ident(spark, rel2)
+        assert read_table(spark, rel2).count() == 3
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)
+        shutil.rmtree("vs_test.tmpdir", ignore_errors=True)
 
 
 def test_table_source_partitioned_write(spark, tmp_path):
@@ -221,3 +303,38 @@ def test_cli_validate_and_resume(spark, seq_df, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 3 and all(json.loads(x)["status"] == "done"
                                    for x in lines)
+
+
+def test_cli_fresh_is_resumable(spark, seq_df, tmp_path, capsys):
+    """--fresh forks the lineage deterministically: retrying the same fresh
+    command resumes instead of restarting every partition."""
+    from validr_spark.cli import main
+
+    inp = str(tmp_path / "input")
+    seq_df.write.parquet(inp)
+    schema_file = str(tmp_path / "schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict", "doc_id": "str.minlen(1)",
+                   "n_tok": "int.min(1).max(100)",
+                   "source": "enum('a b c')"}, f)
+    argv = ["validate", "--input", inp, "--schema", schema_file,
+            "--part-col", "source", "--violations", str(tmp_path / "v"),
+            "--manifest", str(tmp_path / "m"), "--id-cols", "doc_id"]
+    assert main(argv) == 0
+    capsys.readouterr()
+
+    # fresh run with an explicit token redoes everything once…
+    assert main(argv + ["--fresh", "retry-1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_parts_processed"] == 3
+    # …and the SAME fresh command resumes (0 pending), unlike a random
+    # per-invocation lineage.
+    assert main(argv + ["--fresh", "retry-1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_parts_processed"] == 0
+    # bare --fresh (no token) is also deterministic within the same day
+    assert main(argv + ["--fresh"]) == 0
+    capsys.readouterr()
+    assert main(argv + ["--fresh"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_parts_processed"] == 0

@@ -77,3 +77,24 @@ def test_sequence_report_counts(spark):
     assert sum(r["n_orphans"] for r in rep["per_source"]) > 0
     assert sum(r["n_token_violations"] for r in rep["per_source"]) > 0
     assert sum(r["n_inconsistent"] for r in rep["per_source"]) > 0
+
+
+def test_report_attributes_unknown_source_token_violations(spark):
+    """Rows whose source is NOT in the configured list must still have their
+    token-violation counts attributed (previously collapsed into the null
+    bucket / silently dropped)."""
+    rows = [
+        ("d1", [1, 2, 3], 3, "web"),           # known, clean
+        ("d2", [-5, 2], 2, "mystery"),         # unknown source, 1 bad token
+        ("d3", [VOCAB + 7], 1, None),          # null source, 1 bad token
+        ("d4", [-1, -2], 2, "mystery"),        # unknown source, 2 bad tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    rep = seqops.sequence_report(df, make_sources_dim(spark), vocab=VOCAB,
+                                 maxlen=8192, sources=SOURCES,
+                                 max_n_tok=8192)
+    by_src = {r["source"]: r for r in rep["per_source"]}
+    assert by_src["mystery"]["n_token_violations"] == 3
+    assert by_src[None]["n_token_violations"] == 1
+    assert by_src["web"]["n_token_violations"] == 0

@@ -305,3 +305,24 @@ def test_verdicts(spark):
     assert verd["p1"]["verdict"] == "fail"
     assert verd["p1"]["n_bad_rows"] == 1
     assert verd["p2"]["verdict"] == "pass"
+
+
+def test_int_list_over_boolean_array(spark):
+    """Regression: the whole-array int fast path must compile for
+    array<boolean> input (BooleanType is integral-accepted); previously
+    array_min(boolean) vs long literal failed at plan time."""
+    out = run_plan(spark, T.dict(v=T.list(T.int.min(0).max(1))),
+                   [(0, [True, False]), (1, [True, None])],
+                   "rid int, v array<boolean>")
+    assert _plain(out[0]["v"]) == [1, 0]
+    assert out[0]["_violations"] == []
+    assert len(out[1]["_violations"]) == 1
+    assert out[1]["_violations"][0]["rule_id"] == "v[].required"
+
+
+def test_int_list_bounds_over_boolean_array(spark):
+    # bound violation path on booleans: max(0) makes True invalid
+    out = run_plan(spark, T.dict(v=T.list(T.int.min(0).max(0))),
+                   [(0, [False, True])], "rid int, v array<boolean>")
+    assert len(out[0]["_violations"]) == 1
+    assert out[0]["_violations"][0]["rule_id"] == "v[].max"

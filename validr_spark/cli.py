@@ -28,9 +28,9 @@ row for the current lineage are skipped (see plans/manifest.py).
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import sys
-import uuid
 
 
 def _build_session(master: str | None, shuffle_partitions: int | None):
@@ -60,11 +60,20 @@ def cmd_validate(args) -> int:
     spark = _build_session(args.master, args.shuffle_partitions)
     df = TableSource(args.input, fmt=args.format).load(spark)
 
+    # --fresh[=TOKEN]: deterministic token (default: today's UTC date), so
+    # a crashed fresh run resumes by re-running the same command — a random
+    # per-invocation lineage would restart every partition on each retry.
+    if args.fresh is None:
+        extra = ""
+    else:
+        extra = args.fresh or datetime.datetime.now(
+            datetime.timezone.utc).date().isoformat()
+
     run = ResumableValidation(
         plan, part_col=args.part_col,
         manifest_path=args.manifest, violations_path=args.violations,
         batch_parts=args.batch_parts,
-        extra_lineage=uuid.uuid4().hex if args.fresh else "",
+        extra_lineage=extra,
     )
     report = run.run(spark, df, id_cols=args.id_cols)
     print(json.dumps(report))
@@ -97,8 +106,11 @@ def main(argv=None) -> int:
     v.add_argument("--manifest", required=True)
     v.add_argument("--id-cols", nargs="*", default=[])
     v.add_argument("--batch-parts", type=int, default=64)
-    v.add_argument("--fresh", action="store_true",
-                   help="ignore existing checkpoints (new lineage)")
+    v.add_argument("--fresh", nargs="?", const="", default=None,
+                   metavar="TOKEN",
+                   help="ignore existing checkpoints: fork the lineage with "
+                        "TOKEN (default: today's UTC date, so retries of "
+                        "the same fresh run stay resumable)")
     v.add_argument("--master", default=None)
     v.add_argument("--shuffle-partitions", type=int, default=None)
     v.set_defaults(fn=cmd_validate)

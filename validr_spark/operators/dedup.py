@@ -28,14 +28,26 @@ def normalize_text(col):
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", sample_ids: int = 16) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
-    (fingerprint, n_docs, doc_ids sample)."""
+    (fingerprint, n_docs, doc_ids sample — the `sample_ids` smallest ids).
+
+    Aggregation state is BOUNDED: ids outside the per-group top-`sample_ids`
+    (by row_number over a fingerprint-partitioned window) are nulled before
+    collect_list, so a pathological hot fingerprint (e.g. 10^8 empty docs)
+    holds at most `sample_ids` ids in the reducer instead of materializing
+    the full duplicate list.  The window and the groupBy hash-partition on
+    the same key, so this still shuffles once.
+    """
     fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    return (df.select(fp, F.col(id_col))
-            .groupBy("fingerprint")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    ranked = (df.select(fp, F.col(id_col))
+              .withColumn("_rn", F.row_number().over(w)))
+    return (ranked.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.slice(F.collect_list(id_col), 1, 16).alias("doc_ids"))
+                 F.sort_array(F.collect_list(            # nulls are skipped
+                     F.when(F.col("_rn") <= sample_ids, F.col(id_col))))
+                 .alias("doc_ids"))
             .filter(F.col("n_docs") > 1))
 
 
@@ -72,7 +84,12 @@ def word_ngrams(col, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
-    """num_hashes minima over re-hashes of the shingle set.
+    """Per-row minhash via array HOFs (``aggregate`` + ``zip_with``).
+
+    REFERENCE/ORACLE PATH ONLY: Catalyst lambda HOFs are CodegenFallback
+    (interpreted, ~20 µs/element — PERF.md Finding 1), so this is 10-30×
+    slower than :func:`minhash_signatures`.  It is kept as the independent
+    twin the equivalence test checks the codegen path against.
 
     Hash family i is ``xxhash64(shingle, seed*1000003 + i)`` — JVM-side,
     overflow-free (unlike (a·x+b) mod p in 64-bit ANSI arithmetic), and
@@ -91,6 +108,53 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     return F.aggregate(shingle_col, init, step)
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """(doc, sig:array<long>) minhash signatures, whole-stage codegen.
+
+    ``posexplode``-free shape: explode the shingle set, then one
+    ``groupBy(doc)`` with ``num_hashes`` ``min(xxhash64(shingle, seed_i))``
+    aggregates — map-side partial aggregation means only num_hashes longs
+    per doc reach the shuffle, and every expression (shingle hash + the
+    mins) runs inside WholeStageCodegen.  Same hash family and therefore
+    byte-identical signatures to :func:`minhash_signature` (asserted by
+    tests/test_dedup_similarity.py).
+
+    The shingle set itself is also built WITHOUT a lambda HOF (the
+    ``transform`` in :func:`shingles` is interpreted too): explode the
+    index range, then ``substr`` + ``xxhash64`` on the exploded rows —
+    generate → project → partial-agg pipeline in one codegen stage, rows
+    never materialize.  min() is duplicate-invariant, so skipping the
+    reference path's ``array_distinct`` changes nothing.
+
+    Rows whose text is NULL produce no shingles and are absent from the
+    output — identical to the HOF path, whose null signature produces no
+    band rows.
+    """
+    seeds = [seed * 1000003 + i for i in range(num_hashes)]
+    k = shingle_k
+    s = normalize_text(F.col(text_col))
+    # optimizer barrier: without it, CollapseProject inlines the
+    # regexp_replace normalization into the post-explode substr — i.e. one
+    # regexp evaluation PER SHINGLE instead of per row (~300× the work;
+    # measured 22s → 4s at sf0.1).  A nondeterministic-guarded `when`
+    # cannot be collapsed/duplicated, so `_s` materializes once per row.
+    s_once = F.when(F.monotonically_increasing_id() >= 0, s)
+    pre = df.select(F.col(id_col).alias("doc"), s_once.alias("_s"))
+    n = F.char_length(F.col("_s"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    exploded = pre.select("doc", "_s", F.explode(idx).alias("_i"))
+    sh = F.xxhash64(F.col("_s").substr(F.col("_i"), F.lit(k)))
+    hashed = exploded.select("doc", sh.alias("_sh"))
+    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(sd))).alias(f"_h{i}")
+            for i, sd in enumerate(seeds)]
+    return (hashed.groupBy("doc").agg(*aggs)
+            .select("doc", F.array(*[F.col(f"_h{i}")
+                                     for i in range(num_hashes)])
+                    .alias("sig")))
+
+
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        bands: int = 16, shingle_k: int = 5,
@@ -101,25 +165,31 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     slice of their signatures is identical — P(collide) ≈ jaccard^(rows).
     """
     rows = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_k),
-                            num_hashes, seed)
-    # repartition = optimizer barrier: without it CollapseProject inlines the
-    # signature expression into every band expression (bands× recompute);
-    # it also pre-spreads rows for the self-join.  Payload is tiny
-    # (id + num_hashes longs).
-    sigs = (df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
-            .repartition(F.col("doc")))
+    # the groupBy inside minhash_signatures is also the optimizer barrier:
+    # band expressions below reference the aggregated sig array, never
+    # re-inline the shingle computation.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k, seed)
+    # band structs unrolled as plain expressions (no lambda HOFs: they
+    # evaluate interpreted AND their LambdaVariables defeat plan
+    # canonicalization, which blocks ReusedExchange on the self-join).
+    # bucket = xxhash64 of the comma-joined band slice — identical values
+    # to the previous transform/slice formulation.
+    band_structs = []
+    for b in range(bands):
+        elems = [F.get(F.col("sig"), b * rows + j).cast("string")
+                 for j in range(rows)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *elems)).alias("bucket")))
     banded = sigs.select(
-        "doc",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
-                                     lambda v: v.cast("string")))
-                           ).alias("bucket")))).alias("bb")
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
+    # self-join via SORT-MERGE, not broadcast: with identical shuffles on
+    # both sides, Spark's ReusedExchange computes the signature pipeline
+    # ONCE (a broadcast build side would wrap the right branch in a
+    # different exchange type and recompute everything).
+    banded = banded.hint("merge")
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,

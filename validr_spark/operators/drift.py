@@ -23,11 +23,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str,
+             max_rows: int = 10_000_000) -> DataFrame:
     """Exact two-sample KS statistic (single-row DF: ``ks``).
 
-    Window over global order — one reducer; test/oracle use only.
+    Window over global order — one reducer; test/oracle use only.  The
+    ``max_rows`` guard (a cheap columnar count) ENFORCES that: above it the
+    single-reducer sort would be the scale-killer, so callers are pointed
+    at :func:`ks_approx` instead of silently running it.  Pass
+    ``max_rows=None`` to opt out.
     """
+    if max_rows is not None:
+        n = df_a.select(col).count() + df_b.select(col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"ks_exact over {n} rows exceeds max_rows={max_rows}: the "
+                "unpartitioned window is single-reducer. Use ks_approx "
+                "(grid-based, two scan-aggregates) at scale, or pass "
+                "max_rows=None to force.")
     a = df_a.select(F.col(col).cast("double").alias("x"),
                     F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
     b = df_b.select(F.col(col).cast("double").alias("x"),

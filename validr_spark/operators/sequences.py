@@ -133,14 +133,18 @@ def build_report_queries(df: DataFrame, dim: DataFrame, *, vocab: int,
     # only bad tokens reach the partial agg).  The source STRING is
     # dictionary-encoded to a tiny int BEFORE the explode — carrying a
     # string per exploded token costs more than the range check itself.
-    src_id = F.lit(-1)
+    # -1 = null source, -2 = source not in the configured list (its raw
+    # string is carried in _src_unk so its counts are attributed, not
+    # silently dropped); known sources carry only the tiny int.
+    src_id = F.when(F.col("source").isNull(), F.lit(-1)).otherwise(F.lit(-2))
     for k, s in enumerate(sources):
         src_id = F.when(F.col("source") == s, F.lit(k)).otherwise(src_id)
     x = F.col("_x")
     agg2 = (df.select(src_id.alias("_sid"),
+                      F.when(src_id == -2, F.col("source")).alias("_src_unk"),
                       F.explode("tokens").alias("_x"))
             .filter(x.isNull() | (x < 0) | (x >= vocab))
-            .groupBy("_sid")
+            .groupBy("_sid", "_src_unk")
             .agg(F.count(F.lit(1)).alias("n_token_violations")))
     return {"agg1": agg1, "agg2": agg2,
             "dup": duplication_report(df, "doc_id"),
@@ -165,8 +169,15 @@ def collect_report(queries: dict) -> dict:
         f3 = pool.submit(queries["dup"].collect)
         agg1_rows, agg2_rows, dup_rows = (f1.result(), f2.result(),
                                           f3.result())
-    tokviol = {(sources[r["_sid"]] if r["_sid"] >= 0 else None):
-               r["n_token_violations"] for r in agg2_rows}
+    tokviol = {}
+    for r in agg2_rows:
+        if r["_sid"] >= 0:
+            key = sources[r["_sid"]]
+        elif r["_sid"] == -2:          # unknown non-null source: raw string
+            key = r["_src_unk"]
+        else:                          # -1: null source
+            key = None
+        tokviol[key] = tokviol.get(key, 0) + r["n_token_violations"]
     per_source = [
         {**r.asDict(),
          "n_token_violations": int(tokviol.get(r["_src_raw"], 0)),

@@ -16,8 +16,11 @@ Dot products never leave the JVM; only top-k rows reach the driver.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -90,25 +93,103 @@ def lsh_bucket_col(emb_col, dim: int, nbits: int = 8, seed: int = 42):
 
 def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             nbits: int = 8, seed: int = 42, multiprobe: int = 1) -> DataFrame:
-    """Approximate top-k: search only buckets within ``multiprobe`` bit flips
-    of the query's bucket.  Precompute+store the bucket column (it's a
-    deterministic function of the embedding) to turn this into partition
-    pruning at scale."""
+             nbits: int = 8, seed: int = 42, multiprobe: int = 1,
+             n_tables: int = 4) -> DataFrame:
+    """Approximate top-k via ``n_tables`` independent hyperplane tables
+    (OR-construction: a row is a candidate if it matches the query's bucket
+    — within ``multiprobe`` bit flips — in ANY table; single-table sign-LSH
+    has poor recall, the classic fix is L tables).
+
+    Scale path: precompute+store the n_tables bucket columns (each is a
+    deterministic function of (embedding, seed)) and partition/bucket by
+    table-0's value — the probe becomes partition pruning plus cheap
+    column filters, reading ~n_tables·(1+multiprobe·nbits)/2^nbits of the
+    data."""
     dim = len(query)
-    planes = _hyperplanes(dim, nbits, seed)
-    qbits = 0
-    for b, plane in enumerate(planes):
-        if sum(x * y for x, y in zip(query, plane)) > 0:
-            qbits |= 1 << b
-    probes = {qbits}
-    if multiprobe >= 1:
-        for b in range(nbits):
-            probes.add(qbits ^ (1 << b))
-    bucketed = df.withColumn("_bucket",
-                             lsh_bucket_col(F.col(emb_col), dim, nbits, seed))
-    return (with_cosine(bucketed.filter(F.col("_bucket")
-                                        .isin(sorted(probes))),
+    cand_filter = None
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        planes = _hyperplanes(dim, nbits, tseed)
+        qbits = 0
+        for b, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(query, plane)) > 0:
+                qbits |= 1 << b
+        probes = {qbits}
+        if multiprobe >= 1:
+            for b in range(nbits):
+                probes.add(qbits ^ (1 << b))
+        hit = lsh_bucket_col(F.col(emb_col), dim, nbits, tseed) \
+            .isin(sorted(probes))
+        cand_filter = hit if cand_filter is None else (cand_filter | hit)
+    return (with_cosine(df.filter(cand_filter), query, emb_col)
+            .select(id_col, "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 64,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  seed: int = 42):
+    """Deterministic coarse-quantizer centroids: the ``n_centroids`` rows
+    with the smallest ``xxhash64(id, seed)`` (a stable pseudo-random sample
+    — same centroids on every run/parallelism).  Driver-side payload is
+    n_centroids × dim floats, never row-shaped data.
+
+    Returns a list of L2-normalized numpy vectors.
+    """
+    rows = (df.select(F.col(emb_col).alias("e"),
+                      F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+            .orderBy("_h").limit(n_centroids).collect())
+    cents = np.array([r["e"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
+def ivf_assign_col(emb_col, centroids):
+    """Cell id (nearest centroid by cosine) as a Column — Arrow-batched
+    numpy matmul (k_c × dim dot products per row have no efficient
+    Catalyst encoding; a HOF chain would evaluate interpreted)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)  # (k, d) unit
+
+    @pandas_udf("int")
+    def _assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (x / n) @ cents.T                       # (batch, k)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return _assign(emb_col)
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             n_centroids: int = 64, nprobe: int = 8,
+             seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: rows are assigned to their nearest of
+    ``n_centroids`` coarse cells once; a probe searches only the ``nprobe``
+    cells whose centroids are nearest the query, then ranks exactly by
+    cosine inside them.  Candidate fraction ≈ nprobe/n_centroids.
+
+    Scale path: persist the cell id as a table column (it is a
+    deterministic function of (embedding, seed)) and partition/bucket the
+    table by it — the probe then becomes partition pruning reading
+    ~nprobe/n_centroids of the data.  Candidate fraction ≈ nprobe/n_centroids.
+    """
+    import numpy as np
+
+    cents = ivf_centroids(df, n_centroids, id_col, emb_col, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / qn if qn else q
+    probes = np.argsort(-(cents @ q))[:nprobe].tolist()
+
+    celled = df.withColumn("_cell", ivf_assign_col(F.col(emb_col), cents))
+    return (with_cosine(celled.filter(F.col("_cell")
+                                      .isin([int(p) for p in probes])),
                         query, emb_col)
             .select(id_col, "cosine")
             .orderBy(F.col("cosine").desc(), F.col(id_col))

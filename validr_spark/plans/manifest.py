@@ -9,9 +9,16 @@ this module is engine-original design, built for the 10^12-row case:
   ideally the table's physical partition column so partition pruning makes
   the per-batch scan read only pending data).
 * A run processes pending partitions in **batches** (one Spark job per
-  batch).  Each batch writes its violation rows partitioned by `_part` with
-  dynamic partition-overwrite — re-running a half-finished batch simply
-  overwrites its own partial output, so the pipeline is idempotent.
+  batch).  Each batch first **deletes the violation partition dirs of every
+  part in the batch** (driver-side FS call over at most ``batch_parts``
+  dirs), then appends fresh rows partitioned by `_part` — re-running a
+  half-finished batch replaces exactly its own output, and a partition
+  that is now CLEAN ends up with no violation files at all (dynamic
+  partition-overwrite alone cannot do this: it only replaces partitions
+  present in the written data, so a clean partition would keep stale rows
+  from an earlier lineage).  Violation rows additionally carry
+  ``_lineage`` and ``_run_id`` columns so the read-back (and any external
+  consumer) can filter to the current rule-set provenance.
 * The manifest row for a partition is appended **only after** that batch's
   violations write succeeded; a killed run leaves no manifest row for
   unfinished partitions and they are re-picked next time.
@@ -156,17 +163,47 @@ class ResumableValidation:
                 "n_parts_processed": len(processed),
                 "parts": processed}
 
+    def _delete_part_dirs(self, spark, parts: list[str]) -> None:
+        """Remove the violations partition dirs of every part in `parts`.
+
+        Driver-side Hadoop-FS surgery over at most `batch_parts` dirs.
+        Needed because dynamic partition-overwrite only replaces partitions
+        PRESENT in the written data — a re-validated partition with zero
+        violations would otherwise keep stale rows from an older lineage
+        on disk and in the verdict read-back.  Dir names use Hive
+        `%XX`-escaping of special chars, which `urllib.parse.unquote`
+        reverses.
+        """
+        import urllib.parse
+
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.violations_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        targets = set(parts)
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("_part="):
+                continue
+            val = urllib.parse.unquote(name[len("_part="):])
+            if val in targets:
+                fs.delete(status.getPath(), True)
+
     def _run_batch(self, spark, store, df, parts: list[str],
                    id_cols: list[str], run_id: str) -> None:
         keyed = df.withColumn("_part", self._part_key())
         batch_df = keyed.filter(F.col("_part").isin(parts))
         res = self.plan.apply(batch_df, id_cols=["_part", *id_cols])
 
-        # 1. violations out, partitioned by _part, dynamic overwrite so a
-        #    redo of this batch replaces exactly its own partitions.
+        # 1. violations out: replace this batch's partitions exactly —
+        #    delete their dirs first (so a now-clean part really has zero
+        #    rows on disk), then append fresh rows tagged with provenance.
+        self._delete_part_dirs(spark, parts)
         (res.violations()
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .withColumn("_lineage", F.lit(self.lineage))
+            .withColumn("_run_id", F.lit(run_id))
+            .write.mode("append")
             .partitionBy("_part")
             .parquet(self.violations_path))
 
@@ -176,7 +213,9 @@ class ResumableValidation:
                   .agg(F.count(F.lit(1)).alias("n_rows")))
         try:
             written = (spark.read.parquet(self.violations_path)
-                       .filter(F.col("_part").isin(parts)))
+                       .filter(F.col("_part").isin(parts)
+                               & (F.col("_lineage") == self.lineage)
+                               & (F.col("_run_id") == run_id)))
             vstats = (written.groupBy("_part")
                       .agg(F.count(F.lit(1)).alias("n_violations"),
                            F.countDistinct(*(id_cols or ["rule_id"]))

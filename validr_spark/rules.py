@@ -202,11 +202,15 @@ def build_int(sc, schema, input_type, path):
         # whole-array screen: null elements via array_compact size drop
         # (array_min/max SKIP nulls), bounds via array_min/array_max.
         def array_invalid(arr):
+            # compare on array<long>: the raw element type may be boolean
+            # (BooleanType is in integral_input), and boolean min/max vs a
+            # long literal is a plan-time DATATYPE_MISMATCH.
+            larr = arr.cast("array<long>")
             cond = F.size(F.array_compact(arr)) < F.size(arr)
             if has_lo:
-                cond = cond | (F.array_min(arr) < F.lit(lo))
+                cond = cond | (F.array_min(larr) < F.lit(lo))
             if has_hi:
-                cond = cond | (F.array_max(arr) > F.lit(hi))
+                cond = cond | (F.array_max(larr) > F.lit(hi))
             return F.coalesce(cond, F.lit(False))
 
         def array_value(arr):

@@ -41,17 +41,43 @@ def iceberg_available(spark: SparkSession) -> bool:
     return _ICEBERG_PROBED[key]
 
 
+_DATA_FILE_EXTS = (".parquet", ".pq", ".parq")
+
+
+def _looks_like_catalog_ident(spark: SparkSession, location: str) -> bool:
+    """fmt='auto' disambiguation: treat `location` as a catalog identifier
+    only when it is dotted, path-free, not a known data-file extension,
+    and does not exist on the filesystem — so relative paths like
+    ``data.parquet`` or ``out.pq`` still read as parquet."""
+    if "/" in location or "." not in location:
+        return False
+    if location.lower().endswith(_DATA_FILE_EXTS):
+        return False
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(location)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def read_table(spark: SparkSession, location: str, fmt: str = "auto",
                columns: list[str] | None = None,
                predicate: str | None = None,
                options: dict | None = None) -> DataFrame:
     """Load a table; push projection/predicate into the scan immediately.
 
-    ``fmt='auto'``: catalog identifiers (``db.table``) resolve via
-    ``spark.table`` (Iceberg/hive); paths resolve as parquet.
+    ``fmt='auto'``: anything that exists on the filesystem (or looks like
+    a path / a data file) reads as parquet; only dotted identifiers that
+    do NOT exist as files resolve via ``spark.table`` (Iceberg/hive).
+    Catalog identifiers that shadow a local path need ``fmt='table'``.
     """
     if fmt == "auto":
-        fmt = "table" if ("/" not in location and "." in location) else "parquet"
+        fmt = "table" if _looks_like_catalog_ident(spark, location) \
+            else "parquet"
     if fmt == "table" or (fmt == "iceberg" and iceberg_available(spark)):
         df = spark.table(location)
     elif fmt == "parquet" or fmt == "iceberg":  # iceberg fallback
