@@ -255,6 +255,152 @@ def q_dup_keys_salted(spark, sf):
             .orderBy("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# scalar-validator corpora (VERDICT r01 #3): embedded VALUES corpora drawn
+# from the reference's per-validator case tables
+# (/root/reference/tests/validators/test_ipv4.py, test_uuid.py, test_email.py,
+# test_phone.py, test_slug.py, test_fqdn.py, test_url.py, test_date.py,
+# test_datetime.py, test_timedelta.py, test_bool.py, test_str.py …), run
+# through the Spark rule compilers AND hand-matched DuckDB SQL.  The corpus
+# constants below are the single source of truth for BOTH sides.
+# ---------------------------------------------------------------------------
+
+_NET_COLS = ["rid", "ip", "host", "uid", "link", "mail", "tel", "tag", "idc"]
+_NET_ROWS = [
+    (0, "127.0.0.1", "example.com",
+     "123e4567-e89b-12d3-a456-426614174000",
+     "https://example.com/path?q=1", "someone@example.com",
+     "13812345678", "hello-world-123", "110105194912310021"),
+    (1, " 1.2.3.4 ", "a-b.cn", "123E4567E89B12D3A456426614174000",
+     "https://sub.example.org/x", "a.b-c@test-domain.org",
+     "+8613812345678", "a", "110105491231002"),
+    (2, "0.0.0.0", "www.example.org.",
+     "urn:uuid:123e4567-e89b-12d3-a456-426614174000",
+     None, None, None, "abc-123", None),
+    (3, "255.255.255.255", None,
+     "{123e4567-e89b-12d3-a456-426614174000}", None, None, None, None, None),
+    (4, "256.1.1.1", "-bad.com", "xyz", "http://example.com",
+     "not-an-email", "12345", "Hello-World", "1234"),
+    (5, "1.2.3", "x", "123e4567-e89b-12d3-a456-42661417400",
+     "ftp://x.org", "a@@b.com", "1234567890123456", "hello_world",
+     "12345678901234567"),
+    (6, "abc", "a..b", None, "example.com", "@example.com", None,
+     "-lead", None),
+    (7, "1.2.3.4.5", None, None, "https://" + "a" * 260, None, None,
+     None, None),
+    (8, "", "", "", "", "", "", "", ""),
+    (9, None, None, None, None, None, None, None, None),
+]
+
+_TEMPORAL_COLS = ["rid", "d", "t", "dt", "td", "flag"]
+_TEMPORAL_ROWS = [
+    (0, "2016-7-9", "11:22:33", "2016-07-09T11:22:33.123Z", "10s", "yes"),
+    (1, "2016-07-09", "1:2:3", "2016-07-09T00:00:00.123456Z", "2h", "Off"),
+    (2, "1999-12-31", "23:59:59", "2020-02-29T12:00:00.5Z", "1.5h", "1"),
+    (3, "2016-13-01", "25:00:00", "2016-7-9 11:22:33", "-3s", "x"),
+    (4, "x", "x", "x", "61", "TRUE"),
+    (5, "", "", "", "250ms", "0"),
+    (6, None, None, None, None, None),
+]
+
+_STRNUM_COLS = ["rid", "s", "m", "i", "f", "ns"]
+_STRNUM_ROWS = [
+    (0, "  pad  ", "abc", "5", "0.5", "plain"),
+    (1, "a<b>&\"c'", "ABC", " 7 ", "0", ""),
+    (2, "", "abc1", "1.5", "x", None),
+    (3, None, None, "-12", "1e3", "x&y"),
+    (4, "no-change", "zz", "abc", "-0.25", "42"),
+]
+
+
+def _net_schema():
+    return T.dict(
+        ip=T.ipv4.optional, host=T.fqdn.optional, uid=T.uuid.optional,
+        link=T.url.scheme("https").optional, mail=T.email.optional,
+        tel=T.phone.optional, tag=T.slug.optional, idc=T.idcard.optional)
+
+
+def _temporal_schema():
+    return T.dict(d=T.date.optional, t=T.time.optional,
+                  dt=T.datetime.optional, td=T.timedelta.optional,
+                  flag=T.bool.optional)
+
+
+def _strnum_schema():
+    return T.dict(s=T.str.strip.escape.optional,
+                  m=T.str.match("[a-z]+").optional,
+                  i=T.int.min(-100).max(1000).optional,
+                  f=T.float.exmin(0).optional,
+                  ns=T.nstr.optional)
+
+
+def _corpus_df(spark, rows, cols):
+    ddl = ", ".join(f"{c} {'int' if c == 'rid' else 'string'}" for c in cols)
+    return spark.createDataFrame(rows, ddl)
+
+
+def _corpus_apply(spark, rows, cols, schema):
+    df = _corpus_df(spark, rows, cols).withColumn("_id", F.col("rid"))
+    return SparkCompiler().compile(schema).apply(df, id_cols=["_id"])
+
+
+def _coerced_with_rules(res, cols):
+    """(rid, <coerced cols>, rules) — rules = comma-joined rule_ids in
+    schema-field order (what _violations already is)."""
+    rules = F.concat_ws(
+        ",", F.transform(F.col("_violations"), lambda v: v["rule_id"]))
+    return (res.df.select(F.col("_id").alias("rid"),
+                          *[c for c in cols if c != "rid"],
+                          rules.alias("rules"))
+            .orderBy("rid"))
+
+
+def q_scalar_net_violations(spark, sf):
+    """ipv4/fqdn/uuid/url/email/phone/slug/idcard: violation rows with
+    exact rule_id/position/message/value parity."""
+    res = _corpus_apply(spark, _NET_ROWS, _NET_COLS, _net_schema())
+    return (res.violations()
+            .select(F.col("_id").alias("rid"), "rule_id", "position",
+                    "message", "value")
+            .orderBy("rid", "rule_id"))
+
+
+def q_scalar_net_coerced(spark, sf):
+    """Same corpus: canonicalized outputs (uuid re-dashing, fqdn trailing
+    dot, ipv4 strip, optional '' semantics) + per-row rule list."""
+    res = _corpus_apply(spark, _NET_ROWS, _NET_COLS, _net_schema())
+    return _coerced_with_rules(res, _NET_COLS)
+
+
+def q_scalar_temporal(spark, sf):
+    """date/time/datetime (lenient-strptime canonicalization), timedelta
+    (Go-duration → seconds), bool truthy table — coerced outputs."""
+    res = _corpus_apply(spark, _TEMPORAL_ROWS, _TEMPORAL_COLS,
+                        _temporal_schema())
+    out = _coerced_with_rules(res, _TEMPORAL_COLS)
+    return out.withColumn("td", F.round(F.col("td").cast("double"), 6))
+
+
+def q_scalar_strnum(spark, sf):
+    """str strip/escape/match, int/float string coercion with open bounds,
+    nstr null-vs-empty semantics — coerced outputs."""
+    res = _corpus_apply(spark, _STRNUM_ROWS, _STRNUM_COLS, _strnum_schema())
+    out = _coerced_with_rules(res, _STRNUM_COLS)
+    return out.withColumn("f", F.round(F.col("f").cast("double"), 6))
+
+
+def _values_sql(rows, cols) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL::VARCHAR"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+    vals = ",\n              ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS corpus({', '.join(cols)})"
+
+
 # --- rows-only queries (non-SQL-expressible; weaker driver check) ----------
 
 def q_minhash_pairs(spark, sf):
@@ -364,6 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_quantiles": q_chars_quantiles,
         "orphan_rows": q_orphan_rows,
         "dup_keys_salted": q_dup_keys_salted,
+        "scalar_net_violations": q_scalar_net_violations,
+        "scalar_net_coerced": q_scalar_net_coerced,
+        "scalar_temporal": q_scalar_temporal,
+        "scalar_strnum": q_scalar_strnum,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -605,6 +755,227 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_occurrences
             FROM documents GROUP BY doc_id HAVING count(*) > 1
             ORDER BY doc_id
+        """,
+        "scalar_net_violations": f"""
+            WITH c AS (SELECT * FROM {_values_sql(_NET_ROWS, _NET_COLS)}),
+            v AS (
+              SELECT rid, ip, host, uid, link, mail, tel, tag, idc,
+                CASE WHEN ip IS NOT NULL AND ip <> '' AND NOT
+                  regexp_full_match(trim(ip),
+                    '((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])')
+                  THEN 'ip.ipv4' END AS r_ip,
+                CASE WHEN host IS NOT NULL AND host <> '' AND NOT (
+                  regexp_full_match(regexp_replace(trim(host), '\\.$', ''),
+                    '([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9])(\\.([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9]))+')
+                  AND length(regexp_replace(trim(host), '\\.$', '')) <= 253)
+                  THEN 'host.fqdn' END AS r_host,
+                CASE WHEN uid IS NOT NULL AND uid <> '' AND NOT
+                  regexp_full_match(
+                    replace(replace(regexp_replace(trim(uid), '^(urn:uuid:)', ''), '{{', ''), '}}', ''),
+                    '[0-9a-fA-F]{{8}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{12}}')
+                  THEN 'uid.uuid' END AS r_uid,
+                CASE WHEN link IS NULL OR link = '' THEN NULL
+                     WHEN length(trim(link)) > 255 THEN 'link.maxlen'
+                     WHEN lower(regexp_extract(trim(link), '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) <> 'https'
+                       THEN 'link.scheme' END AS r_link,
+                CASE WHEN mail IS NOT NULL AND mail <> '' AND NOT
+                  regexp_full_match(mail, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                  THEN 'mail.email' END AS r_mail,
+                CASE WHEN tel IS NULL OR tel = '' THEN NULL
+                     WHEN length(tel) > 15 THEN 'tel.maxlen'
+                     WHEN NOT regexp_full_match(tel, '((\\+[0-9]{{2}}\\s?)|([0-9]{{2}}\\s?))?1[0-9]{{10}}')
+                       THEN 'tel.phone' END AS r_tel,
+                CASE WHEN tag IS NOT NULL AND tag <> '' AND NOT
+                  regexp_full_match(tag, '[a-z0-9]+(?:-[a-z0-9]+)*')
+                  THEN 'tag.slug' END AS r_tag,
+                CASE WHEN idc IS NOT NULL AND idc <> '' AND NOT
+                  regexp_full_match(idc, '([0-9]{{17}}[0-9xX])|([0-9]{{15}})')
+                  THEN 'idc.idcard' END AS r_idc
+              FROM c
+            )
+            SELECT rid, r_ip AS rule_id, 'ip' AS position,
+                   'invalid ipv4 address' AS message,
+                   '''' || ip || '''' AS value
+              FROM v WHERE r_ip IS NOT NULL
+            UNION ALL
+            SELECT rid, r_host, 'host', 'invalid fqdn', '''' || host || ''''
+              FROM v WHERE r_host IS NOT NULL
+            UNION ALL
+            SELECT rid, r_uid, 'uid', 'invalid uuid', '''' || uid || ''''
+              FROM v WHERE r_uid IS NOT NULL
+            UNION ALL
+            SELECT rid, r_link, 'link',
+                   CASE r_link WHEN 'link.maxlen' THEN 'url length must <= 255'
+                        ELSE 'invalid url scheme, expect {{''https''}}' END,
+                   CASE WHEN length(link) > 75
+                        THEN '''' || substr(link, 1, 75) || '..'''
+                        ELSE '''' || link || '''' END
+              FROM v WHERE r_link IS NOT NULL
+            UNION ALL
+            SELECT rid, r_mail, 'mail',
+                   CASE WHEN length(mail) - length(replace(mail, '@', '')) <> 1
+                        THEN 'The email address is not valid. It must have exactly one @-sign.'
+                        WHEN mail LIKE '@%' THEN 'There must be something before the @-sign.'
+                        ELSE 'invalid email address' END,
+                   '''' || mail || ''''
+              FROM v WHERE r_mail IS NOT NULL
+            UNION ALL
+            SELECT rid, r_tel, 'tel',
+                   CASE r_tel WHEN 'tel.maxlen' THEN 'phone length must <= 15'
+                        ELSE 'invalid phone' END,
+                   '''' || tel || ''''
+              FROM v WHERE r_tel IS NOT NULL
+            UNION ALL
+            SELECT rid, r_tag, 'tag', 'invalid slug', '''' || tag || ''''
+              FROM v WHERE r_tag IS NOT NULL
+            UNION ALL
+            SELECT rid, r_idc, 'idc', 'invalid idcard', '''' || idc || ''''
+              FROM v WHERE r_idc IS NOT NULL
+            ORDER BY rid, rule_id
+        """,
+        "scalar_net_coerced": f"""
+            WITH c AS (SELECT * FROM {_values_sql(_NET_ROWS, _NET_COLS)}),
+            u AS (
+              SELECT *,
+                replace(replace(regexp_replace(trim(uid), '^(urn:uuid:)', ''), '{{', ''), '}}', '') AS uid_stripped,
+                lower(replace(replace(replace(regexp_replace(trim(uid), '^(urn:uuid:)', ''), '{{', ''), '}}', ''), '-', '')) AS uid_hex,
+                regexp_replace(trim(host), '\\.$', '') AS host_rel
+              FROM c
+            )
+            SELECT rid,
+              CASE WHEN ip IS NULL OR ip = '' THEN ''
+                   WHEN regexp_full_match(trim(ip),
+                     '((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])')
+                   THEN trim(ip) ELSE '' END AS ip,
+              CASE WHEN host IS NULL OR host = '' THEN ''
+                   WHEN regexp_full_match(host_rel,
+                     '([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9])(\\.([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9]))+')
+                     AND length(host_rel) <= 253
+                   THEN host_rel ELSE '' END AS host,
+              CASE WHEN uid IS NULL OR uid = '' THEN ''
+                   WHEN regexp_full_match(uid_stripped,
+                     '[0-9a-fA-F]{{8}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{12}}')
+                   THEN substr(uid_hex, 1, 8) || '-' || substr(uid_hex, 9, 4)
+                     || '-' || substr(uid_hex, 13, 4) || '-'
+                     || substr(uid_hex, 17, 4) || '-' || substr(uid_hex, 21, 12)
+                   ELSE '' END AS uid,
+              CASE WHEN link IS NULL OR link = '' THEN ''
+                   WHEN length(trim(link)) <= 255
+                     AND lower(regexp_extract(trim(link), '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) = 'https'
+                   THEN trim(link) ELSE '' END AS link,
+              CASE WHEN mail IS NULL OR mail = '' THEN ''
+                   WHEN regexp_full_match(mail, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                   THEN mail ELSE '' END AS mail,
+              CASE WHEN tel IS NULL OR tel = '' THEN ''
+                   WHEN length(tel) <= 15
+                     AND regexp_full_match(tel, '((\\+[0-9]{{2}}\\s?)|([0-9]{{2}}\\s?))?1[0-9]{{10}}')
+                   THEN tel ELSE '' END AS tel,
+              CASE WHEN tag IS NULL OR tag = '' THEN ''
+                   WHEN regexp_full_match(tag, '[a-z0-9]+(?:-[a-z0-9]+)*')
+                   THEN tag ELSE '' END AS tag,
+              CASE WHEN idc IS NULL OR idc = '' THEN ''
+                   WHEN regexp_full_match(idc, '([0-9]{{17}}[0-9xX])|([0-9]{{15}})')
+                   THEN idc ELSE '' END AS idc,
+              concat_ws(',',
+                CASE WHEN ip IS NOT NULL AND ip <> '' AND NOT regexp_full_match(trim(ip), '((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])') THEN 'ip.ipv4' END,
+                CASE WHEN host IS NOT NULL AND host <> '' AND NOT (regexp_full_match(host_rel, '([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9])(\\.([A-Za-z0-9]|[A-Za-z0-9][A-Za-z0-9-]{{0,61}}[A-Za-z0-9]))+') AND length(host_rel) <= 253) THEN 'host.fqdn' END,
+                CASE WHEN uid IS NOT NULL AND uid <> '' AND NOT regexp_full_match(uid_stripped, '[0-9a-fA-F]{{8}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{4}}-?[0-9a-fA-F]{{12}}') THEN 'uid.uuid' END,
+                CASE WHEN link IS NULL OR link = '' THEN NULL
+                     WHEN length(trim(link)) > 255 THEN 'link.maxlen'
+                     WHEN lower(regexp_extract(trim(link), '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) <> 'https' THEN 'link.scheme' END,
+                CASE WHEN mail IS NOT NULL AND mail <> '' AND NOT regexp_full_match(mail, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}') THEN 'mail.email' END,
+                CASE WHEN tel IS NULL OR tel = '' THEN NULL
+                     WHEN length(tel) > 15 THEN 'tel.maxlen'
+                     WHEN NOT regexp_full_match(tel, '((\\+[0-9]{{2}}\\s?)|([0-9]{{2}}\\s?))?1[0-9]{{10}}') THEN 'tel.phone' END,
+                CASE WHEN tag IS NOT NULL AND tag <> '' AND NOT regexp_full_match(tag, '[a-z0-9]+(?:-[a-z0-9]+)*') THEN 'tag.slug' END,
+                CASE WHEN idc IS NOT NULL AND idc <> '' AND NOT regexp_full_match(idc, '([0-9]{{17}}[0-9xX])|([0-9]{{15}})') THEN 'idc.idcard' END
+              ) AS rules
+            FROM u
+            ORDER BY rid
+        """,
+        "scalar_temporal": f"""
+            WITH c AS (SELECT * FROM
+              {_values_sql(_TEMPORAL_ROWS, _TEMPORAL_COLS)}),
+            p AS (
+              SELECT *,
+                CASE WHEN regexp_extract(dt, '\\.([0-9]{{1,6}})Z$', 1) <> ''
+                     THEN regexp_replace(dt, '\\.[0-9]+Z$',
+                       '.' || rpad(regexp_extract(dt, '\\.([0-9]{{1,6}})Z$', 1), 6, '0') || 'Z')
+                     ELSE dt END AS dt_pad
+              FROM c
+            ), q AS (
+              SELECT *,
+                try_strptime(d, '%Y-%m-%d') AS d_ts,
+                try_strptime(t, '%H:%M:%S') AS t_ts,
+                try_strptime(dt_pad, '%Y-%m-%dT%H:%M:%S.%fZ') AS dt_ts,
+                CASE WHEN td IS NULL OR td = '' THEN NULL
+                     WHEN regexp_full_match(td, '-?[0-9.]+(ns|us|ms|s|m|h|d)')
+                     THEN (CASE WHEN td LIKE '-%' THEN -1 ELSE 1 END)
+                       * TRY_CAST(regexp_extract(td, '([0-9.]+)', 1) AS DOUBLE)
+                       * (CASE regexp_extract(td, '([a-z]+)$', 1)
+                            WHEN 'ns' THEN 0.000000001 WHEN 'us' THEN 0.000001
+                            WHEN 'ms' THEN 0.001 WHEN 's' THEN 1
+                            WHEN 'm' THEN 60 WHEN 'h' THEN 3600
+                            WHEN 'd' THEN 86400 END)
+                     END AS td_sec
+              FROM p
+            )
+            SELECT rid,
+              CASE WHEN d IS NULL OR d = '' THEN ''
+                   ELSE coalesce(strftime(d_ts, '%Y-%m-%d'), '') END AS d,
+              CASE WHEN t IS NULL OR t = '' THEN ''
+                   ELSE coalesce(strftime(t_ts, '%H:%M:%S'), '') END AS t,
+              CASE WHEN dt IS NULL OR dt = '' THEN ''
+                   ELSE coalesce(strftime(dt_ts, '%Y-%m-%dT%H:%M:%S.%fZ'), '') END AS dt,
+              round(td_sec, 6) AS td,
+              CASE WHEN flag IS NULL OR flag = '' THEN NULL
+                   WHEN flag IN ('1','ON','On','TRUE','True','Y','YES','Yes','on','true','y','yes') THEN true
+                   WHEN flag IN ('0','FALSE','False','N','NO','No','OFF','Off','false','n','no','off') THEN false
+                   END AS flag,
+              concat_ws(',',
+                CASE WHEN d IS NOT NULL AND d <> '' AND d_ts IS NULL THEN 'd.date' END,
+                CASE WHEN t IS NOT NULL AND t <> '' AND t_ts IS NULL THEN 't.time' END,
+                CASE WHEN dt IS NOT NULL AND dt <> '' AND dt_ts IS NULL THEN 'dt.datetime' END,
+                CASE WHEN td IS NOT NULL AND td <> '' AND td_sec IS NULL THEN 'td.timedelta' END,
+                CASE WHEN flag IS NOT NULL AND flag <> ''
+                       AND flag NOT IN ('1','ON','On','TRUE','True','Y','YES','Yes','on','true','y','yes',
+                                        '0','FALSE','False','N','NO','No','OFF','Off','false','n','no','off')
+                     THEN 'flag.type' END
+              ) AS rules
+            FROM q
+            ORDER BY rid
+        """,
+        "scalar_strnum": f"""
+            WITH c AS (SELECT * FROM
+              {_values_sql(_STRNUM_ROWS, _STRNUM_COLS)})
+            SELECT rid,
+              CASE WHEN s IS NULL OR s = '' THEN ''
+                   ELSE replace(replace(replace(replace(replace(trim(s),
+                     '&', '&amp;'), '>', '&gt;'), '<', '&lt;'),
+                     '''', '&#39;'), '"', '&#34;') END AS s,
+              CASE WHEN m IS NULL OR m = '' THEN ''
+                   WHEN regexp_full_match(m, '[a-z]+') THEN m ELSE '' END AS m,
+              CASE WHEN i IS NULL OR i = '' THEN NULL
+                   WHEN regexp_full_match(i, '\\s*[+-]?[0-9]+\\s*')
+                   THEN TRY_CAST(trim(i) AS BIGINT) END AS i,
+              CASE WHEN f IS NULL OR f = '' THEN NULL
+                   WHEN TRY_CAST(f AS DOUBLE) IS NULL THEN NULL
+                   WHEN TRY_CAST(f AS DOUBLE) <= 0 THEN NULL
+                   ELSE round(TRY_CAST(f AS DOUBLE), 6) END AS f,
+              CASE WHEN ns IS NULL THEN NULL ELSE ns END AS ns,
+              concat_ws(',',
+                CASE WHEN m IS NOT NULL AND m <> ''
+                       AND NOT regexp_full_match(m, '[a-z]+')
+                     THEN 'm.match' END,
+                CASE WHEN i IS NOT NULL AND i <> ''
+                       AND NOT regexp_full_match(i, '\\s*[+-]?[0-9]+\\s*')
+                     THEN 'i.type' END,
+                CASE WHEN f IS NULL OR f = '' THEN NULL
+                     WHEN TRY_CAST(f AS DOUBLE) IS NULL THEN 'f.type'
+                     WHEN TRY_CAST(f AS DOUBLE) <= 0 THEN 'f.min' END
+              ) AS rules
+            FROM c
+            ORDER BY rid
         """,
         "events_validate": f"""
             WITH v AS (

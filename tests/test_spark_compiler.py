@@ -326,3 +326,27 @@ def test_int_list_bounds_over_boolean_array(spark):
                    [(0, [False, True])], "rid int, v array<boolean>")
     assert len(out[0]["_violations"]) == 1
     assert out[0]["_violations"][0]["rule_id"] == "v[].max"
+
+
+def test_fixed_dict_minlen_maxlen_schema_error(spark):
+    """Documented divergence: dict minlen/maxlen count input-mapping keys
+    in the reference; a fixed StructType input can't represent that, so
+    compiling them over a struct raises instead of silently ignoring."""
+    df = spark.createDataFrame([(1, (1,))], "rid int, v struct<a:int>")
+    with pytest.raises(SchemaError, match="minlen"):
+        plan = SparkCompiler().compile(T.dict(v=T.dict(a=T.int).minlen(1)))
+        plan.apply(df, id_cols=["rid"])
+    # MapType input keeps full support (no error)
+    dfm = spark.createDataFrame([(1, {"a": 1})], "rid int, v map<string,int>")
+    plan2 = SparkCompiler().compile(
+        T.dict(v=T.dict.key(T.str).value(T.int).minlen(1)))
+    assert plan2.apply(dfm, id_cols=["rid"]).violations().count() == 0
+
+
+def test_union_ambiguous_schema_error(spark):
+    """Reference parity (pyx:676-692): two alternatives of the same shape
+    in a list-form union raise 'ambiguous union schema' at compile."""
+    df = spark.createDataFrame([(1, "x")], "rid int, v string")
+    with pytest.raises(SchemaError, match="ambiguous union schema"):
+        plan = SparkCompiler().compile(T.dict(v=T.union([T.str, T.int])))
+        plan.apply(df, id_cols=["rid"])

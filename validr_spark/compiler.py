@@ -237,6 +237,20 @@ class SparkCompiler:
         prefix = f"{path}." if path else ""
         if isinstance(input_type, st.MapType):
             return self._map_core(schema, input_type, path)
+        # DOCUMENTED DIVERGENCE (reference pyx:534-541): dict minlen/maxlen
+        # bound the size of the INPUT mapping, including extra keys.  A
+        # fixed StructType has a static field set and extra keys never
+        # exist, so the params are unrepresentable here — reject them at
+        # compile time instead of silently ignoring them.  They remain
+        # fully supported on MapType (dynamic-dict) inputs above.
+        if isinstance(input_type, st.StructType):
+            for p in ("minlen", "maxlen"):
+                if p in schema.params:
+                    raise SchemaError(
+                        f"dict.{p} is not supported over a fixed struct "
+                        "input (field count is static; reference semantics "
+                        "count input-mapping keys) — use a MapType column "
+                        "for dynamic dicts, or drop the param")
         if not isinstance(input_type, st.StructType):
             # static type mismatch: every non-null value is 'must be dict'
             out_t = st.StructType([st.StructField(k, st.NullType())
@@ -535,12 +549,20 @@ class SparkCompiler:
             return CoreRule(out_t, coerce, error, accept_string=False,
                             string_output=False)
 
-        # list (shape) form: pick the branch whose shape matches input_type
+        # list (shape) form: pick the branch whose shape matches input_type.
+        # DOCUMENTED DIVERGENCE (README "union" note): the reference
+        # dispatches on each VALUE's shape at runtime (pyx:695-709); Spark
+        # columns are statically typed, so dispatch resolves from the
+        # column type at compile time.  ≤1 alternative per shape is still
+        # enforced with the reference's SchemaError (pyx:676-692) — a
+        # struct-of-options / VariantType runtime dispatch is unsupported.
         branches = {"scalar": None, "list": None, "dict": None}
         for sub in schema.items:
             shape = ("list" if sub.validator == "list"
                      else "dict" if sub.validator in ("dict", "model")
                      else "scalar")
+            if branches[shape] is not None:
+                raise SchemaError("ambiguous union schema")
             branches[shape] = sub
         if isinstance(input_type, st.ArrayType):
             pick, reject = branches["list"], "not allowed list"

@@ -394,6 +394,12 @@ class Builder:
     (for container/enum/union nodes) or nothing; ``.param`` sets a flag,
     ``.param(v)`` sets a value; ``T[keys]`` slices a dict schema;
     ``T(obj)`` loads any schema-like object.
+
+    Attribution: this class closely follows the reference Builder's
+    four-state machine design and its exact error strings
+    (guyskk/validr src/validr/schema.py:373-469) — the observable DSL
+    behavior, including SchemaError messages, is contract: the test
+    goldens and the differential oracle assert them verbatim.
     """
 
     def __init__(self, state=_ST_INIT, *, validator=None, items=None,
