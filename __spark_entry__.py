@@ -159,6 +159,15 @@ def q_dedup_prefix(spark, sf):
             .orderBy("fingerprint"))
 
 
+def q_dedup_keep(spark, sf):
+    """exact_dedup keep-one: min doc_id survives per normalized-prefix
+    group (validr_spark/operators/dedup.py exact_dedup)."""
+    df = _load(spark, sf, "documents").withColumn(
+        "text", F.substring("text", 1, 20))
+    return (dedup.exact_dedup(df)
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_token_counts(spark, sf):
     df = _load(spark, sf, "documents")
     tc = textstats.token_count(F.col("text"))
@@ -501,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2": q_events_chi2,
         "ks_drift": q_ks_drift,
         "dedup_prefix": q_dedup_prefix,
+        "dedup_keep": q_dedup_keep,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -668,6 +678,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "dedup_keep": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(substr(text, 1, 20))),
+                                                '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT count(*)::BIGINT AS n_docs,

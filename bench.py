@@ -133,30 +133,44 @@ def bench_sequences(spark) -> dict:
     }
 
 
-def bench_sequences_steady(spark, measured: int = 3,
-                           max_runs: int = 14) -> dict:
-    """Steady-state protocol: the first executions of the validation
-    pipeline pay one-time JVM costs (Janino codegen compile + C2 JIT of the
-    generated methods — observed 124s → 3.2s across 5 identical runs on
-    this sandbox; higher parallelism needs MORE runs because 32 busy task
-    threads contend with the C2 compiler).  A 10^12-row production run
-    amortizes that to nothing, so we run until the last ``measured`` runs
-    are mutually within 30% (or ``max_runs``), then report their median.
-    All wall times are kept in the result for transparency."""
+def bench_sequences_steady(spark, measured: int = 3, max_runs: int = 14,
+                           wall_budget: float = 2400.0) -> dict:
+    """Steady-state protocol under TWO noise sources:
+
+    1. one-time JVM costs (Janino codegen + C2 JIT — observed 124s → 3.2s
+       across 5 identical runs; a 10^12-row production run amortizes this
+       to nothing), and
+    2. co-tenant CPU steal on this shared sandbox (identical runs measured
+       36s … 578s within one hour).
+
+    Protocol: keep re-running until the BEST time has been stable for
+    ``measured`` consecutive runs (i.e. we hit a quiet window after JIT
+    warmup), or ``max_runs``/``wall_budget`` is exhausted.  ``seconds``
+    reports the median of the last ``measured`` runs; ``best_seconds`` is
+    the least-contended capacity estimate.  All wall times kept for
+    transparency."""
     import statistics
 
     times: list[float] = []
     last = None
+    t_start = time.time()
+    since_best = 0
     while len(times) < max_runs:
         last = bench_sequences(spark)
-        times.append(round(last["seconds"], 2))
-        if len(times) >= measured + 2:
-            tail = times[-measured:]
-            if max(tail) <= 1.30 * min(tail):
-                break
+        t = round(last["seconds"], 2)
+        if times and t >= min(times) * 1.10:
+            since_best += 1
+        else:
+            since_best = 0
+        times.append(t)
+        if len(times) >= measured + 2 and since_best >= measured:
+            break
+        if time.time() - t_start > wall_budget and len(times) >= measured:
+            break
     steady = statistics.median(times[-measured:])
     out = dict(last)
     out["seconds"] = steady
+    out["best_seconds"] = min(times)
     out["all_seconds"] = times
     out["sequences_per_sec"] = out["rows"] / steady
     out["tokens_per_sec"] = out["tokens"] / steady

@@ -338,3 +338,41 @@ def test_cli_fresh_is_resumable(spark, seq_df, tmp_path, capsys):
     assert main(argv + ["--fresh"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_parts_processed"] == 0
+
+
+def test_running_verdicts_stateful(spark, tmp_path):
+    """applyInPandasWithState cumulative per-key verdicts: counters carry
+    across micro-batches, verdict flips once the cumulative bad-row rate
+    crosses the threshold."""
+    from validr_spark.streaming import running_verdicts
+
+    data = str(tmp_path / "in3")
+    # batch 1 (file 1): a=10 rows 1 bad; b=10 rows clean
+    rows1 = [(f"a-{i}", 999 if i == 0 else 5, "a") for i in range(10)] + \
+            [(f"b-{i}", 5, "b") for i in range(10)]
+    # batch 2 (file 2): a=10 rows 4 bad → cumulative a: 5/20 = 0.25 > 0.2
+    rows2 = [(f"a2-{i}", 999 if i < 4 else 5, "a") for i in range(10)]
+    df1 = spark.createDataFrame(rows1, "doc_id string, n_tok int, source string")
+    df2 = spark.createDataFrame(rows2, "doc_id string, n_tok int, source string")
+    df1.coalesce(1).write.parquet(data)
+    df2.coalesce(1).write.mode("append").parquet(data)
+
+    sdf = (spark.readStream.schema(df1.schema)
+           .option("maxFilesPerTrigger", 1).parquet(data))
+    verd = running_verdicts(SparkCompiler().compile(seq_schema()),
+                            sdf, key_col="source", fail_rate=0.2)
+    q = (verd.writeStream.format("memory").queryName("runverd")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM runverd").collect()
+
+    # last emitted row per key reflects CUMULATIVE counts
+    last = {}
+    for r in out:
+        last[r["key"]] = r
+    a, b = last["a"], last["b"]
+    assert a["n_rows"] == 20 and a["n_bad_rows"] == 5
+    assert a["verdict"] == "fail" and abs(a["violation_rate"] - 0.25) < 1e-9
+    assert b["n_rows"] == 10 and b["verdict"] == "pass"
+    # key 'a' appeared in both batches → ≥2 update rows prove state carry
+    assert sum(1 for r in out if r["key"] == "a") >= 2

@@ -13,11 +13,14 @@ Protocol notes (each lever measured, see PERF.md Findings 2/2b/5):
   high-variance reads — an IO serial term a real cluster's local SSDs
   don't have.  Scan-split count is identical at both levels (same files,
   same maxPartitionBytes), shuffle.partitions pinned to the same value.
-* **N=2 vs 4N=8**: a process-based numpy burn (no GIL/IO) shows this box
+* **N=1 vs 4N=4**: a process-based numpy burn (no GIL/IO) shows this box
   scales compute 2→8 at 0.98 efficiency but hits a wall 8→32 (≈16
-  effective cores) — so 2→8 measures the ENGINE's scalability, not the
-  box's SMT ceiling.  The probe result is embedded in BENCH.md as
-  evidence.
+  effective cores), and carries ~2 cores of constant co-tenant steal —
+  an under-subscribed 1→4 pair keeps both levels clear of the steal and
+  SMT/bandwidth ceilings, so the ratio measures the ENGINE's
+  scalability, not the box's.  The probe result is embedded in BENCH.md
+  as evidence.  (local[1] also keeps the C2 JIT compiler threads off the
+  task thread — its warmup converges in one run.)
 * **Best-of-K over many runs**: co-tenant CPU steal produces 10×+
   run-to-run outliers (all runs listed).  The best run is the
   least-contended estimate of true capacity at each level; the median of
@@ -35,7 +38,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-DEFAULT_ROWS = 16_000_000
+DEFAULT_ROWS = 8_000_000
 SHM_CACHE = "/dev/shm/validr_spark_seq_scaling"
 
 CHILD = r"""
@@ -99,8 +102,8 @@ def run(cpus: int) -> dict:
 
 
 def main():
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    n_large = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8"))
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+    n_large = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "4"))
     os.environ.setdefault("SPARK_GRAFT_SEQ_ROWS", str(DEFAULT_ROWS))
     # tmpfs-backed input unless the caller pinned one
     os.environ.setdefault("SPARK_GRAFT_SEQ_CACHE", SHM_CACHE)
@@ -137,7 +140,7 @@ def main():
             f"{probe.get('8')} (2→8 efficiency "
             f"{probe_eff:.2f}), 32 → {probe.get('32')} "
             f"(8→32 hits the ≈16-effective-core SMT wall) — hence the "
-            f"N=2 / 4N=8 pairing.")
+            f"under-subscribed N=1 / 4N=4 pairing.")
 
     md = f"""# BENCH — measured engine numbers
 

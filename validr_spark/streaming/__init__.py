@@ -1,7 +1,8 @@
 """Structured Streaming validation: same compiled plans over streams."""
 
+from .stateful import running_verdicts
 from .validate import (stream_violations, validate_stream, windowed_verdicts,
                        write_violations_stream)
 
 __all__ = ["validate_stream", "stream_violations", "windowed_verdicts",
-           "write_violations_stream"]
+           "write_violations_stream", "running_verdicts"]
