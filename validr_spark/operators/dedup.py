@@ -279,6 +279,10 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc"), "simhash",
         F.explode(F.array(*block_structs)).alias("bb"),
     ).select("doc", "simhash", "bb.block", "bb.key")
+    # sort-merge self-join → identical shuffles on both sides hit
+    # ReusedExchange, so the simhash UDF pipeline runs ONCE (a broadcast
+    # build side would recompute it per side; same fix as minhash).
+    blocked = blocked.hint("merge")
     l, r = blocked.alias("l"), blocked.alias("r")
     pairs = (l.join(r, (F.col("l.block") == F.col("r.block"))
                     & (F.col("l.key") == F.col("r.key"))

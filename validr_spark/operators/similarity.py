@@ -24,6 +24,9 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
+    """HOF dot product — interpreted (CodegenFallback); used only where the
+    dimensionality is unknown at plan time.  Prefer the unrolled variants
+    below in hot paths (PERF.md Finding 1)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -36,11 +39,49 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_lit(e, query: list[float]):
+    """Codegen dot product against a plan-time-constant query vector:
+    unrolled Σ e[i]·qᵢ — plain arithmetic inside WholeStageCodegen, no
+    lambda HOF (those evaluate interpreted at ~20 µs/element)."""
+    terms = [F.get(e, i).cast("double") * float(q)
+             for i, q in enumerate(query) if q != 0.0]
+    if not terms:
+        return F.lit(0.0)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _norm_unrolled(e, dim: int):
+    terms = [F.get(e, i).cast("double") * F.get(e, i).cast("double")
+             for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return F.sqrt(out)
+
+
+def _dot_unrolled(a, b, dim: int):
+    terms = [F.get(a, i).cast("double") * F.get(b, i).cast("double")
+             for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def with_cosine(df: DataFrame, query: list[float],
                 emb_col: str = "embedding") -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query])
-    e = F.transform(F.col(emb_col), lambda v: v.cast("double"))
-    return df.withColumn("cosine", cosine(e, q))
+    """cosine-to-query column, fully codegen: the query norm folds to a
+    literal on the driver; the row side is an unrolled product sum."""
+    import math
+
+    dim = len(query)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    e = F.col(emb_col)
+    return df.withColumn(
+        "cosine", _dot_lit(e, query) / (_norm_unrolled(e, dim) * qn))
 
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -80,13 +121,13 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_col(emb_col, dim: int, nbits: int = 8, seed: int = 42):
-    """Random-hyperplane signature as an integer bucket id (Column)."""
+    """Random-hyperplane signature as an integer bucket id (Column).
+    Each sign bit is an unrolled constant-plane dot product — nbits×dim
+    multiply-adds inside WholeStageCodegen, no HOFs."""
     planes = _hyperplanes(dim, nbits, seed)
-    e = F.transform(emb_col, lambda v: v.cast("double"))
     bucket = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = (_dot(e, p) > 0).cast("long")
+        bit = (_dot_lit(emb_col, plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, b)
     return bucket
 
@@ -106,7 +147,7 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
     column filters, reading ~n_tables·(1+multiprobe·nbits)/2^nbits of the
     data."""
     dim = len(query)
-    cand_filter = None
+    tables = []
     for t in range(n_tables):
         tseed = seed + 7919 * t
         planes = _hyperplanes(dim, nbits, tseed)
@@ -118,10 +159,25 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
         if multiprobe >= 1:
             for b in range(nbits):
                 probes.add(qbits ^ (1 << b))
-        hit = lsh_bucket_col(F.col(emb_col), dim, nbits, tseed) \
-            .isin(sorted(probes))
-        cand_filter = hit if cand_filter is None else (cand_filter | hit)
-    return (with_cosine(df.filter(cand_filter), query, emb_col)
+        tables.append((np.asarray(planes, dtype=np.float64), probes))
+
+    # one Arrow pass computes every table's bucket via numpy matmul and
+    # folds the OR; n_tables × nbits unrolled Catalyst dots would compile
+    # a pathologically deep codegen expression (measured 16s vs ~2s).
+    @pandas_udf("boolean")
+    def _is_candidate(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=bool)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        mask = np.zeros(len(embs), dtype=bool)
+        for planes_m, probes in tables:
+            bits = (x @ planes_m.T) > 0                  # (batch, nbits)
+            buckets = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            mask |= np.isin(buckets, list(probes))
+        return pd.Series(mask)
+
+    return (with_cosine(df.filter(_is_candidate(F.col(emb_col))),
+                        query, emb_col)
             .select(id_col, "cosine")
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
@@ -205,13 +261,15 @@ def all_pairs_above(df: DataFrame, threshold: float = 0.9,
     dim = len(sample[0])
     bucketed = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(F.col(emb_col), lambda v: v.cast("double")).alias("e"),
+        F.col(emb_col).alias("e"),
+        # norm precomputed ONCE per row (not per candidate pair)
+        _norm_unrolled(F.col(emb_col), dim).alias("nrm"),
         lsh_bucket_col(F.col(emb_col), dim, nbits, seed).alias("bucket"))
     l, r = bucketed.alias("l"), bucketed.alias("r")
     pairs = l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col("l.doc") < F.col("r.doc")))
-    cos = _dot(F.col("l.e"), F.col("r.e")) / (
-        _norm(F.col("l.e")) * _norm(F.col("r.e")))
+    cos = _dot_unrolled(F.col("l.e"), F.col("r.e"), dim) / (
+        F.col("l.nrm") * F.col("r.nrm"))
     return (pairs.select(F.col("l.doc").alias("id_a"),
                          F.col("r.doc").alias("id_b"),
                          cos.alias("cosine"))

@@ -39,33 +39,41 @@ def cjk_ratio(col) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
-def language_scores(col) -> Column:
-    """struct of per-language stopword-hit ratios + cjk ratio."""
-    w = words_of(col)
+def _hit_count(col, sw: list) -> Column:
+    """Occurrence count of any (whitespace-delimited, lowercased) stopword
+    — ONE regexp_count pass, no lambda HOF (interpreted, PERF.md Finding
+    1) and no per-stopword array allocations.  `(?:^|\\s)tok(?=\\s|$)`
+    matches exactly the split-on-whitespace membership semantics."""
+    alt = "|".join(sw)
+    return F.regexp_count(F.lower(F.trim(col)),
+                          F.lit(r"(?:^|\s)(?:%s)(?=\s|$)" % alt))
+
+
+def language_scores(col, w: Column | None = None) -> Column:
+    """struct of per-language stopword-hit ratios + cjk ratio.
+
+    Pass a pre-materialized words column `w` to avoid the optimizer
+    re-inlining the split regex into every field (see text_profile).
+    """
+    if w is None:
+        w = words_of(col)
     n = F.greatest(F.size(w), F.lit(1))
     fields = [
         (F.size(F.array_intersect(w, F.array(*map(F.lit, sw)))) /
          F.lit(len(sw))).alias(lang)
         for lang, sw in STOPWORDS.items()
     ]
-    # hit-count ratio variant (fraction of words that are stopwords).
-    # NB: factory closure, not a default-arg lambda — pyspark treats a
-    # two-parameter lambda in a HOF as (element, index).
-    def _member_of(sw):
-        arr = F.array(*[F.lit(t) for t in sw])
-        return lambda x: F.array_contains(arr, x)
-
     hit_fields = [
-        (F.size(F.filter(w, _member_of(sw))) / n).alias(f"{lang}_hits")
+        (_hit_count(col, sw) / n).alias(f"{lang}_hits")
         for lang, sw in STOPWORDS.items()
     ]
     return F.struct(*fields, *hit_fields, cjk_ratio(col).alias("cjk"))
 
 
-def detect_language(col) -> Column:
+def detect_language(col, w: Column | None = None) -> Column:
     """Best-guess language code; 'zh' when CJK chars dominate,
     'unknown' when nothing scores."""
-    scores = language_scores(col)
+    scores = language_scores(col, w)
     langs = list(STOPWORDS)
     best = F.lit("unknown")
     best_score = F.lit(0.0)
@@ -77,11 +85,12 @@ def detect_language(col) -> Column:
     return F.when(scores["cjk"] > 0.25, F.lit("zh")).otherwise(best)
 
 
-def quality_features(col) -> Column:
+def quality_features(col, w: Column | None = None) -> Column:
     """struct of cheap quality signals (length, word stats, punct/digit
     ratios, repetition)."""
     n = F.char_length(col)
-    w = words_of(col)
+    if w is None:
+        w = words_of(col)
     n_words = F.size(w)
     uniq_ratio = F.when(n_words > 0,
                         F.size(F.array_distinct(w)) / n_words).otherwise(0.0)
@@ -99,9 +108,9 @@ def quality_features(col) -> Column:
     )
 
 
-def quality_score(col) -> Column:
+def quality_score(col, w: Column | None = None) -> Column:
     """[0,1] heuristic quality score (Gopher-rules-flavored)."""
-    q = quality_features(col)
+    q = quality_features(col, w)
     score = F.lit(1.0)
     # too short / too long
     score = score * F.when((q["n_words"] >= 10) & (q["n_words"] <= 100000),
@@ -127,14 +136,20 @@ def fingerprint(col) -> Column:
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document text-analysis table: language, quality, token counts,
-    fingerprint — one narrow projection."""
+    fingerprint — one narrow projection over a words array materialized
+    ONCE per row (nondeterministic-guarded barrier: otherwise
+    CollapseProject inlines the split regex into every downstream field
+    and it executes ~10× per row)."""
     c = F.col(text_col)
-    return df.select(
+    w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
+    pre = df.select(F.col(id_col), c.alias("_t"), w_once.alias("_w"))
+    t, w = F.col("_t"), F.col("_w")
+    return pre.select(
         F.col(id_col),
-        detect_language(c).alias("lang_detected"),
-        quality_score(c).alias("quality"),
-        token_count(c).alias("n_tokens"),
-        bpe_ish_token_count(c).alias("n_bpe_tokens"),
-        fingerprint(c).alias("fingerprint"),
-        quality_features(c).alias("features"),
+        detect_language(t, w).alias("lang_detected"),
+        quality_score(t, w).alias("quality"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        fingerprint(t).alias("fingerprint"),
+        quality_features(t, w).alias("features"),
     )
