@@ -439,6 +439,14 @@ def q_ivf_topk(spark, sf):
                                n_centroids=32, nprobe=16)
 
 
+def _textstats_sql_bits():
+    from validr_spark.operators.textstats import STOPWORDS
+
+    def inlist(sw):
+        return ", ".join("'" + t + "'" for t in sw)
+    return {lang: inlist(sw) for lang, sw in STOPWORDS.items()}
+
+
 def q_text_profile(spark, sf):
     df = _load(spark, sf, "documents")
     prof = textstats.text_profile(df)
@@ -687,6 +695,50 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY doc_id) AS rn
               FROM documents)
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        "text_profile": f"""
+            WITH p AS (
+              SELECT text, length(text) AS n_chars,
+                     regexp_extract_all(lower(trim(text)), '\\S+') AS w
+              FROM documents
+            ), q AS (
+              SELECT *, length(w) AS n_words,
+                greatest(length(w), 1)::DOUBLE AS nw1,
+                length(list_filter(w, x -> x IN ({_textstats_sql_bits()['en']})))::DOUBLE AS c_en,
+                length(list_filter(w, x -> x IN ({_textstats_sql_bits()['de']})))::DOUBLE AS c_de,
+                length(list_filter(w, x -> x IN ({_textstats_sql_bits()['fr']})))::DOUBLE AS c_fr,
+                length(list_filter(w, x -> x IN ({_textstats_sql_bits()['es']})))::DOUBLE AS c_es
+              FROM p
+            ), s AS (
+              SELECT *,
+                c_en/nw1 AS h_en, c_de/nw1 AS h_de,
+                c_fr/nw1 AS h_fr, c_es/nw1 AS h_es,
+                CASE WHEN text IS NULL THEN 'unknown'
+                     WHEN n_chars > 0 AND
+                     length(regexp_extract_all(text, '[一-鿿぀-ヿ]'))::DOUBLE / n_chars > 0.25
+                     THEN 'zh'
+                     WHEN greatest(c_en/nw1, c_de/nw1, c_fr/nw1, c_es/nw1) <= 0 THEN 'unknown'
+                     WHEN c_en/nw1 >= greatest(c_de/nw1, c_fr/nw1, c_es/nw1) THEN 'en'
+                     WHEN c_de/nw1 >= greatest(c_fr/nw1, c_es/nw1) THEN 'de'
+                     WHEN c_fr/nw1 >= c_es/nw1 THEN 'fr'
+                     ELSE 'es' END AS lang_detected,
+                (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.3 END)
+                * (CASE WHEN n_words > 0 AND n_chars::DOUBLE/n_words >= 3
+                          AND n_chars::DOUBLE/n_words <= 12 THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN (CASE WHEN n_chars > 0
+                     THEN length(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE/n_chars
+                     ELSE 0 END) <= 0.2 THEN 1.0 ELSE 0.5 END)
+                * (CASE WHEN (CASE WHEN n_chars > 0
+                     THEN length(regexp_extract_all(text, '[0-9]'))::DOUBLE/n_chars
+                     ELSE 0 END) <= 0.3 THEN 1.0 ELSE 0.6 END)
+                * (CASE WHEN (CASE WHEN n_words > 0
+                     THEN length(list_distinct(w))::DOUBLE/n_words
+                     ELSE 0 END) >= 0.3 THEN 1.0 ELSE 0.4 END) AS quality
+              FROM q
+            )
+            SELECT lang_detected, count(*)::BIGINT AS n_docs,
+                   round(avg(quality), 4) AS avg_quality
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "token_counts": r"""
             SELECT count(*)::BIGINT AS n_docs,

@@ -133,19 +133,36 @@ def build_report_queries(df: DataFrame, dim: DataFrame, *, vocab: int,
     # only bad tokens reach the partial agg).  The source STRING is
     # dictionary-encoded to a tiny int BEFORE the explode — carrying a
     # string per exploded token costs more than the range check itself.
-    # -1 = null source, -2 = source not in the configured list (its raw
-    # string is carried in _src_unk so its counts are attributed, not
-    # silently dropped); known sources carry only the tiny int.
+    # -1 = null source, -2 = source not in the configured list.  Known/null
+    # sources take the fast branch: ONLY the tiny int rides the explode —
+    # carrying a string per exploded token costs more than the range check
+    # itself (PERF.md Finding 1; measured 2.8s → 15.8s when a
+    # mostly-null string column was added here).  Unknown sources (rare:
+    # they're referential violations) take a separate pre-filtered branch
+    # that groups by the raw string so their counts are attributed, not
+    # silently dropped.
     src_id = F.when(F.col("source").isNull(), F.lit(-1)).otherwise(F.lit(-2))
     for k, s in enumerate(sources):
         src_id = F.when(F.col("source") == s, F.lit(k)).otherwise(src_id)
     x = F.col("_x")
-    agg2 = (df.select(src_id.alias("_sid"),
-                      F.when(src_id == -2, F.col("source")).alias("_src_unk"),
-                      F.explode("tokens").alias("_x"))
-            .filter(x.isNull() | (x < 0) | (x >= vocab))
-            .groupBy("_sid", "_src_unk")
-            .agg(F.count(F.lit(1)).alias("n_token_violations")))
+    known = (df.filter(F.col("source").isin(sources)
+                       | F.col("source").isNull())
+             .select(src_id.alias("_sid"), F.explode("tokens").alias("_x"))
+             .filter(x.isNull() | (x < 0) | (x >= vocab))
+             .groupBy("_sid")
+             .agg(F.count(F.lit(1)).alias("n_token_violations"))
+             .select("_sid", F.lit(None).cast("string").alias("_src_unk"),
+                     "n_token_violations"))
+    unknown = (df.filter(~F.col("source").isin(sources)
+                         & F.col("source").isNotNull())
+               .select(F.col("source").alias("_src_unk"),
+                       F.explode("tokens").alias("_x"))
+               .filter(x.isNull() | (x < 0) | (x >= vocab))
+               .groupBy("_src_unk")
+               .agg(F.count(F.lit(1)).alias("n_token_violations"))
+               .select(F.lit(-2).alias("_sid"), "_src_unk",
+                       "n_token_violations"))
+    agg2 = known.unionByName(unknown)
     return {"agg1": agg1, "agg2": agg2,
             "dup": duplication_report(df, "doc_id"),
             "sources": sources}

@@ -202,10 +202,12 @@ def build_int(sc, schema, input_type, path):
         # whole-array screen: null elements via array_compact size drop
         # (array_min/max SKIP nulls), bounds via array_min/array_max.
         def array_invalid(arr):
-            # compare on array<long>: the raw element type may be boolean
-            # (BooleanType is in integral_input), and boolean min/max vs a
-            # long literal is a plan-time DATATYPE_MISMATCH.
-            larr = arr.cast("array<long>")
+            # boolean arrays must compare on array<long> (boolean min/max
+            # vs a long literal is a plan-time DATATYPE_MISMATCH); numeric
+            # integral arrays compare directly — the cast would copy the
+            # whole array per row for nothing.
+            larr = (arr.cast("array<long>")
+                    if isinstance(input_type, st.BooleanType) else arr)
             cond = F.size(F.array_compact(arr)) < F.size(arr)
             if has_lo:
                 cond = cond | (F.array_min(larr) < F.lit(lo))
