@@ -506,6 +506,92 @@ def q_multimodal_features(spark, sf):
             .orderBy("kind"))
 
 
+def q_sample_split(spark, sf):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    split_assign): md5-hash interval membership, map-side only; the only
+    shuffle is the tiny count aggregate below."""
+    from validr_spark.operators.sampling import split_assign
+
+    df = _load(spark, sf, "documents")
+    return (split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                         key="doc_id")
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split"))
+
+
+def q_sample_mix(spark, sf):
+    """Per-source keep rates (weighted_mix) + audit (sample_report) —
+    the data-mixing step of a pretraining pipeline."""
+    from validr_spark.operators.sampling import sample_report, weighted_mix
+
+    df = _load(spark, sf, "documents")
+    mixed = weighted_mix(df, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                         "source", key="doc_id", default_rate=0.1)
+    return sample_report(df, mixed, "source").orderBy("source")
+
+
+def q_pii_audit(spark, sf):
+    """PII scan (operators/pii.py) over documents with deterministic
+    synthetic PII injected per doc_id residue class — the corpus itself is
+    PII-free word soup, so the injection makes every regex class fire and
+    the oracle checks real per-row counts, not 0==0."""
+    from validr_spark.operators.pii import pii_scan
+
+    doc = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    h = F.md5(did.cast("string"))
+    uuid = F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                       F.substring(h, 13, 4), F.substring(h, 17, 4),
+                       F.substring(h, 21, 12))
+
+    def seg(m, c):
+        return F.when(did % m == 0, c).otherwise(F.lit(""))
+
+    enriched = F.concat(
+        F.col("text"),
+        seg(7, F.concat(F.lit(" mail user"), did.cast("string"),
+                        F.lit("@example.com ok"))),
+        seg(11, F.concat(F.lit(" ip 10."), (did % 200).cast("string"),
+                         F.lit(".0.1 seen"))),
+        seg(13, F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0"),
+                         F.lit(" end"))),
+        seg(17, F.concat(F.lit(" id "), uuid, F.lit(" here"))),
+        seg(19, F.lit(" call +12 345-6789 ok")),
+        seg(23, F.lit(" card 4111 1111 1111 1111 x")),
+    )
+    df = doc.select("doc_id", enriched.alias("text"))
+    return pii_scan(df).filter("has_pii").orderBy("doc_id")
+
+
+def q_repetition_topk(spark, sf):
+    """Gopher-style repetition signals (textstats.repetition_features):
+    top-10 most word-repetitive docs.  Map-side projection + top-k."""
+    df = _load(spark, sf, "documents")
+    r = textstats.repetition_features(F.col("text"))
+    return (df.select("doc_id", r.alias("r"))
+            .select("doc_id", F.col("r.n_lines").alias("n_lines"),
+                    F.round("r.dup_line_fraction", 6)
+                    .alias("dup_line_fraction"),
+                    F.round("r.dup_word_fraction", 6)
+                    .alias("dup_word_fraction"))
+            .orderBy(F.desc("dup_word_fraction"), "doc_id").limit(10))
+
+
+def q_top_ngram(spark, sf):
+    """Per-language top-bigram share (textstats.top_ngram_stats): the
+    Gopher repetition rule's n-gram mode, aggregated per lang."""
+    df = _load(spark, sf, "documents")
+    tg = textstats.top_ngram_stats(df, n=2)
+    return (df.select("doc_id", "lang").join(tg, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("top_ngram_fraction"), 6)
+                 .alias("avg_top2gram_frac"),
+                 F.max("top_ngram_count").alias("max_top2gram_count"))
+            .orderBy("lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -532,6 +618,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_net_coerced": q_scalar_net_coerced,
         "scalar_temporal": q_scalar_temporal,
         "scalar_strnum": q_scalar_strnum,
+        "sample_split": q_sample_split,
+        "sample_mix": q_sample_mix,
+        "pii_audit": q_pii_audit,
+        "repetition_topk": q_repetition_topk,
+        "top_ngram": q_top_ngram,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1064,5 +1155,119 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT rule_id, count(*)::BIGINT AS n_violations
             FROM u GROUP BY rule_id ORDER BY rule_id
+        """,
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    """Oracles for the sampling / PII / repetition pipeline queries.
+
+    The sampling thresholds are computed by the SAME helper the engine
+    uses (fraction_threshold), so engine and oracle agree by construction
+    on the md5-prefix interval layout."""
+    from validr_spark.operators.pii import PII_PATTERNS
+    from validr_spark.operators.sampling import fraction_threshold
+
+    t_train = fraction_threshold(0.8)
+    t_val = fraction_threshold(0.9)            # cumulative train+val
+    mix_case = " ".join(
+        f"WHEN source = '{s}' THEN '{fraction_threshold(r)}'"
+        for s, r in [("src0", 1.0), ("src1", 0.5), ("src2", 0.25)])
+    t_default = fraction_threshold(0.1)
+    hp = "substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+    pii_cnt = ", ".join(
+        "len(regexp_extract_all(text, '%s'))::INT AS n_%s"
+        % (p.replace("'", "''"), n) for n, p in PII_PATTERNS.items())
+    pii_tot = " + ".join(f"n_{n}" for n in PII_PATTERNS)
+    uu = ("substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)"
+          " || '-' || substr(h,17,4) || '-' || substr(h,21,12)")
+
+    return {
+        "sample_split": f"""
+            SELECT split, count(*)::BIGINT AS n FROM (
+              SELECT CASE WHEN {hp} < '{t_train}' THEN 'train'
+                          WHEN {hp} < '{t_val}' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            GROUP BY split ORDER BY split
+        """,
+        "sample_mix": f"""
+            WITH kept AS (
+              SELECT source FROM documents
+              WHERE {hp} < CASE {mix_case} ELSE '{t_default}' END
+            ), a AS (SELECT source, count(*) AS n_in FROM documents
+                     GROUP BY source),
+               b AS (SELECT source, count(*) AS n_kept FROM kept
+                     GROUP BY source)
+            SELECT a.source, a.n_in::BIGINT AS n_in,
+                   coalesce(b.n_kept, 0)::BIGINT AS n_kept,
+                   round(coalesce(b.n_kept, 0)::DOUBLE / a.n_in, 6) AS rate
+            FROM a LEFT JOIN b ON a.source = b.source ORDER BY a.source
+        """,
+        "pii_audit": f"""
+            WITH e AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                text
+                || CASE WHEN doc_id % 7 = 0 THEN ' mail user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com ok'
+                   ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.'
+                     || CAST(doc_id % 200 AS VARCHAR) || '.0.1 seen'
+                   ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' end' ELSE '' END
+                || CASE WHEN doc_id % 19 = 0 THEN ' call +12 345-6789 ok'
+                   ELSE '' END
+                || CASE WHEN doc_id % 23 = 0
+                     THEN ' card 4111 1111 1111 1111 x' ELSE '' END AS text0
+              FROM documents),
+            e2 AS (
+              SELECT doc_id, text0 || CASE WHEN doc_id % 17 = 0
+                THEN ' id ' || {uu} || ' here' ELSE '' END AS text
+              FROM e),
+            c AS (SELECT doc_id, {pii_cnt} FROM e2),
+            t AS (SELECT *, {pii_tot} AS n_pii FROM c)
+            SELECT *, n_pii > 0 AS has_pii FROM t
+            WHERE n_pii > 0 ORDER BY doc_id
+        """,
+        "repetition_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                string_split(regexp_replace(trim(text), '\s*\n\s*',
+                             chr(10), 'g'), chr(10)) AS lines,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents)
+            SELECT doc_id, len(lines)::INT AS n_lines,
+              round(CASE WHEN len(lines) > 0
+                THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                ELSE 0 END, 6) AS dup_line_fraction,
+              round(CASE WHEN len(words) > 0
+                THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
+                ELSE 0 END, 6) AS dup_word_fraction
+            FROM w ORDER BY dup_word_fraction DESC, doc_id LIMIT 10
+        """,
+        "top_ngram": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            f AS (SELECT * FROM w WHERE len(words) >= 2),
+            g AS (
+              SELECT doc_id, lang,
+                unnest(list_transform(generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1])) AS gram
+              FROM f),
+            pg AS (SELECT doc_id, lang, gram, count(*) AS cnt
+                   FROM g GROUP BY ALL),
+            pd AS (SELECT doc_id, lang, sum(cnt) AS n_ngrams,
+                          max(cnt) AS top_cnt FROM pg GROUP BY ALL)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(avg(round(top_cnt::DOUBLE / n_ngrams, 6)), 6)
+                     AS avg_top2gram_frac,
+                   CAST(max(top_cnt) AS BIGINT) AS max_top2gram_count
+            FROM pd GROUP BY lang ORDER BY lang
         """,
     }

@@ -1,0 +1,201 @@
+"""Tests for the training-data pipeline layer added on top of the
+reference's validator surface: deterministic sampling/splitting/mixing
+(operators/sampling.py), PII scan/redact (operators/pii.py), and the
+Gopher-style repetition signals (operators/textstats.py).
+
+No counterpart in guyskk/validr (single-row validation only); these are
+the distributed-pipeline operators the brief asks for.  The oracle gate
+(__spark_entry__: sample_split / sample_mix / pii_audit /
+repetition_topk / top_ngram) cross-checks values vs DuckDB; these tests
+cover the properties the oracle can't express (determinism under
+re-partitioning, leakage, redaction idempotence, prefilter equivalence).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from validr_spark.operators import pii, sampling, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 4}",
+                text=f"alpha beta gamma {i} delta {'rep ' * (i % 5)}end")
+            for i in range(400)]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_matches_python_md5(spark, docs):
+    """Membership is exactly 'first 8 hex of md5(seed|key) < threshold' —
+    reproducible outside Spark entirely."""
+    kept = {r.doc_id for r in
+            sampling.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    thr = sampling.fraction_threshold(0.3)
+    expect = {i for i in range(400)
+              if hashlib.md5(f"42|{i}".encode()).hexdigest()[:8] < thr}
+    assert kept == expect
+    assert 0.2 < len(kept) / 400 < 0.4
+
+
+def test_hash_sample_invariant_under_repartition(spark, docs):
+    a = sorted(r.doc_id for r in
+               sampling.hash_sample(docs, 0.5, "doc_id").collect())
+    b = sorted(r.doc_id for r in
+               sampling.hash_sample(docs.repartition(17), 0.5, "doc_id").collect())
+    assert a == b
+
+
+def test_fraction_threshold_edges():
+    assert sampling.fraction_threshold(0.0) == "00000000"
+    # keep-all sentinel sorts above every hex digest
+    assert sampling.fraction_threshold(1.0) == "gggggggg"
+    assert sampling.fraction_threshold(-3) == "00000000"
+    assert sampling.fraction_threshold(2.0) == "gggggggg"
+
+
+def test_split_assign_partitions_exactly_once(spark, docs):
+    sp = sampling.split_assign(docs, {"train": 8, "val": 1, "test": 1},
+                               key="doc_id")
+    rows = sp.groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in rows}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 400          # total preserved
+    assert counts["train"] > counts.get("val", 0)
+    # leakage guarantee: same key+seed never migrates across runs
+    again = sampling.split_assign(docs.repartition(7),
+                                  {"train": 8, "val": 1, "test": 1},
+                                  key="doc_id")
+    m1 = {r.doc_id: r.split for r in sp.collect()}
+    m2 = {r.doc_id: r.split for r in again.collect()}
+    assert m1 == m2
+
+
+def test_split_assign_validates_weights(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, {}, key="doc_id")
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, {"a": 0.0}, key="doc_id")
+
+
+def test_weighted_mix_rates(spark, docs):
+    mixed = sampling.weighted_mix(docs, {"s0": 1.0, "s1": 0.0}, "source",
+                                  key="doc_id", default_rate=0.5)
+    rep = {r.source: r for r in
+           sampling.sample_report(docs, mixed, "source").collect()}
+    assert rep["s0"].rate == 1.0
+    assert rep["s1"].n_kept == 0
+    assert 0.25 < rep["s2"].rate < 0.75
+    with pytest.raises(ValueError):
+        sampling.weighted_mix(docs, {"s0": 1.5}, "source", key="doc_id")
+
+
+def test_stratified_sample_exact_k_and_prefilter_equivalence(spark, docs):
+    k = 5
+    full = sampling.stratified_sample(docs, "source", k, key="doc_id")
+    counts = {r.source: r["count"] for r in
+              full.groupBy("source").count().collect()}
+    assert all(v == k for v in counts.values())
+    # hash order is stable under subsetting: a generous prefilter keeps
+    # the exact same per-stratum winners
+    pre = sampling.stratified_sample(docs, "source", k, key="doc_id",
+                                     prefilter=0.5)
+    ids_full = sorted(r.doc_id for r in full.collect())
+    ids_pre = sorted(r.doc_id for r in pre.collect())
+    assert ids_full == ids_pre
+
+
+def test_stratified_sample_small_stratum(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g="only") for i in range(3)])
+    out = sampling.stratified_sample(df, "g", 10, key="doc_id")
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# pii
+# ---------------------------------------------------------------------------
+
+PII_TEXT = ("write to bob.smith+x@example.co.uk or 10.1.2.3, "
+            "card 4111 1111 1111 1111, ssn 123-45-6789, "
+            "call +44 1234 5678, id 550e8400-e29b-41d4-a716-446655440000, "
+            "v6 2001:db8:0:0:0:0:2:1 end")
+
+
+def test_pii_scan_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=PII_TEXT),
+                                Row(doc_id=2, text="clean prose only")])
+    rows = {r.doc_id: r for r in pii.pii_scan(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_credit_card, r1.n_ssn) == (1, 1, 1, 1)
+    assert r1.n_uuid == 1 and r1.n_phone == 1 and r1.n_ipv6 == 1
+    assert r1.has_pii and r1.n_pii == 7
+    assert not rows[2].has_pii and rows[2].n_pii == 0
+
+
+def test_pii_redact_scrubs_all_and_is_idempotent(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=PII_TEXT)])
+    red = pii.pii_redact(df)
+    txt = red.collect()[0].text
+    for name in pii.REDACT_ORDER:
+        assert f"[{name.upper()}]" in txt
+    # nothing detectable remains, and a second pass is a no-op
+    assert pii.pii_scan(red).collect()[0].n_pii == 0
+    again = pii.pii_redact(red).collect()[0].text
+    assert again == txt
+
+
+def test_pii_redact_subset_and_out_col(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text=PII_TEXT)])
+    red = pii.pii_redact(df, classes=["email"], out_col="clean")
+    row = red.collect()[0]
+    assert "[EMAIL]" in row.clean and "10.1.2.3" in row.clean
+    assert row.text == PII_TEXT                 # original untouched
+
+
+def test_pii_prevalence(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=PII_TEXT if i % 2 == 0 else "clean")
+         for i in range(10)])
+    r = pii.pii_prevalence(df).collect()[0]
+    assert r.n_docs == 10
+    assert r.docs_email == 5 and r.hits_email == 5
+    assert r.docs_credit_card == 5
+
+
+# ---------------------------------------------------------------------------
+# repetition / top-ngram
+# ---------------------------------------------------------------------------
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d"),                  # no repetition
+        Row(doc_id=2, text="x x x x"),                  # 3/4 dup words
+        Row(doc_id=3, text="l1\nl2\nl1\n  l2  \nl3"),   # 2/5 dup lines
+    ])
+    r = {x.doc_id: x for x in df.select(
+        "doc_id", textstats.repetition_features("text").alias("r"))
+        .select("doc_id", "r.*").collect()}
+    assert r[1].dup_word_fraction == 0.0
+    assert r[2].dup_word_fraction == pytest.approx(0.75)
+    assert r[3].n_lines == 5
+    assert r[3].dup_line_fraction == pytest.approx(0.4)
+
+
+def test_top_ngram_stats(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="to be or not to be"),       # 'to be' twice / 5
+        Row(doc_id=2, text="one"),                      # < n words: dropped
+    ])
+    rows = {r.doc_id: r for r in
+            textstats.top_ngram_stats(df, n=2).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_ngrams == 5
+    assert rows[1].top_ngram_count == 2
+    assert rows[1].top_ngram_fraction == pytest.approx(0.4)

@@ -153,3 +153,63 @@ def text_profile(df: DataFrame, text_col: str = "text",
         fingerprint(t).alias("fingerprint"),
         quality_features(t, w).alias("features"),
     )
+
+
+def repetition_features(col) -> Column:
+    """struct of Gopher-style repetition signals computable without a
+    shuffle: duplicate-line fraction and duplicate-word fraction.
+
+    `split` + `array_distinct` are codegen collection expressions (not
+    lambda HOFs — PERF.md Finding 1), so this stays a map-side projection.
+    For the n-gram repetition signal (needs a per-doc mode) see
+    :func:`top_ngram_stats` — that one is irreducibly a grouped aggregate.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    # collapse blank lines, trim outer whitespace → no empty entries
+    lines = F.split(F.regexp_replace(F.trim(col), r"\s*\n\s*", "\n"), "\n")
+    n_lines = F.size(lines)
+    w = words_of(col)
+    n_words = F.size(w)
+    return F.struct(
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0,
+               1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(0.0).alias("dup_line_fraction"),
+        F.when(n_words > 0,
+               1.0 - F.size(F.array_distinct(w)) / n_words)
+        .otherwise(0.0).alias("dup_word_fraction"),
+    )
+
+
+def top_ngram_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Per-document top word-n-gram share (Gopher repetition rule: drop
+    docs whose most frequent n-gram covers too much of the text).
+
+    Shape at scale: explode(n-grams) multiplies rows by ~n_words (same
+    class as the minhash shingle explode — generate → project → partial
+    agg in ONE WholeStageCodegen stage, exploded rows never hit the
+    shuffle at full width); the (doc, gram) hash-agg shrinks map-side,
+    then the per-doc max/sum agg re-shuffles only distinct grams.  The
+    n-gram is built with `slice`+`arrays_zip` (codegen) — no lambda HOFs.
+    """
+    c = F.col(text_col)
+    # words materialized once (CollapseProject barrier — see text_profile)
+    w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
+    pre = df.select(F.col(id_col), w_once.alias("_w"))
+    wcol = F.col("_w")
+    sz = F.size(wcol)
+    pre = pre.filter(sz >= n)
+    zipped = F.arrays_zip(
+        *[F.slice(wcol, i + 1, sz - (n - 1)) for i in range(n)])
+    grams = pre.select(id_col, F.explode(zipped).alias("_g"))
+    gram = F.concat_ws(" ", *[F.col("_g")[str(i)] for i in range(n)])
+    per_gram = (grams.select(id_col, gram.alias("gram"))
+                .groupBy(id_col, "gram")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_ngrams"),
+                 F.max("cnt").alias("top_ngram_count"))
+            .withColumn("top_ngram_fraction",
+                        F.round(F.col("top_ngram_count") / F.col("n_ngrams"),
+                                6)))
