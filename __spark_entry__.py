@@ -582,14 +582,68 @@ def q_top_ngram(spark, sf):
     """Per-language top-bigram share (textstats.top_ngram_stats): the
     Gopher repetition rule's n-gram mode, aggregated per lang."""
     df = _load(spark, sf, "documents")
-    tg = textstats.top_ngram_stats(df, n=2)
-    return (df.select("doc_id", "lang").join(tg, "doc_id")
-            .groupBy("lang")
+    tg = textstats.top_ngram_stats(df, n=2, carry_cols=["lang"])
+    return (tg.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("top_ngram_fraction"), 6)
                  .alias("avg_top2gram_frac"),
                  F.max("top_ngram_count").alias("max_top2gram_count"))
             .orderBy("lang"))
+
+
+def q_quality_filter(spark, sf):
+    """C4/Gopher keep-drop composite (textstats.quality_filter): per
+    reason-set doc counts.  Map-side rule evaluation; the shuffle carries
+    one row per distinct reason combination."""
+    df = _load(spark, sf, "documents")
+    qf = textstats.quality_filter(df)
+    return (qf.groupBy("keep", "reasons")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("keep", "reasons"))
+
+
+def q_token_hist(spark, sf):
+    """Whitespace-token histogram (drift.token_histogram) over document
+    words: top 20 tokens.  Explode → map-side partial agg → top-k."""
+    df = _load(spark, sf, "documents")
+    toks = df.select(textstats.words_of(F.col("text")).alias("tokens"))
+    return (drift.token_histogram(toks)
+            .withColumnRenamed("category", "token")
+            .orderBy(F.desc("n"), "token").limit(20))
+
+
+def q_sessions(spark, sf):
+    """Gap-based sessionization (operators/temporal.py) over events:
+    session-size distribution.  One shuffle on user_id; both windows and
+    the rollup share that partitioning."""
+    from validr_spark.operators.temporal import session_stats
+
+    ev = _load(spark, sf, "events")
+    st = session_stats(ev, gap_seconds=1800)
+    return (st.groupBy("n_events")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.round(F.avg("duration_sec"), 6).alias("avg_duration_sec"))
+            .orderBy("n_events"))
+
+
+def q_asof_clicks(spark, sf):
+    """As-of join (operators/temporal.py): each error event picks up the
+    most recent click by the same user (DuckDB ASOF LEFT JOIN parity,
+    inclusive on ties).  Union + key-partitioned window — one shuffle."""
+    from validr_spark.operators.temporal import asof_join, epoch_seconds
+
+    ev = _load(spark, sf, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", "user_id", "ts"))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", "ts", "value"))
+    j = asof_join(err, clk, on="user_id", ts_col="ts")
+    lag = epoch_seconds(j, "ts") - epoch_seconds(j, "ts_right")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(F.col("ts_right").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.avg(lag), 6).alias("avg_lag_sec"),
+        F.round(F.sum("value_right"), 6).alias("sum_click_value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -623,6 +677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_audit": q_pii_audit,
         "repetition_topk": q_repetition_topk,
         "top_ngram": q_top_ngram,
+        "quality_filter": q_quality_filter,
+        "token_hist": q_token_hist,
+        "sessions": q_sessions,
+        "asof_clicks": q_asof_clicks,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1269,5 +1327,88 @@ def _pipeline_oracles() -> dict[str, str]:
                      AS avg_top2gram_frac,
                    CAST(max(top_cnt) AS BIGINT) AS max_top2gram_count
             FROM pd GROUP BY lang ORDER BY lang
+        """,
+        "quality_filter": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+                     string_split(regexp_replace(trim(text), '\s*\n\s*',
+                                  chr(10), 'g'), chr(10)) AS lines
+              FROM documents),
+            q AS (
+              SELECT doc_id,
+                length(text) AS n_chars, len(words) AS n_words,
+                CASE WHEN len(words) > 0
+                  THEN length(text)::DOUBLE / len(words) ELSE 0 END AS mwl,
+                CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE
+                       / length(text) ELSE 0 END AS punct_ratio,
+                CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+                       / length(text) ELSE 0 END AS digit_ratio,
+                CASE WHEN len(words) > 0
+                  THEN len(list_distinct(words))::DOUBLE / len(words)
+                  ELSE 0 END AS uwr,
+                CASE WHEN len(lines) > 0
+                  THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                  ELSE 0 END AS dlf
+              FROM w),
+            r AS (
+              SELECT doc_id, concat_ws(',',
+                CASE WHEN n_words < 10 THEN 'too_few_words' END,
+                CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                CASE WHEN mwl < 3.0 OR mwl > 12.0 THEN 'mean_word_len' END,
+                CASE WHEN punct_ratio > 0.2 THEN 'punct_ratio' END,
+                CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+                CASE WHEN uwr < 0.3 THEN 'unique_word_ratio' END,
+                CASE WHEN dlf > 0.3 THEN 'dup_line_fraction' END
+              ) AS reasons FROM q)
+            SELECT reasons = '' AS keep, reasons,
+                   count(*)::BIGINT AS n_docs
+            FROM r GROUP BY keep, reasons ORDER BY keep, reasons
+        """,
+        "token_hist": r"""
+            SELECT token, count(*)::BIGINT AS n FROM (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                            '\s+')) AS token
+              FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "sessions": r"""
+            WITH s AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts)/1000000.0
+                          - epoch_us(lag(ts) OVER w)/1000000.0 > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s2 AS (
+              SELECT user_id, ts, sum(new_sess) OVER
+                (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                AS seq
+              FROM s
+            ), st AS (
+              SELECT user_id, seq, count(*) AS n_events,
+                     epoch_us(max(ts))/1000000.0
+                     - epoch_us(min(ts))/1000000.0 AS dur
+              FROM s2 GROUP BY 1, 2
+            )
+            SELECT n_events::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_sessions,
+                   round(avg(dur), 6) AS avg_duration_sec
+            FROM st GROUP BY n_events ORDER BY n_events
+        """,
+        "asof_clicks": r"""
+            SELECT count(*)::BIGINT AS n_errors,
+                   CAST(sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   round(avg(epoch_us(e.ts)/1000000.0
+                             - epoch_us(c.ts)/1000000.0), 6) AS avg_lag_sec,
+                   round(sum(c.value), 6) AS sum_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
     }

@@ -181,7 +181,8 @@ HEADLINE = [
     "validate_documents", "lineitem_violations", "tpch_q1", "events_chi2",
     "ks_drift", "dedup_prefix", "token_counts", "ann_topk",
     "events_validate", "minhash_pairs", "simhash_pairs", "text_profile",
-    "ivf_topk",
+    "ivf_topk", "pii_audit", "top_ngram", "quality_filter", "sessions",
+    "asof_clicks",
 ]
 
 

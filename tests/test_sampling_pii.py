@@ -188,6 +188,22 @@ def test_repetition_features(spark):
     assert r[3].dup_line_fraction == pytest.approx(0.4)
 
 
+def test_quality_filter_reasons(spark):
+    good = "the quick brown fox jumps over the lazy dog again " * 3
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),                       # passes all rules
+        Row(doc_id=2, text="short text"),               # too few words
+        Row(doc_id=3, text="!!! ??? *** " + good),      # punct ok? no: diluted
+        Row(doc_id=4, text="1234 5678 " + "9 " * 40),   # digit-heavy
+        Row(doc_id=5, text="spam " * 50),               # low unique ratio
+    ])
+    rows = {r.doc_id: r for r in textstats.quality_filter(df).collect()}
+    assert rows[1].keep and rows[1].reasons == ""
+    assert not rows[2].keep and "too_few_words" in rows[2].reasons
+    assert not rows[4].keep and "digit_ratio" in rows[4].reasons
+    assert not rows[5].keep and "unique_word_ratio" in rows[5].reasons
+
+
 def test_top_ngram_stats(spark):
     df = spark.createDataFrame([
         Row(doc_id=1, text="to be or not to be"),       # 'to be' twice / 5

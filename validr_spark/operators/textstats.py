@@ -126,6 +126,54 @@ def quality_score(col, w: Column | None = None) -> Column:
     return score
 
 
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_words: int = 10, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 12.0,
+                   max_punct_ratio: float = 0.2,
+                   max_digit_ratio: float = 0.3,
+                   min_unique_word_ratio: float = 0.3,
+                   max_dup_line_fraction: float = 0.3) -> DataFrame:
+    """C4/Gopher-style keep/drop filter: every rule violated lands in a
+    ``reasons`` string (comma-joined, rule order fixed), ``keep`` is true
+    iff no rule fired.  Pure map-side projection — quality_features +
+    repetition_features are codegen expressions, so at 100 TB this is a
+    scan-bound pass with zero shuffle; downstream writers filter on
+    ``keep`` with the predicate still pushdown-eligible.
+
+    Returns (id, keep, reasons) — join back on id_col (or re-apply; it's
+    deterministic) to carry the text."""
+    c = F.col(text_col)
+    w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
+    pre = df.select(F.col(id_col), c.alias("_t"), w_once.alias("_w"))
+    q = quality_features(F.col("_t"), F.col("_w"))
+    r = repetition_features(F.col("_t"))
+
+    def flag(cond, name):
+        return F.when(cond, F.lit(name))
+
+    reasons = F.concat_ws(
+        ",",
+        flag(q["n_words"] < min_words, "too_few_words"),
+        flag(q["n_words"] > max_words, "too_many_words"),
+        flag((q["mean_word_len"] < min_mean_word_len)
+             | (q["mean_word_len"] > max_mean_word_len),
+             "mean_word_len"),
+        flag(q["punct_ratio"] > max_punct_ratio, "punct_ratio"),
+        flag(q["digit_ratio"] > max_digit_ratio, "digit_ratio"),
+        flag(q["unique_word_ratio"] < min_unique_word_ratio,
+             "unique_word_ratio"),
+        flag(r["dup_line_fraction"] > max_dup_line_fraction,
+             "dup_line_fraction"),
+    )
+    return pre.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def fingerprint(col) -> Column:
     """64-bit content fingerprint of the normalized text (xxhash64 of the
     whitespace-collapsed lowercase form — rolling-hash equivalent for
@@ -182,7 +230,8 @@ def repetition_features(col) -> Column:
 
 
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+                    id_col: str = "doc_id", n: int = 2,
+                    carry_cols: list[str] | None = None) -> DataFrame:
     """Per-document top word-n-gram share (Gopher repetition rule: drop
     docs whose most frequent n-gram covers too much of the text).
 
@@ -192,22 +241,28 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
     shuffle at full width); the (doc, gram) hash-agg shrinks map-side,
     then the per-doc max/sum agg re-shuffles only distinct grams.  The
     n-gram is built with `slice`+`arrays_zip` (codegen) — no lambda HOFs.
+
+    ``carry_cols``: per-document attribute columns (lang, source, ...) to
+    carry through the aggregation keys — functionally dependent on
+    ``id_col`` so they add no groups, and they save the caller a
+    corpus-sized join back onto the input to recover them.
     """
+    carry = list(carry_cols or [])
     c = F.col(text_col)
     # words materialized once (CollapseProject barrier — see text_profile)
     w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
-    pre = df.select(F.col(id_col), w_once.alias("_w"))
+    pre = df.select(F.col(id_col), *carry, w_once.alias("_w"))
     wcol = F.col("_w")
     sz = F.size(wcol)
     pre = pre.filter(sz >= n)
     zipped = F.arrays_zip(
         *[F.slice(wcol, i + 1, sz - (n - 1)) for i in range(n)])
-    grams = pre.select(id_col, F.explode(zipped).alias("_g"))
+    grams = pre.select(id_col, *carry, F.explode(zipped).alias("_g"))
     gram = F.concat_ws(" ", *[F.col("_g")[str(i)] for i in range(n)])
-    per_gram = (grams.select(id_col, gram.alias("gram"))
-                .groupBy(id_col, "gram")
+    per_gram = (grams.select(id_col, *carry, gram.alias("gram"))
+                .groupBy(id_col, *carry, "gram")
                 .agg(F.count(F.lit(1)).alias("cnt")))
-    return (per_gram.groupBy(id_col)
+    return (per_gram.groupBy(id_col, *carry)
             .agg(F.sum("cnt").alias("n_ngrams"),
                  F.max("cnt").alias("top_ngram_count"))
             .withColumn("top_ngram_fraction",
