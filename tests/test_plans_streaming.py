@@ -376,3 +376,56 @@ def test_running_verdicts_stateful(spark, tmp_path):
     assert b["n_rows"] == 10 and b["verdict"] == "pass"
     # key 'a' appeared in both batches → ≥2 update rows prove state carry
     assert sum(1 for r in out if r["key"] == "a") >= 2
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """session_window gap sessions agree with the batch sessionize on the
+    same bounded input: same (user, n_events) multiset, same session
+    starts; streaming end = last_event + gap by construction."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from validr_spark.operators.temporal import session_stats
+    from validr_spark.streaming import streaming_sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(5):
+        # two bursts per user, 2h apart; burst length varies by user
+        for burst, start in ((0, 0), (1, 120)):
+            for i in range(2 + u):
+                rows.append((u, t0 + dt.timedelta(minutes=start + i * 5),
+                             float(u + i)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    data = str(tmp_path / "sess_in")
+    df.coalesce(1).write.parquet(data)
+    # append-mode sessions flush only when the watermark passes their end:
+    # a far-future sentinel event in a second micro-batch closes them all
+    sentinel = spark.createDataFrame(
+        [(999, t0 + dt.timedelta(days=1), 0.0)], df.schema)
+    sentinel.coalesce(1).write.mode("append").parquet(data)
+
+    sdf = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", 1).parquet(data))
+    sess = streaming_sessions(sdf, gap="30 minutes", watermark="0 seconds",
+                              extra_aggs=[F.sum("value").alias("total_value")])
+    assert sess.isStreaming
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = [r for r in spark.sql("SELECT * FROM sess_test").collect()
+           if r.user_id != 999]
+
+    batch = session_stats(df, gap_seconds=1800).collect()
+    assert len(got) == len(batch) == 10
+    s_stream = sorted((r.user_id, r.n_events, r.start_ts) for r in got)
+    s_batch = sorted((r.user_id, r.n_events, r.start_ts) for r in batch)
+    assert s_stream == s_batch
+    # streaming end extends gap past the last event
+    g = {(r.user_id, r.start_ts): r for r in got}
+    b = {(r.user_id, r.start_ts): r for r in batch}
+    for k in b:
+        assert g[k].end_ts == b[k].end_ts + dt.timedelta(minutes=30)
+    # extra agg rode along in the same state store
+    assert all(r.total_value is not None for r in got)

@@ -1,8 +1,10 @@
 """Structured Streaming validation: same compiled plans over streams."""
 
+from .sessions import streaming_sessions
 from .stateful import running_verdicts
 from .validate import (stream_violations, validate_stream, windowed_verdicts,
                        write_violations_stream)
 
 __all__ = ["validate_stream", "stream_violations", "windowed_verdicts",
-           "write_violations_stream", "running_verdicts"]
+           "write_violations_stream", "running_verdicts",
+           "streaming_sessions"]
