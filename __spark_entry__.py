@@ -646,6 +646,32 @@ def q_asof_clicks(spark, sf):
         F.round(F.sum("value_right"), 6).alias("sum_click_value"))
 
 
+def q_map_validate(spark, sf):
+    """Dynamic-dict (MapType) container validation (compiler._map_core):
+    a 3-entry map built from document columns goes through the real
+    transform_keys/values machinery — key enum + value minlen/maxlen with
+    the reference's per-dict fail-fast (first failing entry wins, key
+    checked before value).  The oracle reproduces the same fail-fast CASE
+    chain on the flat columns."""
+    doc = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+    df = doc.select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.concat(F.lit("k"), (did % 3).cast("string")),
+            F.repeat(F.lit("v"), (1 + did % 5).cast("int")),
+        ).alias("props")).withColumn("_id", did)
+    schema = T.dict(props=T.dict.key(T.enum(["lang", "source", "k0"]))
+                    .value(T.str.minlen(2).maxlen(4)))
+    plan = SparkCompiler().compile(schema)
+    v = plan.apply(df, id_cols=["_id"]).violations()
+    return (v.select(F.col("_id").alias("id"), "rule_id", "position",
+                     "message", "value")
+            .orderBy("id", "rule_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -681,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hist": q_token_hist,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
+        "map_validate": q_map_validate,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1410,5 +1437,47 @@ def _pipeline_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "map_validate": """
+            WITH v AS (
+              SELECT doc_id AS id, lang, source,
+                     'k' || CAST(doc_id % 3 AS VARCHAR) AS k3,
+                     repeat('v', (1 + doc_id % 5)::INT) AS v3
+              FROM documents),
+            r AS (
+              SELECT id, lang, source, k3, v3, CASE
+                -- per-dict fail-fast in map-entry order; key before value
+                WHEN length(lang) < 2 OR length(lang) > 4 THEN 'lang_len'
+                WHEN length(source) < 2 THEN 'src_minlen'
+                WHEN length(source) > 4 THEN 'src_maxlen'
+                WHEN k3 NOT IN ('k0', 'lang', 'source') THEN 'key_enum'
+                WHEN length(v3) < 2 THEN 'v_minlen'
+                WHEN length(v3) > 4 THEN 'v_maxlen'
+              END AS kind FROM v)
+            SELECT id,
+              CASE kind
+                WHEN 'key_enum' THEN 'props.$self_key.enum'
+                WHEN 'v_minlen' THEN 'props.$self_value.minlen'
+                WHEN 'src_minlen' THEN 'props.$self_value.minlen'
+                ELSE 'props.$self_value.maxlen' END AS rule_id,
+              CASE kind
+                WHEN 'key_enum' THEN 'props.$self_key'
+                WHEN 'src_maxlen' THEN 'props.source'
+                WHEN 'src_minlen' THEN 'props.source'
+                WHEN 'lang_len' THEN 'props.lang'
+                ELSE 'props.k0' END AS position,
+              CASE kind
+                WHEN 'key_enum'
+                  THEN 'expect one of {''k0'', ''lang'', ''source''}'
+                WHEN 'v_minlen' THEN 'string length must >= 2'
+                WHEN 'src_minlen' THEN 'string length must >= 2'
+                ELSE 'string length must <= 4' END AS message,
+              '''' || CASE kind
+                WHEN 'key_enum' THEN k3
+                WHEN 'src_maxlen' THEN source
+                WHEN 'src_minlen' THEN source
+                WHEN 'lang_len' THEN lang
+                ELSE v3 END || '''' AS value
+            FROM r WHERE kind IS NOT NULL ORDER BY id, rule_id
         """,
     }
