@@ -672,6 +672,45 @@ def q_map_validate(spark, sf):
             .orderBy("id", "rule_id"))
 
 
+def q_check_suite(spark, sf):
+    """Declarative table-level gate: the whole suite is ONE aggregation
+    pass (operators/checks.py).  Message column omitted here: the
+    number-to-string rendering differs between engines; the verdict logic
+    (observed/lo/hi/passed) is the contract."""
+    from validr_spark.operators.checks import Check, CheckSuite
+    df = _load(spark, sf, "documents")
+    suite = CheckSuite("documents_gate", [
+        Check.row_count(min=1),
+        Check.null_rate("text", max=0.05, empty_is_null=True),
+        Check.min("n_chars", ge=0),
+        Check.max("n_chars", le=400),
+        Check.mean("n_chars", between=(50.0, 400.0)),
+        Check.unique_ratio("doc_id", min=0.999, exact=True),
+        Check.values_in("lang", DOC_LANGS, min_ratio=0.95),
+        Check.matches("source", r"src\d+", min_ratio=1.0),
+        Check.quantile("n_chars", 0.5, between=(100.0, 400.0), exact=True),
+        Check.satisfies("n_chars = char_length(text)", min_ratio=1.0,
+                        name="n_chars_consistent"),
+    ])
+    return (suite.run(df, round_digits=4)
+            .select("check_id", "column", "observed", "lo", "hi", "passed")
+            .orderBy("check_id"))
+
+
+def q_suggest_schema(spark, sf):
+    """Constraint suggestion: profile documents in one agg pass and emit
+    the drafted validr element per column (operators/suggest.py).  The
+    fixture table has no nulls, so the .optional suffix never fires here
+    (optional handling is pytest-covered in tests/test_suggest.py)."""
+    from validr_spark.operators.suggest import suggest_elements
+    df = _load(spark, sf, "documents")
+    els = suggest_elements(df, enum_max=12)
+    rows = [(k, v if isinstance(v, str) else str(v))
+            for k, v in sorted(els.items())]
+    return (spark.createDataFrame(rows, "column string, element string")
+            .orderBy("column"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -708,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
         "map_validate": q_map_validate,
+        "check_suite": q_check_suite,
+        "suggest_schema": q_suggest_schema,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1479,5 +1520,92 @@ def _pipeline_oracles() -> dict[str, str]:
                 WHEN 'lang_len' THEN lang
                 ELSE v3 END || '''' AS value
             FROM r WHERE kind IS NOT NULL ORDER BY id, rule_id
+        """,
+        "check_suite": f"""
+            WITH m AS (
+              SELECT count(*)::DOUBLE AS n_rows,
+                round(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0
+                          END)::DOUBLE / count(*), 4) AS null_rate,
+                round(min(n_chars)::DOUBLE, 4) AS min_nc,
+                round(max(n_chars)::DOUBLE, 4) AS max_nc,
+                round(avg(n_chars), 4) AS mean_nc,
+                round(count(DISTINCT doc_id)::DOUBLE
+                      / sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END),
+                      4) AS uniq,
+                round(sum(CASE WHEN lang IN ({{langs}}) THEN 1 ELSE 0
+                          END)::DOUBLE
+                      / sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END),
+                      4) AS lang_ratio,
+                round(sum(CASE WHEN regexp_full_match(source, 'src\\d+')
+                          THEN 1 ELSE 0 END)::DOUBLE
+                      / sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END),
+                      4) AS src_ratio,
+                round(quantile_cont(n_chars, 0.5), 4) AS med_nc,
+                round(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0
+                          END)::DOUBLE / count(*), 4) AS cons_ratio
+              FROM documents)
+            SELECT * FROM (
+              SELECT 'row_count' AS check_id, CAST(NULL AS VARCHAR) AS "column",
+                     round(n_rows, 4) AS observed, 1.0::DOUBLE AS lo,
+                     CAST(NULL AS DOUBLE) AS hi, n_rows >= 1.0 AS passed FROM m
+              UNION ALL SELECT 'null_rate(text)', 'text', null_rate,
+                     NULL, 0.05, null_rate <= 0.05 FROM m
+              UNION ALL SELECT 'min(n_chars)', 'n_chars', min_nc,
+                     0.0, NULL, min_nc >= 0.0 FROM m
+              UNION ALL SELECT 'max(n_chars)', 'n_chars', max_nc,
+                     NULL, 400.0, max_nc <= 400.0 FROM m
+              UNION ALL SELECT 'mean(n_chars)', 'n_chars', mean_nc,
+                     50.0, 400.0, mean_nc >= 50.0 AND mean_nc <= 400.0 FROM m
+              UNION ALL SELECT 'unique_ratio(doc_id,exact)', 'doc_id', uniq,
+                     0.999, NULL, uniq >= 0.999 FROM m
+              UNION ALL SELECT 'values_in(lang)', 'lang', lang_ratio,
+                     0.95, NULL, lang_ratio >= 0.95 FROM m
+              UNION ALL SELECT 'matches(source)', 'source', src_ratio,
+                     1.0, NULL, src_ratio >= 1.0 FROM m
+              UNION ALL SELECT 'q0.5(n_chars)', 'n_chars', med_nc,
+                     100.0, 400.0, med_nc >= 100.0 AND med_nc <= 400.0 FROM m
+              UNION ALL SELECT 'n_chars_consistent', NULL, cons_ratio,
+                     1.0, NULL, cons_ratio >= 1.0 FROM m
+            ) ORDER BY check_id
+        """.replace("{langs}",
+                    ", ".join(repr(x) for x in DOC_LANGS)),
+        "suggest_schema": """
+            WITH m AS (
+              SELECT min(doc_id) AS doc_min, max(doc_id) AS doc_max,
+                     min(length(text)) AS t_min, max(length(text)) AS t_max,
+                     min(n_chars) AS nc_min, max(n_chars) AS nc_max,
+                     min(length(source)) AS s_min, max(length(source)) AS s_max,
+                     count(DISTINCT lang) AS lang_dv,
+                     count(DISTINCT source) AS src_dv
+              FROM documents),
+            lv AS (SELECT string_agg('''' || lang || '''', ', '
+                                     ORDER BY lang) AS ls
+                   FROM (SELECT DISTINCT lang FROM documents
+                         WHERE lang IS NOT NULL)),
+            sv AS (SELECT string_agg('''' || source || '''', ', '
+                                     ORDER BY source) AS ss,
+                          min(length(source)) AS s_min,
+                          max(length(source)) AS s_max
+                   FROM (SELECT DISTINCT source FROM documents
+                         WHERE source IS NOT NULL))
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column",
+                     'int.min(' || doc_min || ').max(' || doc_max || ')'
+                     AS element FROM m
+              UNION ALL SELECT 'lang',
+                     CASE WHEN lang_dv <= 12
+                          THEN '[''enum'', ' || lv.ls || ']'
+                          ELSE 'str.minlen(?).maxlen(?)' END FROM m, lv
+              UNION ALL SELECT 'n_chars',
+                     'int.min(' || nc_min || ').max(' || nc_max || ')' FROM m
+              UNION ALL SELECT 'source',
+                     CASE WHEN src_dv <= 12
+                          THEN '[''enum'', ' || sv.ss || ']'
+                          ELSE 'str.minlen(' || m.s_min || ').maxlen('
+                               || m.s_max || ')' END FROM m, sv
+              UNION ALL SELECT 'text',
+                     'str.minlen(' || t_min || ').maxlen(' || t_max || ')'
+                     FROM m
+            ) ORDER BY "column"
         """,
     }

@@ -1,0 +1,108 @@
+"""Table-level CheckSuite: one-pass aggregation, verdicts, plan shape."""
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.checks import Check, CheckSuite
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [(f"d{i:04d}",
+             None if i % 20 == 0 else f"text {'x' * (i % 50)}",
+             i % 7,
+             ["en", "zh", "de"][i % 3] if i % 11 else "xx")
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id string, text string, "
+                                       "n int, lang string")
+
+
+def test_suite_report_and_verdict(spark, df):
+    suite = CheckSuite("gate", [
+        Check.row_count(min=100, max=10_000),
+        Check.null_rate("text", max=0.10),
+        Check.min("n", ge=0),
+        Check.max("n", le=6),
+        Check.mean("n", between=(2.0, 4.0)),
+        Check.unique_ratio("doc_id", min=0.99),
+        Check.values_in("lang", ["en", "zh", "de"], min_ratio=0.95),
+        Check.matches("doc_id", r"d\d{4}", min_ratio=1.0),
+        Check.satisfies("n < 100", min_ratio=1.0, name="n_small"),
+    ])
+    rep = suite.run(df)
+    rows = {r["check_id"]: r for r in rep.collect()}
+    assert len(rows) == 9
+    assert rows["row_count"]["observed"] == 200.0
+    assert rows["row_count"]["passed"]
+    assert rows["null_rate(text)"]["observed"] == 0.05
+    assert rows["min(n)"]["passed"] and rows["max(n)"]["passed"]
+    assert rows["mean(n)"]["passed"]          # mean = 3.0 - 7/200 drift
+    assert rows["matches(doc_id)"]["passed"]
+    assert rows["n_small"]["passed"]
+    assert CheckSuite.verdict(rep) == all(r["passed"] for r in rows.values())
+
+
+def test_failures_carry_messages(spark, df):
+    suite = CheckSuite("strict", [
+        Check.row_count(min=1000),
+        Check.null_rate("text", max=0.01),
+        Check.values_in("lang", ["en"], min_ratio=0.99),
+    ])
+    rep = suite.run(df)
+    rows = {r["check_id"]: r for r in rep.collect()}
+    assert not rows["row_count"]["passed"]
+    assert rows["row_count"]["message"].startswith(
+        "expect row_count in [1000.0, +inf], but 200")
+    assert not rows["null_rate(text)"]["passed"]
+    assert not CheckSuite.verdict(rep)
+    # passing checks carry a null message
+    ok = CheckSuite("ok", [Check.row_count(min=1)]).run(df).first()
+    assert ok["message"] is None
+
+
+def test_empty_input_fails_bounded_checks(spark, df):
+    empty = df.limit(0)
+    rep = CheckSuite("e", [
+        Check.row_count(min=1),
+        Check.min("n", ge=0),            # null observed -> fail, not pass
+    ]).run(empty)
+    rows = {r["check_id"]: r for r in rep.collect()}
+    assert not rows["row_count"]["passed"]
+    assert not rows["min(n)"]["passed"]
+    assert rows["min(n)"]["observed"] is None
+
+
+def test_exact_variants_match_duckdb_semantics(spark, df):
+    import duckdb
+    pdf = df.toPandas()
+    rep = CheckSuite("x", [
+        Check.unique_ratio("lang", min=0.0, exact=True),
+        Check.quantile("n", 0.5, between=(0, 6), exact=True),
+        Check.stddev("n", le=10.0),
+    ]).run(df)
+    rows = {r["check_id"]: r for r in rep.collect()}
+    con = duckdb.connect()
+    con.register("t", pdf)
+    uniq, med, sd = con.execute(
+        "SELECT count(DISTINCT lang)::double / count(lang), "
+        "quantile_cont(n, 0.5), stddev_pop(n) FROM t").fetchone()
+    assert rows["unique_ratio(lang,exact)"]["observed"] == round(uniq, 6)
+    assert rows["q0.5(n)"]["observed"] == round(med, 6)
+    assert rows["stddev(n)"]["observed"] == round(sd, 6)
+
+
+def test_single_pass_plan(spark, df):
+    """The whole suite is ONE aggregate over ONE scan (modulo the exact
+    count_distinct expand) — no join, no repeated scans."""
+    suite = CheckSuite("g", [
+        Check.row_count(min=1), Check.null_rate("text", max=1.0),
+        Check.mean("n", between=(0, 10)),
+        Check.unique_ratio("doc_id", min=0.0),   # approx (HLL) path
+    ])
+    plan = suite.run(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2          # partial+final, one agg
+    assert "Join" not in plan
+
+
+def test_duplicate_check_ids_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate check_id"):
+        CheckSuite("d", [Check.row_count(min=1), Check.row_count(max=2)])

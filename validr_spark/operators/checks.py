@@ -1,0 +1,194 @@
+"""Declarative data-quality check suite — table-level constraints compiled
+into ONE aggregation pass.
+
+The row-validation compiler (validr_spark.compiler) answers "is each ROW
+well-formed" with per-row violations; this module answers "is the TABLE
+acceptable" with per-constraint verdicts: row-count bounds, null-rate
+ceilings, min/max/mean/quantile bounds, uniqueness ratios, value-set
+containment, regex-match ratios, and arbitrary SQL predicates with a
+minimum satisfaction ratio.
+
+Scale design (the 10^12-row shape):
+
+* Every constraint lowers to an algebraic (or sketch) aggregate, and the
+  whole suite is ONE ``df.agg(...)`` — a single scan with map-side partial
+  aggregation; the shuffle carries one row per task, never data rows.
+* Uniqueness defaults to ``approx_count_distinct`` (HLL, mergeable).
+  ``exact=True`` uses ``count_distinct`` — Spark plans it as an Expand +
+  two-phase agg keyed on the value, which shuffles the distinct keys; fine
+  at dimension-column cardinality, wrong for ~10^12 unique ids (use
+  operators.uniqueness.duplicate_keys for that).
+* Quantiles use the mergeable ``percentile_approx`` sketch by default;
+  ``exact=True`` is for small-scale oracle comparison only.
+
+The report is a DataFrame (one row per constraint) so it can be written
+next to the manifest and unioned across runs.
+
+Reference parity note: the reference (guyskk/validr) has no table-level
+constraint layer — this extends its row semantics to the dataset level the
+way the north rule's "per-partition pass/fail verdicts" require; message
+style follows the reference's "expect … , but …" convention
+(/root/reference/src/validr/_validator_c.pyx:300-340 error strings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: an aggregate ``metric`` over the table and a closed
+    ``[lo, hi]`` acceptance interval (either side may be None)."""
+
+    check_id: str
+    column: str | None
+    metric: Column = field(compare=False)
+    lo: float | None = None
+    hi: float | None = None
+
+    # -- factories ---------------------------------------------------------
+    @staticmethod
+    def row_count(min: int | None = None, max: int | None = None) -> "Check":
+        return Check("row_count", None, F.count(F.lit(1)).cast("double"),
+                     lo=min, hi=max)
+
+    @staticmethod
+    def null_rate(column: str, max: float,
+                  empty_is_null: bool = False) -> "Check":
+        c = F.col(column)
+        is_null = c.isNull()
+        if empty_is_null:
+            is_null = is_null | (c.cast("string") == "")
+        m = F.sum(is_null.cast("long")) / F.count(F.lit(1))
+        return Check(f"null_rate({column})", column, m, hi=max)
+
+    @staticmethod
+    def min(column: str, ge: float) -> "Check":
+        return Check(f"min({column})", column,
+                     F.min(F.col(column)).cast("double"), lo=ge)
+
+    @staticmethod
+    def max(column: str, le: float) -> "Check":
+        return Check(f"max({column})", column,
+                     F.max(F.col(column)).cast("double"), hi=le)
+
+    @staticmethod
+    def mean(column: str, between: tuple[float, float]) -> "Check":
+        return Check(f"mean({column})", column, F.avg(F.col(column)),
+                     lo=between[0], hi=between[1])
+
+    @staticmethod
+    def stddev(column: str, le: float) -> "Check":
+        # population stddev: deterministic and DuckDB-matched (stddev_pop)
+        return Check(f"stddev({column})", column,
+                     F.stddev_pop(F.col(column)), hi=le)
+
+    @staticmethod
+    def quantile(column: str, q: float, between: tuple[float, float],
+                 exact: bool = False,
+                 relative_error: float = 0.001) -> "Check":
+        if exact:
+            m = F.expr(f"percentile({column}, {q!r})")
+        else:
+            m = F.expr(f"percentile_approx({column}, {q!r}, "
+                       f"{int(1.0 / relative_error)})").cast("double")
+        return Check(f"q{q}({column})", column, m,
+                     lo=between[0], hi=between[1])
+
+    @staticmethod
+    def unique_ratio(column: str, min: float,
+                     exact: bool = False) -> "Check":
+        c = F.col(column)
+        distinct = (F.count_distinct(c) if exact
+                    else F.expr(f"approx_count_distinct({column})"))
+        m = distinct / F.sum(c.isNotNull().cast("long"))
+        tag = "exact" if exact else "approx"
+        return Check(f"unique_ratio({column},{tag})", column, m, lo=min)
+
+    @staticmethod
+    def values_in(column: str, allowed: list, min_ratio: float = 1.0) -> "Check":
+        c = F.col(column)
+        ok = c.isin(list(allowed)) & c.isNotNull()
+        m = F.sum(ok.cast("long")) / F.sum(c.isNotNull().cast("long"))
+        return Check(f"values_in({column})", column, m, lo=min_ratio)
+
+    @staticmethod
+    def matches(column: str, pattern: str, min_ratio: float = 1.0) -> "Check":
+        # full-match anchoring, same convention as the rule compiler
+        c = F.col(column)
+        ok = c.rlike(f"\\A(?:{pattern})\\Z")
+        m = F.sum(ok.cast("long")) / F.sum(c.isNotNull().cast("long"))
+        return Check(f"matches({column})", column, m, lo=min_ratio)
+
+    @staticmethod
+    def satisfies(predicate_sql: str, min_ratio: float = 1.0,
+                  name: str | None = None) -> "Check":
+        ok = F.expr(predicate_sql)
+        m = F.sum(ok.cast("long")) / F.count(F.lit(1))
+        return Check(name or f"satisfies({predicate_sql})", None, m,
+                     lo=min_ratio)
+
+
+class CheckSuite:
+    """A named bag of Checks evaluated in one scan.
+
+    >>> suite = CheckSuite("documents_gate", [
+    ...     Check.row_count(min=100),
+    ...     Check.null_rate("text", max=0.05, empty_is_null=True),
+    ...     Check.unique_ratio("doc_id", min=0.99),
+    ... ])
+    >>> report = suite.run(df)          # DataFrame, one row per check
+    >>> suite.verdict(report)           # True iff every check passed
+    """
+
+    def __init__(self, name: str, checks: list[Check]):
+        ids = [c.check_id for c in checks]
+        if len(set(ids)) != len(ids):
+            dup = sorted({i for i in ids if ids.count(i) > 1})
+            raise ValueError(f"duplicate check_id(s): {dup}; pass a unique "
+                             "name= to satisfies() or drop the duplicate")
+        self.name = name
+        self.checks = list(checks)
+
+    def run(self, df: DataFrame, round_digits: int = 6) -> DataFrame:
+        """One aggregation pass → (check_id, column, observed, lo, hi,
+        passed, message)."""
+        aggs = [F.round(c.metric.cast("double"), round_digits)
+                .alias(f"m{i}") for i, c in enumerate(self.checks)]
+        row = df.agg(*aggs)
+        out = []
+        for i, c in enumerate(self.checks):
+            v = F.col(f"m{i}")
+            passed = F.lit(True)
+            if c.lo is not None:
+                passed = passed & v.isNotNull() & (v >= float(c.lo))
+            if c.hi is not None:
+                passed = passed & v.isNotNull() & (v <= float(c.hi))
+            lo_s = "-inf" if c.lo is None else repr(float(c.lo))
+            hi_s = "+inf" if c.hi is None else repr(float(c.hi))
+            bound = f"[{lo_s}, {hi_s}]"
+            msg = F.when(passed, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit(f"expect {c.check_id} in {bound}, but "),
+                         F.coalesce(v.cast("string"), F.lit("null"))))
+            out.append(F.struct(
+                F.lit(c.check_id).alias("check_id"),
+                F.lit(c.column).cast("string").alias("column"),
+                v.alias("observed"),
+                F.lit(c.lo).cast("double").alias("lo"),
+                F.lit(c.hi).cast("double").alias("hi"),
+                passed.alias("passed"),
+                msg.alias("message"),
+            ))
+        return (row.select(F.explode(F.array(*out)).alias("c"))
+                .select("c.*"))
+
+    @staticmethod
+    def verdict(report: DataFrame) -> bool:
+        """Collects ONE boolean (aggregated, never row data)."""
+        return bool(report.agg(
+            F.min(F.col("passed").cast("int"))).first()[0])
