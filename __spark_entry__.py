@@ -711,6 +711,24 @@ def q_suggest_schema(spark, sf):
             .orderBy("column"))
 
 
+def q_anomaly_scan(spark, sf):
+    """Metric anomaly detection (operators/anomaly.py) over a run history
+    derived from events: per (event_type, day) counts play the role of
+    per-partition manifest metrics; each day is judged against the
+    strictly-preceding days of the same event_type (z-score, frame-bounded
+    window — one shuffle on the key)."""
+    from validr_spark.operators.anomaly import metric_anomalies
+    ev = _load(spark, sf, "events")
+    man = (ev.groupBy(F.col("event_type").alias("part"),
+                      F.dayofmonth("ts").cast("double").alias("finished_at"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("value") < 0).cast("long")).alias("n_bad_rows"),
+                F.sum((F.col("value") > 100).cast("long"))
+                .alias("n_violations")))
+    return (metric_anomalies(man, threshold=2.0)
+            .orderBy("part", "finished_at", "metric"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -749,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_validate": q_map_validate,
         "check_suite": q_check_suite,
         "suggest_schema": q_suggest_schema,
+        "anomaly_scan": q_anomaly_scan,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1569,6 +1588,42 @@ def _pipeline_oracles() -> dict[str, str]:
             ) ORDER BY check_id
         """.replace("{langs}",
                     ", ".join(repr(x) for x in DOC_LANGS)),
+        "anomaly_scan": """
+            WITH man AS (
+              SELECT event_type AS part, day(ts)::DOUBLE AS finished_at,
+                     count(*)::DOUBLE AS n_rows,
+                     sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::DOUBLE
+                       AS n_bad_rows,
+                     sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::DOUBLE
+                       AS n_violations
+              FROM events GROUP BY 1, 2),
+            lng AS (
+              SELECT part, finished_at, 'n_rows' AS metric, n_rows AS value
+              FROM man
+              UNION ALL
+              SELECT part, finished_at, 'n_bad_rows', n_bad_rows FROM man
+              UNION ALL
+              SELECT part, finished_at, 'n_violations', n_violations FROM man),
+            sc AS (
+              SELECT part, finished_at, metric, value,
+                     avg(value) OVER w AS mean,
+                     stddev_samp(value) OVER w AS sd,
+                     count(value) OVER w AS n_history
+              FROM lng
+              WINDOW w AS (PARTITION BY part, metric ORDER BY finished_at
+                           ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+            scored AS (
+              SELECT *, CASE WHEN sd > 0 THEN abs((value - mean) / sd)
+                             WHEN value = mean THEN 0.0
+                             ELSE 'infinity'::DOUBLE END AS raw_score
+              FROM sc)
+            SELECT part, finished_at, metric, value,
+                   round(mean, 6) AS baseline, n_history,
+                   round(raw_score, 6) AS score,
+                   CASE WHEN n_history < 3 THEN NULL
+                        ELSE raw_score > 2.0 END AS is_anomaly
+            FROM scored ORDER BY part, finished_at, metric
+        """,
         "suggest_schema": """
             WITH m AS (
               SELECT min(doc_id) AS doc_min, max(doc_id) AS doc_max,

@@ -80,6 +80,50 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Profile a table and print a drafted validr schema (isomorph JSON)
+    — feed the edited draft back to ``validate --schema``."""
+    from .operators.suggest import suggest_schema
+
+    spark = _build_session(args.master, None)
+    from .sources import TableSource
+    df = TableSource(args.input, fmt=args.format).load(spark)
+    schema = suggest_schema(df, enum_max=args.enum_max)
+    print(json.dumps(schema.to_primitive(), indent=2))
+    return 0
+
+
+def cmd_check(args) -> int:
+    """Run a declarative table-level check suite from a JSON spec.
+
+    Spec file: {"name": ..., "checks": [{"type": "null_rate",
+    "column": "text", "max": 0.05}, {"type": "row_count", "min": 1}, ...]}
+    — "type" is any Check factory name; the rest are its kwargs.
+    Exit code 1 if any check fails (CI-gate shape).
+    """
+    from .operators.checks import Check, CheckSuite
+    from .sources import TableSource
+
+    with open(args.checks) as f:
+        spec = json.load(f)
+    checks = []
+    for c in spec["checks"]:
+        kw = dict(c)
+        factory = getattr(Check, kw.pop("type"))
+        kw = {k: (tuple(v) if isinstance(v, list) and k == "between" else v)
+              for k, v in kw.items()}
+        checks.append(factory(**kw))
+    suite = CheckSuite(spec.get("name", "cli_suite"), checks)
+
+    spark = _build_session(args.master, None)
+    df = TableSource(args.input, fmt=args.format).load(spark)
+    report = suite.run(df)
+    rows = [r.asDict() for r in report.collect()]
+    for r in rows:
+        print(json.dumps(r))
+    return 0 if all(r["passed"] for r in rows) else 1
+
+
 def cmd_manifest(args) -> int:
     from .plans import ManifestStore
 
@@ -114,6 +158,21 @@ def main(argv=None) -> int:
     v.add_argument("--master", default=None)
     v.add_argument("--shuffle-partitions", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("suggest", help="draft a validr schema from a table")
+    s.add_argument("--input", required=True)
+    s.add_argument("--format", default="auto")
+    s.add_argument("--enum-max", type=int, default=12)
+    s.add_argument("--master", default=None)
+    s.set_defaults(fn=cmd_suggest)
+
+    c = sub.add_parser("check", help="run a declarative check suite "
+                                     "(exit 1 on any failure)")
+    c.add_argument("--input", required=True)
+    c.add_argument("--format", default="auto")
+    c.add_argument("--checks", required=True, help="JSON check-suite spec")
+    c.add_argument("--master", default=None)
+    c.set_defaults(fn=cmd_check)
 
     m = sub.add_parser("manifest", help="dump a manifest table")
     m.add_argument("--manifest", required=True)
