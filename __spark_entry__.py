@@ -729,6 +729,19 @@ def q_anomaly_scan(spark, sf):
             .orderBy("part", "finished_at", "metric"))
 
 
+def q_contamination(spark, sf):
+    """Benchmark decontamination (operators/contamination.py): docs whose
+    doc_id % 97 == 0 play the held-out benchmark; every corpus doc is
+    scored by distinct shared word-8-grams.  Broadcast gram probe — the
+    corpus side is never shuffled (oracle matches on gram STRINGS, which
+    equals the xxhash64-key result absent 64-bit collisions)."""
+    from validr_spark.operators.contamination import contamination_scan
+    df = _load(spark, sf, "documents")
+    bench = df.filter(F.col("doc_id") % 97 == 0)
+    return (contamination_scan(df, bench, n=8)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_suite": q_check_suite,
         "suggest_schema": q_suggest_schema,
         "anomaly_scan": q_anomaly_scan,
+        "contamination": q_contamination,
         # rows-only (no SQL oracle)
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1588,6 +1602,33 @@ def _pipeline_oracles() -> dict[str, str]:
             ) ORDER BY check_id
         """.replace("{langs}",
                     ", ".join(repr(x) for x in DOC_LANGS)),
+        "contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 7, 0)),
+                       i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            tot AS (
+              SELECT doc_id,
+                     greatest(len(ws) - 7, 0)::BIGINT AS n_grams FROM w),
+            hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+              FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(CASE WHEN t.n_grams > 0
+                         THEN coalesce(h.n_hits, 0)::DOUBLE / t.n_grams
+                         ELSE 0.0 END, 6) AS hit_fraction,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM tot t LEFT JOIN hits h USING (doc_id)
+            ORDER BY t.doc_id
+        """,
         "anomaly_scan": """
             WITH man AS (
               SELECT event_type AS part, day(ts)::DOUBLE AS finished_at,

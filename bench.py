@@ -191,7 +191,7 @@ HEADLINE = [
     "ks_drift", "dedup_prefix", "token_counts", "ann_topk",
     "events_validate", "minhash_pairs", "simhash_pairs", "text_profile",
     "ivf_topk", "pii_audit", "top_ngram", "quality_filter", "sessions",
-    "asof_clicks", "check_suite",
+    "asof_clicks", "check_suite", "contamination",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Benchmark decontamination: n-gram overlap scan, attribution pairs,
+plan shape (broadcast probe, no corpus-wide shuffle)."""
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.contamination import (contamination_pairs,
+                                                  contamination_scan,
+                                                  ngram_hashes)
+
+BENCH_Q = "what is the capital of france paris of course"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    filler = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        ("clean1", f"totally unrelated text {filler}"),
+        ("leak1", f"{filler} What is the capital of France Paris of course"),
+        ("leak_rep", ("what is the capital of france paris of course " * 3)
+                     + filler),
+        ("short", "too short"),
+        ("clean2", " ".join(f"z{i}" for i in range(30))),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [("q1", BENCH_Q), ("q2", "the quick brown fox jumps over a lazy dog")],
+        "bench_id string, text string")
+
+
+def test_ngram_hashes_counts_positions(spark, corpus):
+    g = ngram_hashes(corpus, n=8).groupBy("doc_id").count().collect()
+    by = {r["doc_id"]: r["count"] for r in g}
+    assert "short" not in by                      # < 8 words -> no grams
+    assert by["clean2"] == 30 - 7
+
+
+def test_scan_flags_leaked_docs(spark, corpus, bench_set):
+    rep = contamination_scan(corpus, bench_set,
+                             bench_text_col="text", n=8)
+    by = {r["doc_id"]: r for r in rep.collect()}
+    assert by["leak1"]["contaminated"] is True
+    assert by["leak_rep"]["contaminated"] is True
+    assert by["clean1"]["contaminated"] is False
+    assert by["clean2"]["contaminated"] is False
+    assert by["short"]["n_grams"] == 0 and by["short"]["n_hits"] == 0
+    # repeating the leaked line does not inflate distinct hits:
+    # both leaks share the same 2 distinct 8-gram windows of the question
+    assert by["leak_rep"]["n_hits"] >= by["leak1"]["n_hits"]
+    assert by["leak1"]["n_hits"] == 2             # 9-word question -> 2 grams
+
+
+def test_pairs_attribute_to_benchmark_item(spark, corpus, bench_set):
+    pairs = contamination_pairs(corpus, bench_set, n=8).collect()
+    got = {(r["doc_id"], r["bench_id"]) for r in pairs}
+    assert ("leak1", "q1") in got
+    assert ("leak_rep", "q1") in got
+    assert not any(b == "q2" for _, b in got)
+
+
+def test_min_hits_threshold(spark, corpus, bench_set):
+    rep = contamination_scan(corpus, bench_set, n=8, min_hits=3)
+    by = {r["doc_id"]: r for r in rep.collect()}
+    assert by["leak1"]["contaminated"] is False    # only 2 distinct hits
+
+
+def test_plan_broadcasts_benchmark(spark, corpus, bench_set):
+    rep = contamination_scan(corpus, bench_set, n=8)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus gram stream must not be exchanged before the probe:
+    # the only wide exchanges allowed are for the tiny hit-side aggs
+    assert "SortMergeJoin" not in plan
+
+
+def test_case_insensitive_overlap(spark, bench_set):
+    corpus = bench_set.select(F.col("bench_id").alias("doc_id"),
+                              F.upper("text").alias("text"))
+    rep = contamination_scan(corpus, bench_set, n=8)
+    assert all(r["contaminated"] for r in rep.collect())
+    assert all(r["hit_fraction"] == 1.0 for r in rep.collect())

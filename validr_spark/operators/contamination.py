@@ -1,0 +1,128 @@
+"""Benchmark decontamination — find training documents that overlap an
+evaluation/benchmark set by shared word n-grams.
+
+The standard LLM-pipeline hygiene step (GPT-3 used 13-gram overlap,
+Llama-style pipelines 8-grams): a training doc that shares ≥ ``min_hits``
+distinct word n-grams with any benchmark item is flagged
+(``contamination_scan``) or attributed to the specific benchmark item
+(``contamination_pairs``).
+
+Scale design (corpus = 10^12 docs, benchmark = 10^3..10^6 items):
+
+* n-grams are built with the codegen ``slice``+``arrays_zip`` pattern
+  (no lambda HOFs — see PERF.md Finding 1) and hashed to int64 with
+  ``xxhash64`` so the join key is 8 bytes, never the gram string.
+* the benchmark side is tiny by construction → its distinct gram-hash
+  set is **broadcast**; the corpus-side probe is a broadcast hash join
+  inside the same codegen stage as the explode — the 10^12-row side is
+  never shuffled on the gram key.  Pass ``broadcast_benchmark=False``
+  to fall back to a shuffled join for a pathologically large benchmark.
+* per-doc aggregation is a map-side-combinable count over the (rare)
+  surviving hits.
+
+Hash collisions: xxhash64 over ≤10^10 distinct grams gives ~10^-9
+per-pair collision odds — negligible for a screen whose hits are
+reviewed/dropped wholesale.
+
+No counterpart in guyskk/validr (single-value validation only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from validr_spark.operators.textstats import words_of
+
+__all__ = ["ngram_hashes", "contamination_scan", "contamination_pairs"]
+
+
+def ngram_hashes(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, gram) with one row per n-gram occurrence position; gram is the
+    xxhash64 of the space-joined lowercased word n-gram.  Docs shorter
+    than n words produce no rows.  Pure codegen: split → slice/zip →
+    explode → hash."""
+    c = F.col(text_col)
+    # materialize words once behind a CollapseProject barrier so the
+    # split doesn't re-run per slice (same trick as textstats)
+    w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
+    pre = df.select(F.col(id_col).alias("_cid"), w_once.alias("_w"))
+    wcol = F.col("_w")
+    sz = F.size(wcol)
+    pre = pre.filter(sz >= n)
+    zipped = F.arrays_zip(
+        *[F.slice(wcol, i + 1, sz - (n - 1)) for i in range(n)])
+    gram = F.concat_ws(" ", *[F.col("_g")[str(i)] for i in range(n)])
+    return (pre.select("_cid", F.explode(zipped).alias("_g"))
+            .select(F.col("_cid").alias(id_col),
+                    F.xxhash64(gram).alias("gram")))
+
+
+def contamination_scan(corpus: DataFrame, benchmark: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bench_text_col: str | None = None,
+                       n: int = 8, min_hits: int = 1,
+                       broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-corpus-doc contamination report:
+    (doc_id, n_grams, n_hits, hit_fraction, contaminated).
+
+    ``n_grams`` is the doc's n-gram POSITION count (``n_words − n + 1``,
+    computed map-side — no corpus-wide shuffle to deduplicate grams);
+    ``n_hits`` counts DISTINCT shared gram hashes, so a doc repeating one
+    leaked line does not inflate its score.
+
+    Shuffle budget at 10^12 docs: ZERO corpus-wide shuffles — totals are
+    a narrow scan, the gram probe is a broadcast inner join (only HITS
+    survive it, and only hits are deduplicated/aggregated), and the final
+    attach broadcasts the tiny hit table back onto the corpus."""
+    bench_text = bench_text_col or text_col
+    # the benchmark needs no id here — only its gram set survives
+    bench_src = benchmark.select(F.lit(0).alias("_bid"),
+                                 F.col(bench_text).alias("_btext"))
+    bench = (ngram_hashes(bench_src, "_btext", "_bid", n)
+             .select("gram").distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # per-doc gram totals: map-side arithmetic, no explode survives
+    totals = corpus.select(
+        F.col(id_col),
+        F.greatest(F.size(words_of(F.col(text_col))) - (n - 1),
+                   F.lit(0)).cast("long").alias("n_grams"))
+    # hits: inner broadcast join prunes to shared grams (rare), THEN dedup
+    hits = (ngram_hashes(corpus, text_col, id_col, n)
+            .join(bench, on="gram")           # broadcast hash join
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_doc = totals.join(F.broadcast(hits), on=id_col, how="left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return per_doc.select(
+        id_col, "n_grams", n_hits.alias("n_hits"),
+        F.round(F.when(F.col("n_grams") > 0, n_hits / F.col("n_grams"))
+                .otherwise(F.lit(0.0)), 6).alias("hit_fraction"),
+        (n_hits >= min_hits).alias("contaminated"))
+
+
+def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_id_col: str = "bench_id",
+                        bench_text_col: str | None = None,
+                        n: int = 8, min_hits: int = 1,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Attribution variant: (doc_id, bench_id, n_shared) for pairs sharing
+    ≥ min_hits distinct n-grams — which benchmark item leaked where.
+    Join fan-out is |shared grams| per pair — bounded by the benchmark
+    side's size, not the corpus's."""
+    bench_text = bench_text_col or text_col
+    bench = ngram_hashes(benchmark, bench_text, bench_id_col, n).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # inner-join FIRST (broadcast probe, only hits survive), dedup the
+    # rare (doc, bench, gram) triples after — never a corpus-wide shuffle
+    return (ngram_hashes(corpus, text_col, id_col, n)
+            .join(bench, on="gram")
+            .distinct()
+            .groupBy(id_col, bench_id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_hits))
