@@ -550,12 +550,12 @@ class SparkCompiler:
                             string_output=False)
 
         # list (shape) form: pick the branch whose shape matches input_type.
-        # DOCUMENTED DIVERGENCE (README "union" note): the reference
-        # dispatches on each VALUE's shape at runtime (pyx:695-709); Spark
-        # columns are statically typed, so dispatch resolves from the
-        # column type at compile time.  ≤1 alternative per shape is still
-        # enforced with the reference's SchemaError (pyx:676-692) — a
-        # struct-of-options / VariantType runtime dispatch is unsupported.
+        # On a statically-typed column the reference's runtime shape
+        # dispatch (pyx:695-709) resolves at compile time; on a
+        # **VariantType** column (parse_json ingest) the dispatch is TRUE
+        # runtime, per row, via schema_of_variant — see
+        # _union_variant_core.  ≤1 alternative per shape is enforced with
+        # the reference's SchemaError (pyx:676-692) in both paths.
         branches = {"scalar": None, "list": None, "dict": None}
         for sub in schema.items:
             shape = ("list" if sub.validator == "list"
@@ -564,6 +564,8 @@ class SparkCompiler:
             if branches[shape] is not None:
                 raise SchemaError("ambiguous union schema")
             branches[shape] = sub
+        if isinstance(input_type, st.VariantType):
+            return self._union_variant_core(branches, path)
         if isinstance(input_type, st.ArrayType):
             pick, reject = branches["list"], "not allowed list"
         elif isinstance(input_type, st.StructType):
@@ -575,6 +577,96 @@ class SparkCompiler:
         sub_plan = self.compile_node(pick, input_type, path)
         return CoreRule(sub_plan.output_type, sub_plan.value, sub_plan.error,
                         accept_string=False, string_output=False)
+
+    def _union_variant_core(self, branches: dict, path: str) -> CoreRule:
+        """Runtime shape-dispatched union over a VariantType column —
+        reference-parity with pyx:695-709's per-VALUE dispatch.
+
+        Each row's shape comes from ``schema_of_variant``; the matching
+        branch validates a string-typed ``try_variant_get`` extraction, so
+        scalar coercion rides the normal accept-string path (int/float/
+        bool/str all coerce from their canonical string form).  The output
+        is a struct-of-options: one field per declared shape, the
+        non-matching fields null — the natural Spark representation of a
+        runtime sum type.
+
+        Depth-1 extraction: a list branch sees array<string> (nested
+        objects arrive as their JSON text), a dict branch sees
+        struct<all-string fields>.  Variant NULL (VOID) behaves exactly
+        like SQL NULL: the wrapper's required/optional/default logic
+        applies unchanged.
+
+        DOCUMENTED DIVERGENCE (README "union" note): branches see the
+        value's canonical JSON-string form, so an int branch rejects a
+        non-integral float scalar ("3.5" → 'invalid int') where the
+        reference's Python dispatch truncates (int(3.5) → 3).  On typed
+        float columns (the non-variant path) truncation parity holds."""
+        subs: dict[str, tuple] = {}
+        for shape, sub in branches.items():
+            if sub is None:
+                continue
+            if shape == "scalar":
+                in_t: st.DataType = st.StringType()
+            elif shape == "list":
+                in_t = st.ArrayType(st.StringType())
+            else:
+                body = (sub if sub.validator == "dict"
+                        else T(sub.items).__schema__)
+                in_t = st.StructType([st.StructField(k, st.StringType())
+                                      for k in (body.items or {})])
+            subs[shape] = (in_t, self.compile_node(sub, in_t, path))
+
+        out_t = st.StructType([st.StructField(s, plan.output_type)
+                               for s, (_, plan) in subs.items()])
+
+        def classify(col):
+            sov = F.schema_of_variant(col)
+            return (sov.startswith("ARRAY"),
+                    sov.startswith("OBJECT") | sov.startswith("STRUCT"))
+
+        def _ext(col, in_t):
+            return F.try_variant_get(col, "$", in_t.simpleString())
+
+        def _shape_cond(shape, is_arr, is_obj):
+            if shape == "list":
+                return is_arr
+            if shape == "dict":
+                return is_obj
+            return ~is_arr & ~is_obj
+
+        def coerce(col):
+            is_arr, is_obj = classify(col)
+            fields = []
+            for shape, (in_t, plan) in subs.items():
+                val = F.when(_shape_cond(shape, is_arr, is_obj),
+                             plan.value(_ext(col, in_t))) \
+                    .otherwise(F.lit(None).cast(plan.output_type))
+                fields.append(val.alias(shape))
+            return F.when(col.isNull() | F.is_variant_null(col),
+                          F.lit(None).cast(out_t)) \
+                .otherwise(F.struct(*fields))
+
+        def error(col, pos):
+            is_arr, is_obj = classify(col)
+
+            def branch_err(shape, not_allowed):
+                if shape in subs:
+                    in_t, plan = subs[shape]
+                    return plan.error(_ext(col, in_t), pos)
+                return mkviol(f"{path}.type" if path else "type", pos,
+                              not_allowed,
+                              value_repr(_ext(col, st.StringType()),
+                                         st.StringType()))
+
+            out = (F.when(is_arr, branch_err("list", "not allowed list"))
+                   .when(is_obj, branch_err("dict", "not allowed dict"))
+                   .otherwise(branch_err("scalar",
+                                         "not allowed scalar value")))
+            return F.when(col.isNull() | F.is_variant_null(col),
+                          NULL_VIOLATION()).otherwise(out)
+
+        return CoreRule(out_t, coerce, error, accept_string=False,
+                        string_output=False)
 
     def _type_mismatch_core(self, input_type, path, message) -> CoreRule:
         def coerce(col):
