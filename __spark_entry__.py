@@ -742,6 +742,40 @@ def q_contamination(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_events_diff(spark, sf):
+    """Row-level table diff (operators/diff.py): version A = events minus
+    ids ≡ 1 (mod 7); version B = events minus ids ≡ 0 (mod 7) with value
+    bumped where id ≡ 0 (mod 5).  Full-outer join on the key, null-safe
+    column compare → added/removed/changed/same per row.  changed_cols is
+    flattened to a CSV string so the oracle hash is array-free."""
+    from validr_spark.operators.diff import table_diff
+
+    ev = _load(spark, sf, "events").select("event_id", "event_type", "value")
+    a = ev.filter(F.col("event_id") % 7 != 1)
+    b = (ev.filter(F.col("event_id") % 7 != 0)
+         .withColumn("value", F.when(F.col("event_id") % 5 == 0,
+                                     F.col("value") + 1.0)
+                     .otherwise(F.col("value"))))
+    d = table_diff(a, b, key_cols=["event_id"])
+    return (d.select("event_id", "status",
+                     F.array_join("changed_cols", ",").alias("changed"))
+            .orderBy("event_id"))
+
+
+def q_pack_stats(spark, sf):
+    """Sequence packing (operators/packing.py): pack documents into
+    1024-token bins (n_chars plays token length), report bin count /
+    utilization.  Greedy FFD inside deterministic shards via
+    applyInPandas — not SQL-expressible, rows-only check; invariants
+    (no overflow, exactly-once, determinism) are pytest-covered."""
+    from validr_spark.operators.packing import pack_greedy, packing_stats
+
+    df = _load(spark, sf, "documents")
+    packed = pack_greedy(df, max_tokens=1024, id_col="doc_id",
+                         len_col="n_chars", num_shards=8)
+    return packing_stats(packed, max_tokens=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -782,7 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_schema": q_suggest_schema,
         "anomaly_scan": q_anomaly_scan,
         "contamination": q_contamination,
+        "events_diff": q_events_diff,
         # rows-only (no SQL oracle)
+        "pack_stats": q_pack_stats,
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
@@ -1628,6 +1664,30 @@ def _pipeline_oracles() -> dict[str, str]:
                    coalesce(h.n_hits, 0) >= 1 AS contaminated
             FROM tot t LEFT JOIN hits h USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "events_diff": """
+            WITH ev AS (SELECT event_id, event_type, value FROM events),
+            a AS (SELECT * FROM ev WHERE event_id % 7 != 1),
+            b AS (SELECT event_id, event_type,
+                         CASE WHEN event_id % 5 = 0 THEN value + 1.0
+                              ELSE value END AS value
+                  FROM ev WHERE event_id % 7 != 0)
+            SELECT coalesce(a.event_id, b.event_id) AS event_id,
+                   CASE WHEN a.event_id IS NULL THEN 'added'
+                        WHEN b.event_id IS NULL THEN 'removed'
+                        WHEN (a.event_type IS DISTINCT FROM b.event_type)
+                          OR (a.value IS DISTINCT FROM b.value)
+                          THEN 'changed'
+                        ELSE 'same' END AS status,
+                   CASE WHEN a.event_id IS NULL OR b.event_id IS NULL
+                        THEN ''
+                        ELSE concat_ws(',',
+                          CASE WHEN a.event_type IS DISTINCT FROM
+                                    b.event_type THEN 'event_type' END,
+                          CASE WHEN a.value IS DISTINCT FROM b.value
+                               THEN 'value' END) END AS changed
+            FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+            ORDER BY event_id
         """,
         "anomaly_scan": """
             WITH man AS (

@@ -1,0 +1,106 @@
+"""table_diff / diff_summary and pack_greedy / packing_stats."""
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.diff import diff_summary, table_diff
+from validr_spark.operators.packing import pack_greedy, packing_stats
+
+
+# --- diff --------------------------------------------------------------------
+
+@pytest.fixture()
+def versions(spark):
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)],
+        "k long, s string, v long")
+    b = spark.createDataFrame(
+        [(2, "y", 20),            # same
+         (3, "z2", 30),           # changed s
+         (4, None, 41),           # changed v (null-safe s compare)
+         (5, "new", 50)],         # added
+        "k long, s string, v long")
+    return a, b
+
+
+def test_table_diff_statuses(spark, versions):
+    a, b = versions
+    d = {r["k"]: r for r in table_diff(a, b, ["k"]).collect()}
+    assert d[1]["status"] == "removed"
+    assert d[2]["status"] == "same" and list(d[2]["changed_cols"]) == []
+    assert d[3]["status"] == "changed"
+    assert list(d[3]["changed_cols"]) == ["s"]
+    assert d[4]["status"] == "changed"
+    assert list(d[4]["changed_cols"]) == ["v"]
+    assert d[5]["status"] == "added"
+
+
+def test_diff_summary_counts(spark, versions):
+    a, b = versions
+    row = diff_summary(a, b, ["k"]).first()
+    assert (row["n_added"], row["n_removed"],
+            row["n_changed"], row["n_same"]) == (1, 1, 2, 1)
+
+
+def test_diff_compare_subset(spark, versions):
+    a, b = versions
+    d = {r["k"]: r["status"]
+         for r in table_diff(a, b, ["k"], compare_cols=["v"]).collect()}
+    assert d[3] == "same"            # s changed but only v compared
+    assert d[4] == "changed"
+
+
+def test_diff_identical_tables(spark, versions):
+    a, _ = versions
+    row = diff_summary(a, a, ["k"]).first()
+    assert row["n_same"] == 4 and row["n_changed"] == 0
+    assert row["n_added"] == 0 and row["n_removed"] == 0
+
+
+# --- packing -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(f"d{i:04d}", 10 + (i * 37) % 900) for i in range(500)]
+    rows += [("huge1", 5000), ("huge2", 99999)]
+    return spark.createDataFrame(rows, "doc_id string, n_tok long")
+
+
+def test_no_bin_overflows(spark, docs):
+    packed = pack_greedy(docs, max_tokens=1024, num_shards=8)
+    per_bin = (packed.filter(~F.col("truncated"))
+               .groupBy("bin_id").agg(F.sum("n_tok").alias("tok")))
+    assert per_bin.filter(F.col("tok") > 1024).count() == 0
+
+
+def test_every_doc_assigned_exactly_once(spark, docs):
+    packed = pack_greedy(docs, max_tokens=1024, num_shards=8)
+    assert packed.count() == docs.count()
+    assert packed.select("id").distinct().count() == docs.count()
+
+
+def test_oversized_docs_flagged_not_dropped(spark, docs):
+    packed = pack_greedy(docs, max_tokens=1024, num_shards=8)
+    t = {r["id"]: r for r in packed.filter("truncated").collect()}
+    assert set(t) == {"huge1", "huge2"}
+    # each oversized doc is alone in its bin
+    bins = packed.groupBy("bin_id").count()
+    for r in t.values():
+        n = bins.filter(F.col("bin_id") == r["bin_id"]).first()["count"]
+        assert n == 1
+
+
+def test_packing_deterministic(spark, docs):
+    p1 = pack_greedy(docs, max_tokens=1024, num_shards=8).collect()
+    p2 = pack_greedy(docs.orderBy(F.rand(7)), max_tokens=1024,
+                     num_shards=8).collect()
+    assert {(r["id"], r["bin_id"]) for r in p1} == \
+           {(r["id"], r["bin_id"]) for r in p2}
+
+
+def test_utilization_reasonable(spark, docs):
+    packed = pack_greedy(docs, max_tokens=1024, num_shards=8)
+    row = packing_stats(packed, 1024).first()
+    assert row["n_truncated"] == 2
+    assert row["n_docs"] == 502
+    # FFD within shards: waste should be modest on mixed lengths
+    assert row["utilization"] > 0.7

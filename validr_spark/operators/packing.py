@@ -1,0 +1,114 @@
+"""Sequence packing — assign documents to fixed-capacity training bins
+(context windows) so concatenated sequences waste minimal padding.
+
+The pre-training data-prep step after tokenize/dedup/filter: documents
+of n_tok tokens are grouped into bins of capacity ``max_tokens``; each
+bin becomes one training sequence (docs joined by a separator, padded to
+the context length).  Packing quality = fraction of capacity filled.
+
+Distributed design (10^12 docs):
+
+* Packing is inherently sequential (bin state), so it CANNOT be one
+  Catalyst expression — but it parallelizes perfectly across independent
+  groups.  ``pack_greedy`` shards docs into ``num_shards`` deterministic
+  shards (xxhash64 of the id), then runs greedy next-fit packing inside
+  each shard via ``applyInPandas`` — O(shard) state, Arrow-batched, no
+  driver involvement.  Bin ids are globally unique ((shard, local_bin)).
+* Greedy-by-arrival within a shard is the streaming-friendly choice; for
+  tighter packing pass ``sort_within_shard=True`` (first-fit-decreasing
+  flavor: packs the shard's docs longest-first, classic ~11/9 OPT bound
+  vs unbounded for arbitrary arrival order).
+* Oversized docs (n_tok > max_tokens) are flagged into their own
+  single-doc bins with ``truncated = true`` — the caller decides whether
+  to split or drop them; silently dropping data in a packer is how
+  training sets lose their long-document tail.
+
+Determinism: shard assignment and within-shard order are pure functions
+of (id, n_tok), so re-runs produce identical bins — required for
+resumable pipelines (plans/manifest.py lineage).
+
+No counterpart in guyskk/validr (no notion of sequences or packing).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as st
+
+__all__ = ["pack_greedy", "packing_stats"]
+
+
+def pack_greedy(df: DataFrame, max_tokens: int,
+                id_col: str = "doc_id", len_col: str = "n_tok",
+                num_shards: int = 256,
+                sort_within_shard: bool = True) -> DataFrame:
+    """Assign each doc a bin: (id, n_tok, shard, bin_id, truncated).
+
+    ``bin_id`` is a globally-unique string "<shard>/<local bin>"; docs
+    with the same bin_id form one training sequence (their n_tok sums to
+    ≤ max_tokens, except single-doc ``truncated`` bins).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    out_schema = st.StructType([
+        st.StructField("id", st.StringType()),
+        st.StructField("n_tok", st.LongType()),
+        st.StructField("shard", st.IntegerType()),
+        st.StructField("bin_id", st.StringType()),
+        st.StructField("truncated", st.BooleanType()),
+    ])
+    src = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(len_col).cast("long").alias("n_tok"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+               F.lit(num_shards)).cast("int").alias("shard"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        # deterministic within-shard order regardless of arrival order
+        if sort_within_shard:
+            pdf = pdf.sort_values(["n_tok", "id"],
+                                  ascending=[False, True])
+        else:
+            pdf = pdf.sort_values("id")
+        bins, fill, next_bin = [], 0, 0
+        truncated = []
+        cur = -1
+        for n in pdf["n_tok"].to_numpy():
+            n = int(n) if n == n else 0          # NaN-safe
+            if n > max_tokens:
+                bins.append(f"{shard}/{next_bin}")
+                truncated.append(True)
+                next_bin += 1
+                continue
+            if cur < 0 or fill + n > max_tokens:
+                cur = next_bin
+                next_bin += 1
+                fill = 0
+            fill += n
+            bins.append(f"{shard}/{cur}")
+            truncated.append(False)
+        pdf = pdf.assign(bin_id=bins, truncated=truncated)
+        return pdf[["id", "n_tok", "shard", "bin_id", "truncated"]]
+
+    return src.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row packing quality report: n_bins, n_docs, total_tokens,
+    utilization (tokens / (n_bins × capacity), truncated bins excluded
+    from the denominator's capacity accounting), n_truncated."""
+    per_bin = (packed.groupBy("bin_id")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("tok"),
+                    F.max(F.col("truncated").cast("int")).alias("trunc")))
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.round(F.sum(F.when(F.col("trunc") == 0, F.col("tok")))
+                / (F.sum((F.col("trunc") == 0).cast("long"))
+                   * F.lit(max_tokens)), 6).alias("utilization"),
+        F.sum("trunc").cast("long").alias("n_truncated"))
