@@ -776,6 +776,57 @@ def q_pack_stats(spark, sf):
     return packing_stats(packed, max_tokens=1024)
 
 
+def q_dup_components(spark, sf):
+    """Connected components (operators/graph.py) over a deterministic
+    edge list: consecutive doc_ids sharing a lang are 'duplicates'.
+    Components = maximal same-lang runs; the oracle computes the same
+    grouping with gaps-and-islands SQL.  Exercises the full iterative
+    min-label propagation loop (multi-round convergence on chains)."""
+    from validr_spark.operators.graph import connected_components
+
+    d = (_load(spark, sf, "documents")
+         .groupBy("doc_id").agg(F.min("lang").alias("lang")))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("lang").alias("lang_b"))
+    edges = (d.join(b, ["doc_id"])
+             .filter(F.col("lang") == F.col("lang_b"))
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    cc = connected_components(edges, nodes=d.select("doc_id"), max_iter=60)
+    return (cc.select(F.col("id").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
+def q_psi_drift(spark, sf):
+    """PSI drift (operators/drift.py): click vs error event values over
+    10 equal-width bins of the click (reference) range.  Two scan
+    aggregates; shuffle carries <= bins rows."""
+    from validr_spark.operators.drift import psi
+
+    ev = _load(spark, sf, "events")
+    ref = ev.filter(F.col("event_type") == "click")
+    new = ev.filter(F.col("event_type") == "error")
+    return psi(ref, new, "value", bins=10).select(
+        F.round("psi", 6).alias("psi"), "n_bins")
+
+
+def q_key_skew(spark, sf):
+    """Join-key skew pre-flight (operators/skew.py) on events.user_id —
+    one hash aggregate on the key, then a one-row summary."""
+    from validr_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_load(spark, sf, "events"), "user_id")
+
+
+def q_heavy_keys(spark, sf):
+    """Top-10 heavy-hitter user_ids (operators/skew.py) — the keys a
+    salted repartition would split.  TakeOrderedAndProject."""
+    from validr_spark.operators.skew import heavy_hitters
+
+    return (heavy_hitters(_load(spark, sf, "events"), "user_id", k=10)
+            .withColumnRenamed("key", "user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -817,6 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_scan": q_anomaly_scan,
         "contamination": q_contamination,
         "events_diff": q_events_diff,
+        "dup_components": q_dup_components,
+        "psi_drift": q_psi_drift,
+        "key_skew": q_key_skew,
+        "heavy_keys": q_heavy_keys,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "manifest_run": q_manifest_run,
@@ -1688,6 +1743,79 @@ def _pipeline_oracles() -> dict[str, str]:
                                THEN 'value' END) END AS changed
             FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
             ORDER BY event_id
+        """,
+        "dup_components": """
+            WITH d AS (
+              SELECT doc_id, min(lang) AS lang FROM documents GROUP BY doc_id),
+            m AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+                           AND lag(lang)  OVER (ORDER BY doc_id) = lang
+                          THEN 0 ELSE 1 END AS brk
+              FROM d),
+            g AS (
+              SELECT doc_id,
+                     sum(brk) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM m)
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS component
+            FROM g ORDER BY doc_id
+        """,
+        "psi_drift": """
+            WITH rng AS (
+              SELECT min(value) AS lo, max(value) AS hi
+              FROM events WHERE event_type = 'click'),
+            rb AS (
+              SELECT least(greatest(CAST(floor((e.value - r.lo)
+                       / ((r.hi - r.lo) / 10)) AS INT), 0), 9) AS bin,
+                     count(*)::BIGINT AS n_ref
+              FROM events e, rng r
+              WHERE e.event_type = 'click' AND e.value IS NOT NULL
+              GROUP BY 1),
+            nb AS (
+              SELECT least(greatest(CAST(floor((e.value - r.lo)
+                       / ((r.hi - r.lo) / 10)) AS INT), 0), 9) AS bin,
+                     count(*)::BIGINT AS n_new
+              FROM events e, rng r
+              WHERE e.event_type = 'error' AND e.value IS NOT NULL
+              GROUP BY 1),
+            j AS (
+              SELECT coalesce(rb.bin, nb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_new, 0) AS n_new
+              FROM rb FULL OUTER JOIN nb ON rb.bin = nb.bin),
+            tot AS (SELECT sum(n_ref)::DOUBLE AS tr,
+                           sum(n_new)::DOUBLE AS tn FROM j)
+            SELECT round(sum((greatest(n_ref / tr, 1e-6)
+                              - greatest(n_new / tn, 1e-6))
+                          * ln(greatest(n_ref / tr, 1e-6)
+                               / greatest(n_new / tn, 1e-6))), 6) AS psi,
+                   count(*)::BIGINT AS n_bins
+            FROM j, tot
+        """,
+        "key_skew": """
+            WITH c AS (
+              SELECT user_id AS key, count(*)::BIGINT AS n
+              FROM events GROUP BY user_id)
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_keys,
+                   max(n) AS max_count,
+                   round(avg(n), 6) AS avg_count,
+                   round(max(n) / avg(n), 6) AS skew_factor,
+                   coalesce(sum(CASE WHEN key IS NULL THEN n END),
+                            0)::BIGINT AS null_rows,
+                   round(max(n)::DOUBLE / sum(n), 6) AS top1_share
+            FROM c
+        """,
+        "heavy_keys": """
+            WITH c AS (
+              SELECT user_id, count(*)::BIGINT AS n
+              FROM events GROUP BY user_id),
+            t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+            SELECT user_id, n, round(n / tot, 6) AS share
+            FROM c, t
+            ORDER BY n DESC, user_id ASC NULLS FIRST
+            LIMIT 10
         """,
         "anomaly_scan": """
             WITH man AS (

@@ -1,0 +1,138 @@
+"""Connected components / dedup clustering, PSI drift, and key-skew
+diagnostics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.graph import (
+    connected_components, dedup_by_components, dedup_clusters)
+from validr_spark.operators.drift import psi
+from validr_spark.operators.skew import (
+    heavy_hitters, key_skew_report, suggest_salt)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _cc_map(edges_df):
+    return {r["id"]: r["component"]
+            for r in edges_df.collect()}
+
+
+def test_cc_chain_and_clique(spark):
+    # chain 1-2-3-4 plus clique {10,11,12} plus isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = _cc_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_isolated_nodes_and_direction(spark):
+    # edges given in arbitrary direction; node 99 isolated via nodes=
+    edges = spark.createDataFrame([(5, 3), (3, 7)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(99,), (5,)], "doc_id long")
+    got = _cc_map(connected_components(edges, nodes=nodes))
+    assert got == {3: 3, 5: 3, 7: 3, 99: 99}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = _cc_map(connected_components(edges, max_iter=n + 2))
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_cc_max_iter_guard(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_clusters_only_groups(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    rows = {r["component"]: (r["n_members"], r["member_ids"])
+            for r in dedup_clusters(edges).collect()}
+    assert rows == {1: (3, [1, 2, 3]), 8: (2, [8, 9])}
+
+
+def test_dedup_by_components_keeps_min_member(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_by_components(df, pairs).collect())
+    # component {1,4,5} -> keep 1; 0,2,3 untouched
+    assert kept == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_is_zero(spark):
+    a = spark.range(1000).select((F.col("id") % 100).alias("x"))
+    r = psi(a, a, "x", bins=10).first()
+    assert abs(r["psi"]) < 1e-12
+    assert r["n_bins"] == 10
+
+
+def test_psi_shift_detected_and_reference_binning(spark):
+    ref = spark.range(10_000).select((F.col("id") % 100).alias("x"))
+    # new sample concentrated in the top decile of the reference range
+    new = spark.range(10_000).select((90 + F.col("id") % 10).alias("x"))
+    r = psi(ref, new, "x", bins=10).first()
+    # 9 bins went 0.1 -> eps, 1 bin went 0.1 -> 1.0: PSI is large
+    assert r["psi"] > 1.0
+
+
+def test_psi_matches_hand_computation(spark):
+    # ref uniform over 2 bins, new 75/25: closed-form PSI
+    ref = spark.createDataFrame([(0.0,), (1.0,), (2.0,), (3.0,)], "x double")
+    # bin width = 1.5 over [0,3]: 0, 1, 1.4 -> bin0; 3.0 -> bin1
+    new = spark.createDataFrame([(0.0,), (1.0,), (1.4,), (3.0,)], "x double")
+    got = psi(ref, new, "x", bins=2).first()["psi"]
+    p, q = [0.5, 0.5], [0.75, 0.25]
+    want = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_psi_out_of_range_clamps_to_edge_bins(spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    new = spark.createDataFrame([(-100.0,), (100.0,)], "x double")
+    r = psi(ref, new, "x", bins=5).first()
+    assert r["psi"] > 0  # clamped mass lands in bins 0 and 4, shifts shares
+    assert r["n_bins"] == 5
+
+
+# ---------------------------------------------------------------------------
+# skew
+# ---------------------------------------------------------------------------
+
+def test_key_skew_report_and_heavy_hitters(spark):
+    rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 9 + [(None,)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").first()
+    assert r["n_rows"] == 100 and r["n_keys"] == 4
+    assert r["max_count"] == 80 and r["null_rows"] == 1
+    assert r["top1_share"] == 0.8
+    assert r["skew_factor"] == pytest.approx(80 / 25.0)
+
+    hh = heavy_hitters(df, "k", k=2).collect()
+    assert [(h["key"], h["n"]) for h in hh] == [("hot", 80), ("a", 10)]
+    assert hh[0]["share"] == 0.8
+
+
+def test_suggest_salt(spark):
+    df = spark.createDataFrame([("hot",)] * 1000 + [("a",)] * 3, "k string")
+    assert suggest_salt(df, "k", target_rows_per_task=100) == 10
+    assert suggest_salt(df, "k", target_rows_per_task=10_000) == 1

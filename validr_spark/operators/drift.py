@@ -107,3 +107,43 @@ def chi_square_counts(obs: DataFrame, exp: DataFrame) -> DataFrame:
               / (F.col("n_exp") * scale)).alias("chi2"),
         (F.count(F.lit(1)) - 1).alias("dof"),
     )
+
+
+def psi(df_ref: DataFrame, df_new: DataFrame, col: str,
+        bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index over equal-width bins of the REFERENCE
+    range (single-row DF: ``psi``, ``n_bins``).
+
+    PSI = Σ (p_i − q_i)·ln(p_i / q_i), p = reference share, q = new share;
+    both shares floored at ``eps`` so empty bins contribute finitely (the
+    standard industry convention — PSI < 0.1 stable, > 0.25 shifted).
+
+    Bin edges come from the reference min/max only (one tiny aggregate),
+    so the binning is a pure per-row expression on both sides — two scan
+    aggregates total, shuffle carries ≤ ``bins`` rows.  Values in the new
+    sample outside the reference range clamp into the edge bins (that IS
+    the drift signal, not an error).
+    """
+    rng = df_ref.agg(F.min(F.col(col).cast("double")).alias("lo"),
+                     F.max(F.col(col).cast("double")).alias("hi"))
+
+    def binned(df):
+        x = F.col(col).cast("double")
+        w = (F.col("hi") - F.col("lo")) / bins
+        raw = F.floor((x - F.col("lo")) / w).cast("int")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        safe = F.when(F.col("hi") > F.col("lo"), b).otherwise(F.lit(0))
+        return (df.filter(x.isNotNull()).crossJoin(F.broadcast(rng))
+                .groupBy(safe.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    r = binned(df_ref).withColumnRenamed("n", "n_ref")
+    n = binned(df_new).withColumnRenamed("n", "n_new")
+    j = (r.join(n, "bin", "full_outer")
+         .fillna(0, subset=["n_ref", "n_new"]))
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
+    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(eps))
+    q = F.greatest(F.col("n_new") / F.col("tn"), F.lit(eps))
+    return (j.crossJoin(F.broadcast(tot))
+            .agg(F.sum((p - q) * F.log(p / q)).alias("psi"),
+                 F.count(F.lit(1)).alias("n_bins")))

@@ -1,0 +1,64 @@
+"""Join/aggregation-key skew diagnostics — the pre-flight check before
+shuffling 100 TB on a key.  A single hot key (null ids, empty strings,
+default values) turns one reducer into the job's critical path; these
+operators quantify that BEFORE the expensive job runs, and size the salt
+factor for the mitigation.
+
+Everything here is one explode-free hash aggregate on the key (map-side
+partial combine, shuffle ≤ distinct-key rows) followed by tiny
+aggregates — safe to run on the full production input.
+
+No counterpart in guyskk/validr (single-value validation only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters", "key_skew_report", "suggest_salt"]
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Top-k keys by row count: (key, n, share).  TakeOrderedAndProject —
+    no global sort.  NULL keys are counted as a key (they are usually the
+    hottest one)."""
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("key", "n", F.round(F.col("n") / F.col("t"), 6)
+                    .alias("share"))
+            .orderBy(F.desc("n"), "key").limit(k))
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew summary of a prospective join/groupBy key:
+
+    n_rows, n_keys, max_count, avg_count, skew_factor (max/avg — 1.0 is
+    perfectly uniform), null_rows (the classic silent hot key), and
+    top1_share (fraction of all rows under the single hottest key —
+    the straggler's share of the shuffle).
+    """
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_count"),
+        F.round(F.avg("n"), 6).alias("avg_count"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"),
+        F.coalesce(F.sum(F.when(F.col("key").isNull(), F.col("n"))),
+                   F.lit(0)).alias("null_rows"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"))
+
+
+def suggest_salt(df: DataFrame, key_col: str,
+                 target_rows_per_task: int = 5_000_000) -> int:
+    """Salt-bucket count that caps the hottest key at ~target rows per
+    task: ceil(max_count / target).  Returns 1 when no salting is needed.
+    Driver-side int (reads one aggregated row — not row data)."""
+    row = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+           .agg(F.max("n").alias("m")).first())
+    m = row["m"] or 0
+    return max(1, -(-m // target_rows_per_task))
