@@ -192,6 +192,7 @@ HEADLINE = [
     "events_validate", "minhash_pairs", "simhash_pairs", "text_profile",
     "ivf_topk", "pii_audit", "top_ngram", "quality_filter", "sessions",
     "asof_clicks", "check_suite", "contamination",
+    "events_diff", "dup_components", "psi_drift", "key_skew", "pack_stats",
 ]
 
 

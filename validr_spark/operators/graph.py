@@ -96,12 +96,13 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
                         src: str = "id_a", dst: str = "id_b",
                         max_iter: int = 25) -> DataFrame:
     """Keep one row per duplicate component (the min-id member), all
-    non-duplicate rows untouched.  One broadcast-sized join when the
-    pair list is small relative to the corpus (the common case); Spark
-    picks broadcast automatically under AQE thresholds."""
+    non-duplicate rows untouched.  ONE pass over the corpus: a single
+    left join against the (tiny) component map — broadcast under AQE
+    thresholds — keeping rows that are either absent from the map or are
+    their component's min member."""
     cc = connected_components(pairs, src, dst, max_iter=max_iter)
-    keep = cc.filter(F.col("id") == F.col("component")).select("id")
-    dup_ids = cc.select("id")
-    non_dup = df.join(dup_ids, df[id_col] == dup_ids["id"], "left_anti")
-    kept_dup = df.join(keep, df[id_col] == keep["id"], "left_semi")
-    return non_dup.unionByName(kept_dup)
+    keep = cc.select(F.col("id").alias("_cc_id"),
+                     (F.col("id") == F.col("component")).alias("_keep"))
+    return (df.join(keep, df[id_col] == keep["_cc_id"], "left")
+            .filter(F.col("_keep").isNull() | F.col("_keep"))
+            .drop("_cc_id", "_keep"))
