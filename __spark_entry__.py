@@ -827,6 +827,19 @@ def q_heavy_keys(spark, sf):
             .withColumnRenamed("key", "user_id"))
 
 
+def q_kmeans_clusters(spark, sf):
+    """Distributed spherical k-means (operators/clustering.py) over the
+    embeddings table: fit 8 centroids (3 Lloyd's iterations — broadcast
+    assign + mapInPandas partial sums, only k x dim floats reach the
+    driver), then report the cluster-size histogram.  Iterative — not
+    SQL-expressible; determinism and blob-recovery are pytest-covered."""
+    from validr_spark.operators.clustering import cluster_sizes, kmeans_fit
+
+    df = _load(spark, sf, "embeddings")
+    cents, _hist = kmeans_fit(df, k=8, iters=3, seed=42)
+    return cluster_sizes(df, cents).orderBy("cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -874,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_keys": q_heavy_keys,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
+        "kmeans_clusters": q_kmeans_clusters,
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,

@@ -136,3 +136,36 @@ def test_suggest_salt(spark):
     df = spark.createDataFrame([("hot",)] * 1000 + [("a",)] * 3, "k string")
     assert suggest_salt(df, "k", target_rows_per_task=100) == 10
     assert suggest_salt(df, "k", target_rows_per_task=10_000) == 1
+
+
+# ---------------------------------------------------------------------------
+# plan shapes (scale contracts)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_plan_is_topk_not_global_sort(spark):
+    df = spark.range(10_000).select((F.col("id") % 100).alias("k"))
+    plan = (heavy_hitters(df, "k", 10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_psi_plan_has_partial_aggregation(spark):
+    a = spark.range(10_000).select((F.col("id") % 50).alias("x"))
+    plan = (psi(a, a, "x", bins=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    # bin counting must partial-aggregate map-side: HashAggregate appears
+    # below the exchange (partial_count) — shuffle carries <= bins rows
+    assert "partial_count" in plan
+    # the range lookup reaches rows via broadcast; any merge join may only
+    # be on the tiny post-aggregation bin tables, never on the raw column
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin [x" not in plan
+
+
+def test_skew_report_plan_partial_agg(spark):
+    df = spark.range(10_000).select((F.col("id") % 7).alias("k"))
+    plan = (key_skew_report(df, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan
+    assert "Exchange SinglePartition" in plan  # only the one-row summary
