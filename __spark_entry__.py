@@ -840,6 +840,25 @@ def q_kmeans_clusters(spark, sf):
     return cluster_sizes(df, cents).orderBy("cluster")
 
 
+def q_semantic_dups(spark, sf):
+    """SemDeDup-shaped semantic near-dup pairs
+    (operators/clustering.semantic_dedup_pairs): k-means cells cap the
+    all-pairs comparison at sum(|cell|^2); within-cell unrolled-codegen
+    cosine >= threshold.  Iterative fit — rows-only check."""
+    from validr_spark.operators.clustering import semantic_dedup_pairs
+
+    df = _load(spark, sf, "embeddings")
+    # the synthetic embeddings have no natural near-dups (max pairwise
+    # cosine ~0.51), so inject exact duplicates of every 50th vector
+    # under shifted ids — the expected output is exactly those pairs
+    dup = (df.filter(F.col("vec_id") % 50 == 0)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding", "label"))
+    return (semantic_dedup_pairs(df.unionByName(dup), k=8,
+                                 threshold=0.999, iters=2)
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -888,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dups": q_semantic_dups,
         "manifest_run": q_manifest_run,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,

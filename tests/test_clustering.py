@@ -71,3 +71,27 @@ def test_kmeans_guards(spark):
     empty = df.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, k=2)
+
+
+def test_semantic_dedup_pairs(spark):
+    from validr_spark.operators.clustering import semantic_dedup_pairs
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, 8)
+    base /= np.linalg.norm(base)
+    far = np.roll(base, 3) * -1.0
+    rows = []
+    # ids 0,1: near-identical; id 2: same cluster but distinct; id 3: far
+    for i, eps in [(0, 0.0), (1, 0.01), (2, 0.6)]:
+        v = base + eps * rng.normal(0, 1, 8)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((3, [float(x) for x in far / np.linalg.norm(far)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, k=2, threshold=0.98, iters=2)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got == [(0, 1)]
+    # threshold sweep: relaxing pulls in the same-cluster distinct doc
+    loose = semantic_dedup_pairs(df, k=2, threshold=0.2, iters=2)
+    got2 = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    assert (0, 1) in got2 and len(got2) >= 2

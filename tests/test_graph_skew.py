@@ -169,3 +169,55 @@ def test_skew_report_plan_partial_agg(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in plan
     assert "Exchange SinglePartition" in plan  # only the one-row summary
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star variant (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labelling
+    out = {}
+    for n in nodes:
+        r = find(n)
+        out.setdefault(r, []).append(n)
+    return {n: min(mem) for r, mem in out.items() for n in mem}
+
+
+def test_star_differential_vs_union_find(spark):
+    import random
+    from validr_spark.operators.graph import connected_components_star
+    rnd = random.Random(42)
+    for trial in range(4):
+        n = 60
+        m = rnd.randint(20, 80)
+        edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_components(edges, range(n))
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {r["id"]: r["component"]
+               for r in connected_components_star(e, nodes=nodes).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    from validr_spark.operators.graph import connected_components_star
+    n = 200  # label propagation would need ~200 rounds; star needs ~log
+    e = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                              "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(e, max_iter=15).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from validr_spark.operators.similarity import ivf_assign_col, ivf_centroids
 
-__all__ = ["kmeans_fit", "kmeans_assign", "cluster_sizes"]
+__all__ = ["kmeans_fit", "kmeans_assign", "cluster_sizes",
+           "semantic_dedup_pairs"]
 
 
 def _partial_sums_schema(dim: int) -> str:
@@ -150,3 +151,45 @@ def cluster_sizes(df: DataFrame, centroids,
     check before relying on cluster pruning (one hash aggregate)."""
     return (kmeans_assign(df, centroids, emb_col)
             .groupBy("cluster").agg(F.count(F.lit(1)).alias("n")))
+
+
+def semantic_dedup_pairs(df: DataFrame, centroids=None, k: int = 64,
+                         threshold: float = 0.95, iters: int = 2,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs: cluster first, then
+    compare embeddings ONLY within a cluster (Abbas et al. 2023's recipe
+    — the cluster assignment caps the all-pairs blowup at
+    Σ|cell|² instead of N²).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold
+    — feed into graph.dedup_by_components to keep one doc per semantic
+    group.  The pairwise cosine is a fully-codegen unrolled product sum
+    (no interpreted HOFs, PERF.md Finding 1); the join is co-partitioned
+    on the cluster id.  For very hot cells, refit with larger k (the
+    cluster-size histogram from `cluster_sizes` is the pre-flight).
+    """
+    from validr_spark.operators.similarity import (_dot_unrolled,
+                                                   _norm_unrolled)
+
+    first = df.select(emb_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    if centroids is None:
+        centroids, _ = kmeans_fit(df, k=k, iters=iters,
+                                  id_col=id_col, emb_col=emb_col)
+    celled = kmeans_assign(df, centroids, emb_col).select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"), "cluster")
+    a = celled.select(F.col("_id").alias("id_a"),
+                      F.col("_e").alias("_ea"), "cluster")
+    b = celled.select(F.col("_id").alias("id_b"),
+                      F.col("_e").alias("_eb"), "cluster")
+    cos = (_dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
+           / (_norm_unrolled(F.col("_ea"), dim)
+              * _norm_unrolled(F.col("_eb"), dim)))
+    return (a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 9).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
