@@ -185,3 +185,35 @@ def test_repartition_by_size_bounds_outlier(spark):
     assert max(rest) <= 2 * 4096
     # nothing lost
     assert out.count() == 401
+
+
+def test_sample_frames_counts_and_determinism(spark):
+    df = multimodal.make_fake_media(spark, n_rows=40)
+    frames = multimodal.sample_frames(df, every_ms=1000, max_frames=5)
+    rows = frames.collect()
+    meta = {r["media_id"]: (r["kind"], r["meta"]["duration_ms"])
+            for r in df.collect()}
+    from collections import Counter
+    per = Counter(r["media_id"] for r in rows)
+    for mid, (kind, dur) in meta.items():
+        want = (min(dur // 1000 + 1, 5)
+                if kind == "video" and dur and dur > 0 else 0)
+        assert per.get(mid, 0) == want, mid
+    # deterministic bytes + timestamps per (media_id, frame_idx)
+    again = {(r["media_id"], r["frame_idx"]): (r["ts_ms"], bytes(r["frame"]))
+             for r in multimodal.sample_frames(
+                 df, every_ms=1000, max_frames=5).collect()}
+    for r in rows:
+        ts, fb = again[(r["media_id"], r["frame_idx"])]
+        assert ts == r["ts_ms"] == r["frame_idx"] * 1000
+        assert fb == bytes(r["frame"]) and len(fb) == 32
+
+
+def test_sample_frames_real_decoder_is_documented_stub(spark):
+    import pytest as _pytest
+    df = multimodal.make_fake_media(spark, n_rows=3)
+    frames = multimodal.sample_frames(df, decoder="real")
+    with _pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        frames.collect()
+    with _pytest.raises(ValueError):
+        multimodal.sample_frames(df, every_ms=0)

@@ -1,14 +1,21 @@
 """Dataset-level operators: stats, uniqueness, referential, drift, dedup,
-similarity search, text analysis — the distributed checks the reference
-(a single-value validator) has no counterpart for (SURVEY.md §2.6).
+similarity search, clustering, text analysis, diff/packing/skew — the
+distributed checks the reference (a single-value validator) has no
+counterpart for (SURVEY.md §2.6).
 
 Everything is built from Spark built-ins with partial aggregation,
-broadcast-able joins, and no driver-side row loops.
+broadcast-able joins, and no driver-side row loops.  Heavier modules
+(clustering, multimodal) are imported lazily by their callers rather
+than here so `import validr_spark` stays cheap.
 """
 
 from .consistency import check_invariants
-from .drift import chi_square_counts, ks_approx, ks_exact
+from .diff import diff_summary, table_diff
+from .drift import chi_square_counts, ks_approx, ks_exact, psi
+from .graph import (connected_components, connected_components_star,
+                    dedup_by_components, dedup_clusters)
 from .referential import orphan_count, orphans
+from .skew import heavy_hitters, key_skew_report, suggest_salt
 from .stats import column_profile, null_rates
 from .uniqueness import duplicate_keys, duplication_report
 
@@ -17,5 +24,9 @@ __all__ = [
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
     "check_invariants",
-    "ks_exact", "ks_approx", "chi_square_counts",
+    "ks_exact", "ks_approx", "chi_square_counts", "psi",
+    "table_diff", "diff_summary",
+    "connected_components", "connected_components_star",
+    "dedup_clusters", "dedup_by_components",
+    "heavy_hitters", "key_skew_report", "suggest_salt",
 ]

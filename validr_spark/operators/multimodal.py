@@ -143,3 +143,62 @@ def make_fake_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
                  (F.col("id") % 1000).cast("int").alias("duration_ms"))
         .alias("meta"),
     )
+
+
+_FRAMES_SCHEMA = (
+    "media_id string, frame_idx int, ts_ms int, frame binary"
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 64, decoder: str = "fake") -> DataFrame:
+    """Frame-sampling plumbing for video rows: one OUTPUT row per sampled
+    frame at ``every_ms`` intervals (capped at ``max_frames`` per video —
+    never let one long video explode a task's output).
+
+    The Spark shape is the real thing — row-expanding mapInPandas whose
+    Arrow output batch is larger than its input batch, frame timestamps
+    from the typed metadata, deterministic per-(media_id, frame_idx)
+    bytes.  The decode itself is a STUB (no ffmpeg in this container):
+    ``decoder='fake'`` emits hash-derived bytes; ``decoder='real'``
+    raises with the integration point documented.
+
+    Non-video rows and NULL/zero durations produce no frames (a sampler
+    must not invent frames for stills).
+    """
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame extraction (ffmpeg/pyav) is unavailable in "
+                    "this environment; integrate here: seek pdf['content'] "
+                    "to ts_ms per row and decode one frame")
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, kind, dur in zip(pdf["media_id"], pdf["kind"],
+                                      pdf["meta"].map(
+                                          lambda m: (m or {}).get(
+                                              "duration_ms"))):
+                if kind != "video" or not dur or dur <= 0:
+                    continue
+                n = min(int(dur) // every_ms + 1, max_frames)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(hashlib.blake2b(
+                        f"{mid}/{i}".encode(), digest_size=32).digest())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int32"),
+                "frame": pd.Series(frames, dtype="object"),
+            })
+
+    return df.mapInPandas(run, schema=_FRAMES_SCHEMA)
