@@ -602,6 +602,19 @@ def q_quality_filter(spark, sf):
             .orderBy("keep", "reasons"))
 
 
+def q_pipeline_prep(spark, sf):
+    """Composed prep pipeline (validr_spark/pipeline.py
+    prepare_training_data): validate → exact dedup → quality filter.
+    Near-dup is off here so every stage has an exact SQL twin; the whole
+    pipeline stays ONE lazy plan (collect_stats=False — no counting
+    jobs), exactly the 100 TB posture."""
+    from validr_spark.pipeline import prepare_training_data
+    df = _load(spark, sf, "documents")
+    res = prepare_training_data(df, documents_schema(), near_dup=False,
+                                pack=False, collect_stats=False)
+    return res.kept.select("doc_id").orderBy("doc_id")
+
+
 def q_token_hist(spark, sf):
     """Whitespace-token histogram (drift.token_histogram) over document
     words: top 20 tokens.  Explode → map-side partial agg → top-k."""
@@ -891,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_topk": q_repetition_topk,
         "top_ngram": q_top_ngram,
         "quality_filter": q_quality_filter,
+        "pipeline_prep": q_pipeline_prep,
         "token_hist": q_token_hist,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
@@ -1453,6 +1467,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from validr_spark.operators.pii import PII_PATTERNS
     from validr_spark.operators.sampling import fraction_threshold
 
+    doc_src_list = ", ".join(repr(s) for s in DOC_SOURCES)
     t_train = fraction_threshold(0.8)
     t_val = fraction_threshold(0.9)            # cumulative train+val
     mix_case = " ".join(
@@ -1592,6 +1607,52 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT reasons = '' AS keep, reasons,
                    count(*)::BIGINT AS n_docs
             FROM r GROUP BY keep, reasons ORDER BY keep, reasons
+        """,
+        "pipeline_prep": rf"""
+            WITH clean AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IS NOT NULL AND doc_id >= 0
+                AND text IS NOT NULL AND text <> ''
+                AND length(text) BETWEEN 100 AND 2000
+                AND lang IN ('en','de','fr','es')
+                AND source IN ({doc_src_list})
+                AND n_chars IS NOT NULL AND n_chars BETWEEN 50 AND 400
+            ), ded AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rn
+                FROM clean) WHERE rn = 1
+            ), w AS (
+              SELECT doc_id, text, length(text) AS nch,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+                     string_split(regexp_replace(trim(text), '\s*\n\s*',
+                                  chr(10), 'g'), chr(10)) AS lines
+              FROM ded
+            ), q AS (
+              SELECT doc_id, len(words) AS n_words,
+                CASE WHEN len(words) > 0
+                  THEN nch::DOUBLE / len(words) ELSE 0 END AS mwl,
+                CASE WHEN nch > 0
+                  THEN len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE
+                       / nch ELSE 0 END AS punct_ratio,
+                CASE WHEN nch > 0
+                  THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+                       / nch ELSE 0 END AS digit_ratio,
+                CASE WHEN len(words) > 0
+                  THEN len(list_distinct(words))::DOUBLE / len(words)
+                  ELSE 0 END AS uwr,
+                CASE WHEN len(lines) > 0
+                  THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                  ELSE 0 END AS dlf
+              FROM w)
+            SELECT doc_id FROM q
+            WHERE n_words BETWEEN 10 AND 100000
+              AND mwl BETWEEN 3.0 AND 12.0
+              AND punct_ratio <= 0.2 AND digit_ratio <= 0.3
+              AND uwr >= 0.3 AND dlf <= 0.3
+            ORDER BY doc_id
         """,
         "token_hist": r"""
             SELECT token, count(*)::BIGINT AS n FROM (

@@ -1,0 +1,79 @@
+"""End-to-end prepare_training_data pipeline (validr_spark/pipeline.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark import T
+from validr_spark.pipeline import prepare_training_data
+
+
+def _doc_words(i, n=40):
+    """Distinct per-doc vocabulary (letters only, so quality_filter's
+    digit/mean-length rules pass); pairwise word overlap across docs is
+    zero, so only the injected dup/near-dup pairs are similar."""
+    return [f"w{chr(97 + i % 26)}{chr(97 + i // 26)}q"
+            + "".join(chr(97 + int(d)) for d in str(j)) for j in range(n)]
+
+
+def _doc_text(i):
+    return " ".join(_doc_words(i))
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, _doc_text(i), "en") for i in range(20)]
+    # exact duplicate of doc 3 under a later id
+    rows.append((100, _doc_text(3), "en"))
+    # near-duplicate of doc 5 (one word changed)
+    near = _doc_words(5)
+    near[20] = near[20] + "zz"
+    rows.append((101, " ".join(near), "en"))
+    # low quality: too few words
+    rows.append((102, "tiny doc", "en"))
+    # invalid: bad lang enum
+    rows.append((103, _doc_text(7) + " extraword", "zz"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _schema():
+    return T.dict(doc_id=T.int.min(0), text=T.str.minlen(5),
+                  lang=T.enum(["en", "de"]))
+
+
+def test_pipeline_stages_and_survivors(spark, docs):
+    res = prepare_training_data(
+        docs, _schema(), max_tokens=256,
+        jaccard_threshold=0.6,
+        minhash_kwargs={"num_hashes": 64, "bands": 32, "shingle_k": 4})
+    by = {s["stage"]: (s["rows_in"], s["rows_out"]) for s in res.stats}
+    assert by["validate"] == (24, 23)          # doc 103 dropped (lang enum)
+    assert by["exact_dedup"] == (23, 22)       # doc 100 == doc 3
+    assert by["near_dup"][1] == 21             # doc 101 ~ doc 5 -> min kept
+    assert by["quality"] == (21, 20)           # doc 102 too short
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert kept_ids == set(range(20))
+    # packing covered every surviving doc exactly once
+    assert by["pack"] == (20, 20)
+    packed_ids = [r["id"] for r in res.packed.collect()]
+    assert sorted(int(i) for i in packed_ids) == sorted(kept_ids)
+    # stats_df renders
+    assert res.stats_df(spark).count() == 5
+
+
+def test_pipeline_lazy_mode_no_counts(spark, docs):
+    res = prepare_training_data(
+        docs, None, near_dup=False, pack=False, collect_stats=False)
+    assert all(s["rows_in"] is None for s in res.stats)
+    # plan still executable
+    assert res.kept.count() > 0
+    assert res.packed is None
+
+
+def test_pipeline_len_col_passthrough(spark, docs):
+    df = docs.withColumn("n_tok", F.lit(100))
+    res = prepare_training_data(
+        df, None, near_dup=False, len_col="n_tok", max_tokens=250)
+    # 100-token docs pack 2 per 250-token bin
+    per_bin = (res.packed.groupBy("bin_id")
+               .agg(F.sum("n_tok").alias("t")).collect())
+    assert all(r["t"] <= 250 for r in per_bin)
