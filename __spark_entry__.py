@@ -168,6 +168,22 @@ def q_dedup_keep(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_incremental_new(spark, sf):
+    """Incremental dedup of a 'new batch' (doc_id % 3 == 0) against the
+    'existing corpus' (the rest): bloom-prefiltered membership, exact
+    anti-join confirmation of bloom positives
+    (validr_spark/operators/incremental.py).  The 20-char prefix stands
+    in for the text (as in dedup_prefix/dedup_keep) so genuine
+    cross-split duplicates exist in the fixture data."""
+    from validr_spark.operators.incremental import incremental_new_rows
+    df = _load(spark, sf, "documents").withColumn(
+        "text", F.substring("text", 1, 20))
+    new = df.filter(F.col("doc_id") % 3 == 0)
+    ref = df.filter(F.col("doc_id") % 3 != 0)
+    return (incremental_new_rows(new, ref, fpp=0.01)
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_token_counts(spark, sf):
     df = _load(spark, sf, "documents")
     tc = textstats.token_count(F.col("text"))
@@ -885,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "dedup_prefix": q_dedup_prefix,
         "dedup_keep": q_dedup_keep,
+        "incremental_new": q_incremental_new,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1075,6 +1092,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "incremental_new": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(substr(text, 1, 20))),
+                                        '\s+', ' ', 'g')) AS fp
+              FROM documents)
+            SELECT n.doc_id FROM d n
+            WHERE n.doc_id % 3 = 0
+              AND NOT EXISTS (SELECT 1 FROM d r
+                              WHERE r.doc_id % 3 <> 0 AND r.fp = n.fp)
+            ORDER BY n.doc_id
         """,
         "dedup_keep": """
             SELECT doc_id FROM (

@@ -14,6 +14,8 @@ from .diff import diff_summary, table_diff
 from .drift import chi_square_counts, ks_approx, ks_exact, psi
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
+from .incremental import (build_fingerprint_bloom, incremental_dedup,
+                          incremental_new_rows)
 from .referential import orphan_count, orphans
 from .skew import heavy_hitters, key_skew_report, suggest_salt
 from .stats import column_profile, null_rates
@@ -28,5 +30,6 @@ __all__ = [
     "table_diff", "diff_summary",
     "connected_components", "connected_components_star",
     "dedup_clusters", "dedup_by_components",
+    "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",
     "heavy_hitters", "key_skew_report", "suggest_salt",
 ]
