@@ -53,3 +53,40 @@ def test_cli_check_pass_and_fail_exit_codes(spark, table, tmp_path, capsys):
     row = json.loads(capsys.readouterr().out.strip())
     assert not row["passed"]
     assert row["message"].startswith("expect row_count")
+
+
+def test_cli_prep_pipeline(spark, tmp_path, capsys):
+    """prep subcommand: validate + exact dedup + quality filter, packed
+    output, per-stage stats JSON on stdout."""
+    from validr_spark.cli import main
+
+    words = [f"pref{chr(97 + i % 26)}{chr(97 + i // 26)}suf" for i in range(30)]
+    rows = [(i, " ".join(words[j] + f"x{chr(97 + i)}" for j in range(20)), "en")
+            for i in range(8)]
+    rows.append((100, rows[2][1], "en"))          # exact dup of doc 2
+    rows.append((101, "tiny", "en"))              # too short -> quality drop
+    rows.append((102, rows[0][1], "zz"))          # invalid lang
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    inp = str(tmp_path / "docs")
+    df.write.parquet(inp)
+
+    schema_file = str(tmp_path / "schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict", "doc_id": "int.min(0)",
+                   "text": "str.minlen(3)",
+                   "lang": ["enum", "en", "de"]}, f)
+
+    out = str(tmp_path / "kept")
+    packed = str(tmp_path / "packed")
+    assert main(["prep", "--input", inp, "--schema", schema_file,
+                 "--output", out, "--packed-output", packed,
+                 "--no-near-dup", "--max-tokens", "64", "--stats"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["stats"]
+    by = {s["stage"]: (s["rows_in"], s["rows_out"]) for s in stats}
+    assert by["validate"] == (11, 10)
+    assert by["exact_dedup"] == (10, 9)
+    assert by["quality"] == (9, 8)
+    assert by["pack"] == (8, 8)
+    kept = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in kept.collect()) == list(range(8))
+    assert spark.read.parquet(packed).count() == 8

@@ -124,6 +124,36 @@ def cmd_check(args) -> int:
     return 0 if all(r["passed"] for r in rows) else 1
 
 
+def cmd_prep(args) -> int:
+    """Run the composed training-data prep pipeline (pipeline.py):
+    validate → exact dedup → near-dup → quality filter [→ packing],
+    writing surviving rows (and optionally bin assignments) to parquet.
+
+    ``--stats`` triggers per-stage counting jobs; omit it at scale to
+    keep the whole pipeline one lazy plan ending in the write."""
+    from .pipeline import prepare_training_data
+    from .schema import T
+    from .sources import TableSource
+
+    schema = None
+    if args.schema:
+        with open(args.schema) as f:
+            schema = T(json.load(f))
+    spark = _build_session(args.master, args.shuffle_partitions)
+    df = TableSource(args.input, fmt=args.format).load(spark)
+    res = prepare_training_data(
+        df, schema, id_col=args.id_col, text_col=args.text_col,
+        max_tokens=args.max_tokens, near_dup=not args.no_near_dup,
+        jaccard_threshold=args.jaccard_threshold,
+        pack=args.packed_output is not None,
+        collect_stats=args.stats)
+    res.kept.write.mode("overwrite").parquet(args.output)
+    if args.packed_output:
+        res.packed.write.mode("overwrite").parquet(args.packed_output)
+    print(json.dumps({"stats": res.stats}))
+    return 0
+
+
 def cmd_manifest(args) -> int:
     from .plans import ManifestStore
 
@@ -173,6 +203,25 @@ def main(argv=None) -> int:
     c.add_argument("--checks", required=True, help="JSON check-suite spec")
     c.add_argument("--master", default=None)
     c.set_defaults(fn=cmd_check)
+
+    pr = sub.add_parser("prep", help="composed training-data prep pipeline")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--format", default="auto")
+    pr.add_argument("--schema", default=None,
+                    help="isomorph-JSON schema file (omit to skip validation)")
+    pr.add_argument("--output", required=True, help="kept-rows parquet dir")
+    pr.add_argument("--packed-output", default=None,
+                    help="bin-assignment parquet dir (enables packing)")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--max-tokens", type=int, default=2048)
+    pr.add_argument("--no-near-dup", action="store_true")
+    pr.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pr.add_argument("--stats", action="store_true",
+                    help="count rows per stage (extra jobs)")
+    pr.add_argument("--master", default=None)
+    pr.add_argument("--shuffle-partitions", type=int, default=None)
+    pr.set_defaults(fn=cmd_prep)
 
     m = sub.add_parser("manifest", help="dump a manifest table")
     m.add_argument("--manifest", required=True)
