@@ -80,3 +80,18 @@ def test_prebuilt_bloom_and_fpp_bound(spark, corpus):
                     dtype=np.int64)
     n_pos = int(bloom.might_contain(keys).sum())
     assert 25 <= n_pos <= 28      # 25 true dups + at most a few FPs
+
+
+def test_plan_shape_bloom_bypass(spark, corpus):
+    """Scale contract: exactly one anti-join (candidates only); the
+    bloom-negative branch reaches the union join-free; and the membership
+    UDF is NOT cloned onto the reference branch (InferFiltersFromConstraints
+    would make it an always-true full-corpus UDF pass — the
+    asNondeterministic guard stops that)."""
+    ref, new = corpus
+    bloom = build_fingerprint_bloom(ref, expected=200)
+    plan = (incremental_new_rows(new, ref, bloom=bloom)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("LeftAnti") == 1
+    # one UDF eval per new-batch branch, zero on the reference branch
+    assert plan.count("ArrowEvalPython") == 2

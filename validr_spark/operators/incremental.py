@@ -175,6 +175,14 @@ def incremental_new_rows(new: DataFrame, ref: DataFrame,
         bf = BloomFilter(m_bits, k, bits)
         return pd.Series(bf.might_contain(fp.to_numpy(dtype=np.int64)))
 
+    # nondeterministic guard: InferFiltersFromConstraints would otherwise
+    # copy the membership predicate through the anti-join's key equality
+    # onto the REFERENCE branch — where it is always-true by construction
+    # (the bloom was built from ref) and would cost a wasted UDF pass over
+    # the whole corpus.  The UDF is in fact deterministic; the flag only
+    # stops Catalyst from cloning it.
+    _might_contain = _might_contain.asNondeterministic()
+
     fp = F.xxhash64(normalize_text(F.col(text_col)))
     tagged = new.withColumn("_fp", fp).withColumn(
         "_maybe_dup", _might_contain(F.col("_fp")))
