@@ -184,6 +184,22 @@ def q_incremental_new(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_tokenized_stats(spark, sf):
+    """Hash-vocabulary tokenization (operators/tokenize.py) over
+    documents: per-source doc counts and token totals.  The DuckDB twin
+    recomputes the piece segmentation with the same regex (the hashed ids
+    themselves are xxhash64-based, so the oracle pins segmentation +
+    n_tok, and pytest pins id range/determinism)."""
+    from validr_spark.operators.tokenize import tokenize_documents
+    df = _load(spark, sf, "documents")
+    seq = tokenize_documents(df, vocab=50_257)
+    return (seq.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.max("n_tok").alias("max_tokens"))
+            .orderBy("source"))
+
+
 def q_token_counts(spark, sf):
     df = _load(spark, sf, "documents")
     tc = textstats.token_count(F.col("text"))
@@ -902,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "dedup_keep": q_dedup_keep,
         "incremental_new": q_incremental_new,
+        "tokenized_stats": q_tokenized_stats,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1092,6 +1109,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "tokenized_stats": r"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                        '[A-Za-z]{1,4}|\d|[^\w\s]'))) AS BIGINT)
+                       AS total_tokens,
+                   CAST(max(len(regexp_extract_all(text,
+                        '[A-Za-z]{1,4}|\d|[^\w\s]'))) AS INT) AS max_tokens
+            FROM documents GROUP BY source ORDER BY source
         """,
         "incremental_new": r"""
             WITH d AS (

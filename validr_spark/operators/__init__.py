@@ -19,6 +19,7 @@ from .incremental import (build_fingerprint_bloom, incremental_dedup,
 from .referential import orphan_count, orphans
 from .skew import heavy_hitters, key_skew_report, suggest_salt
 from .stats import column_profile, null_rates
+from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
 from .uniqueness import duplicate_keys, duplication_report
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "dedup_clusters", "dedup_by_components",
     "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",
     "heavy_hitters", "key_skew_report", "suggest_salt",
+    "bpe_pieces", "hash_tokens", "tokenize_documents",
 ]
