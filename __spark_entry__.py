@@ -184,6 +184,21 @@ def q_incremental_new(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_para_dedup(spark, sf):
+    """C4-style corpus line dedup (operators/paradedup.py): documents'
+    words become lines (guaranteeing cross-doc duplicates), first global
+    occurrence survives, short lines exempt.  Per-doc kept/removed
+    counts; DuckDB reproduces the survivor rule with a window over
+    trimmed-line equality."""
+    from validr_spark.operators.paradedup import dedup_paragraphs
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+          .select("doc_id",
+                  F.regexp_replace("text", " +", "\n").alias("text")))
+    out = dedup_paragraphs(df, min_chars=4)
+    return out.select("doc_id", "n_lines", "n_removed").orderBy("doc_id")
+
+
 def q_tokenized_stats(spark, sf):
     """Hash-vocabulary tokenization (operators/tokenize.py) over
     documents: per-source doc counts and token totals.  The DuckDB twin
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "incremental_new": q_incremental_new,
         "tokenized_stats": q_tokenized_stats,
+        "para_dedup": q_para_dedup,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1109,6 +1125,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "para_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, ' +', chr(10), 'g'),
+                                  chr(10)) AS ls
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            ), ex AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ls))) AS pos,
+                     unnest(ls) AS line
+              FROM base
+            ), surv AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, row_number() OVER (
+                  PARTITION BY trim(line) ORDER BY doc_id, pos) AS rn
+                FROM ex WHERE length(trim(line)) >= 4)
+              WHERE rn = 1
+            )
+            SELECT e.doc_id,
+                   CAST(count(*) FILTER (WHERE length(trim(e.line)) < 4
+                                            OR s.pos IS NOT NULL)
+                        AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE length(trim(e.line)) >= 4
+                                           AND s.pos IS NULL)
+                        AS BIGINT) AS n_removed
+            FROM ex e LEFT JOIN surv s
+              ON s.doc_id = e.doc_id AND s.pos = e.pos
+            GROUP BY e.doc_id ORDER BY e.doc_id
         """,
         "tokenized_stats": r"""
             SELECT source, count(*)::BIGINT AS n_docs,

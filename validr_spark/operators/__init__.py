@@ -16,6 +16,7 @@ from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
 from .incremental import (build_fingerprint_bloom, incremental_dedup,
                           incremental_new_rows)
+from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
 from .skew import heavy_hitters, key_skew_report, suggest_salt
 from .stats import column_profile, null_rates
@@ -34,4 +35,5 @@ __all__ = [
     "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",
     "heavy_hitters", "key_skew_report", "suggest_salt",
     "bpe_pieces", "hash_tokens", "tokenize_documents",
+    "dedup_paragraphs", "paragraph_stats",
 ]
