@@ -193,7 +193,7 @@ HEADLINE = [
     "ivf_topk", "pii_audit", "top_ngram", "quality_filter", "sessions",
     "asof_clicks", "check_suite", "contamination",
     "events_diff", "dup_components", "psi_drift", "key_skew", "pack_stats",
-    "pipeline_prep",
+    "pipeline_prep", "incremental_new", "tokenized_stats", "para_dedup",
 ]
 
 

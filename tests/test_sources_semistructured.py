@@ -1,0 +1,67 @@
+"""Semi-structured (JSON/CSV) ingestion with validr-derived string
+schemas (validr_spark/sources/tables.py validr_read_schema)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark import T, SparkCompiler
+from validr_spark.sources import read_table, validr_read_schema
+
+
+def _schema():
+    return T.dict(doc_id=T.int.min(0),
+                  score=T.float.min(0).max(1),
+                  tags=T.list(T.str.minlen(1)),
+                  meta=T.dict(lang=T.enum(["en", "de"])))
+
+
+def test_validr_read_schema_shape():
+    st = validr_read_schema(_schema())
+    assert st.simpleString() == ("struct<doc_id:string,score:string,"
+                                 "tags:array<string>,"
+                                 "meta:struct<lang:string>>")
+    with pytest.raises(NotImplementedError):
+        validr_read_schema(T.dict(u=T.union([T.int, T.list(T.int)])))
+    with pytest.raises(TypeError):
+        validr_read_schema(T.int.min(0))
+
+
+def test_json_numbers_and_strings_coerce_identically(spark, tmp_path):
+    """JSON 123 and \"123\" both arrive as the string '123' and validate
+    to the same long — the plan is the typed parser (reference str
+    coercion, pyx:763-785)."""
+    path = str(tmp_path / "in.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"doc_id": 7, "score": 0.5,
+                            "tags": ["a", 2], "meta": {"lang": "en"}}) + "\n")
+        f.write(json.dumps({"doc_id": "8", "score": ".25",
+                            "tags": ["b"], "meta": {"lang": "de"}}) + "\n")
+        f.write(json.dumps({"doc_id": -1, "score": "2.0",
+                            "tags": [], "meta": {"lang": "zz"}}) + "\n")
+    df = read_table(spark, path, schema=_schema())   # fmt auto via .jsonl
+    assert dict(df.dtypes)["doc_id"] == "string"     # no inference
+    res = SparkCompiler().compile(_schema()).apply(
+        df.withColumn("_id", F.col("doc_id")), id_cols=["_id"])
+    clean = {r.doc_id: r for r in res.clean().collect()}
+    assert set(clean) == {7, 8}                    # doc_id typed long now
+    assert clean[7].tags == ["a", "2"]             # JSON 2 -> "2" -> str
+    assert clean[8].score == 0.25
+    viol = {(r["_id"], r.rule_id) for r in res.violations().collect()}
+    assert ("-1", "doc_id.min") in viol
+    assert ("-1", "score.max") in viol
+    assert ("-1", "meta.lang.enum") in viol
+
+
+def test_csv_reads_with_header_and_validates(spark, tmp_path):
+    path = str(tmp_path / "in.csv")
+    with open(path, "w") as f:
+        f.write("doc_id,lang\n1,en\n2,de\nx,en\n")
+    sch = T.dict(doc_id=T.int.min(0), lang=T.enum(["en", "de"]))
+    df = read_table(spark, path, schema=sch)
+    res = SparkCompiler().compile(sch).apply(
+        df.withColumn("_id", F.col("doc_id")), id_cols=["_id"])
+    assert res.clean().count() == 2
+    v = res.violations().collect()
+    assert len(v) == 1 and v[0].rule_id.startswith("doc_id.")

@@ -42,6 +42,58 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 _DATA_FILE_EXTS = (".parquet", ".pq", ".parq")
+_EXT_FMTS = {".json": "json", ".jsonl": "json", ".ndjson": "json",
+             ".csv": "csv"}
+
+
+def validr_read_schema(schema):
+    """Expected-input ``StructType`` for semi-structured reads, derived
+    from a validr schema tree — every leaf is a STRING.
+
+    Rationale: the reference's primary use case is validating untyped
+    JSON payloads, and its validators ACCEPT strings and coerce
+    (``int("3")`` → 3, pyx:763-785 etc.).  Reading JSON/CSV with
+    all-string leaves therefore (a) needs zero row-wise schema inference
+    (the explicit schema reaches the scan), and (b) loses nothing: the
+    compiled validation plan IS the typed parser, applying exactly the
+    reference's str-accepting coercion, so a JSON ``123`` and ``"123"``
+    both validate to the same long.
+
+    Containers map structurally: fixed ``dict`` → struct, ``list`` →
+    array, dynamic ``dict`` (``.key()/.value()``) → map<string,string>.
+    ``union``/``model`` have no unambiguous raw shape → unsupported here
+    (read those with an explicit DDL schema instead).
+    """
+    from pyspark.sql import types as st
+
+    from validr_spark.schema import Schema, _as_schema
+
+    def node(s) -> st.DataType:
+        s = _as_schema(s)
+        if not isinstance(s, Schema):
+            raise TypeError(f"not a schema: {s!r}")
+        v = s.validator
+        if v == "dict":
+            if isinstance(s.items, dict) and s.items:
+                return st.StructType([
+                    st.StructField(k, node(c)) for k, c in s.items.items()])
+            return st.MapType(st.StringType(), st.StringType())
+        if v == "list":
+            inner = s.items if s.items is not None else None
+            return st.ArrayType(node(inner) if inner is not None
+                                else st.StringType())
+        if v in ("union", "model"):
+            raise NotImplementedError(
+                f"validr_read_schema: no unambiguous raw input shape for "
+                f"{v!r}; pass an explicit DDL schema to read_table instead")
+        return st.StringType()
+
+    root = node(schema)
+    from pyspark.sql import types as st2
+    if not isinstance(root, st2.StructType):
+        raise TypeError("root schema must be a fixed dict "
+                        "(rows need named columns)")
+    return root
 
 
 def _looks_like_catalog_ident(spark: SparkSession, location: str) -> bool:
@@ -67,17 +119,33 @@ def _looks_like_catalog_ident(spark: SparkSession, location: str) -> bool:
 def read_table(spark: SparkSession, location: str, fmt: str = "auto",
                columns: list[str] | None = None,
                predicate: str | None = None,
-               options: dict | None = None) -> DataFrame:
+               options: dict | None = None,
+               schema=None) -> DataFrame:
     """Load a table; push projection/predicate into the scan immediately.
 
-    ``fmt='auto'``: anything that exists on the filesystem (or looks like
+    ``fmt='auto'``: ``.json/.jsonl/.ndjson/.csv`` extensions pick their
+    reader; anything else that exists on the filesystem (or looks like
     a path / a data file) reads as parquet; only dotted identifiers that
     do NOT exist as files resolve via ``spark.table`` (Iceberg/hive).
     Catalog identifiers that shadow a local path need ``fmt='table'``.
+
+    ``schema``: explicit read schema for schemaless formats (JSON/CSV) —
+    a DDL string, a ``StructType``, or a validr schema/builder (mapped to
+    all-string leaves via :func:`validr_read_schema` so the validation
+    plan does the typed coercion).  Never pass None for JSON/CSV at
+    scale: schema inference is an extra full scan.
     """
+    if fmt == "auto":
+        low = location.lower()
+        fmt = next((f for ext, f in _EXT_FMTS.items() if low.endswith(ext)),
+                   "auto")
     if fmt == "auto":
         fmt = "table" if _looks_like_catalog_ident(spark, location) \
             else "parquet"
+    if schema is not None and not isinstance(schema, str):
+        from pyspark.sql.types import StructType
+        if not isinstance(schema, StructType):     # validr schema / builder
+            schema = validr_read_schema(schema)
     if fmt == "table" or (fmt == "iceberg" and iceberg_available(spark)):
         df = spark.table(location)
     elif fmt == "parquet" or fmt == "iceberg":  # iceberg fallback
@@ -87,8 +155,12 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
         df = reader.parquet(location)
     else:
         reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
         df = reader.load(location)
     if predicate:
         df = df.filter(predicate)
@@ -124,10 +196,12 @@ class TableSource:
     predicate: str | None = None
     options: dict = field(default_factory=dict)
 
+    schema: object | None = None
+
     def load(self, spark: SparkSession) -> DataFrame:
         return read_table(spark, self.location, self.fmt,
                           columns=self.columns, predicate=self.predicate,
-                          options=self.options)
+                          options=self.options, schema=self.schema)
 
 
 @dataclass
