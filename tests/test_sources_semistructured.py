@@ -65,3 +65,37 @@ def test_csv_reads_with_header_and_validates(spark, tmp_path):
     assert res.clean().count() == 2
     v = res.violations().collect()
     assert len(v) == 1 and v[0].rule_id.startswith("doc_id.")
+
+
+def test_cli_validate_reads_jsonl(spark, tmp_path, capsys):
+    """End-to-end: cli validate over a .jsonl input uses the derived
+    string schema (no inference) and reports violations."""
+    from validr_spark.cli import main
+
+    inp = str(tmp_path / "rows.jsonl")
+    with open(inp, "w") as f:
+        f.write(json.dumps({"doc_id": "a1", "n": 3, "part": "p0"}) + "\n")
+        f.write(json.dumps({"doc_id": "a2", "n": -5, "part": "p0"}) + "\n")
+    schema_file = str(tmp_path / "schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict", "doc_id": "str.minlen(1)",
+                   "n": "int.min(0)", "part": "str"}, f)
+    rc = main(["validate", "--input", inp, "--schema", schema_file,
+               "--part-col", "part",
+               "--violations", str(tmp_path / "viol"),
+               "--manifest", str(tmp_path / "mani"),
+               "--id-cols", "doc_id"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_parts_processed"] == 1
+    v = spark.read.parquet(str(tmp_path / "viol")).collect()
+    assert len(v) == 1 and v[0].rule_id == "n.min"
+
+
+def test_union_schema_on_parquet_does_not_raise(spark, tmp_path):
+    """`schema` is ignored for parquet reads, so a union-containing validr
+    schema must not trip validr_read_schema there."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x long").write.parquet(p)
+    sch = T.dict(u=T.union([T.int, T.list(T.int)]))
+    assert read_table(spark, p, schema=sch).count() == 1

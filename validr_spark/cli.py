@@ -55,10 +55,14 @@ def cmd_validate(args) -> int:
 
     with open(args.schema) as f:
         schema_obj = json.load(f)
-    plan = SparkCompiler().compile(T(schema_obj))
+    tschema = T(schema_obj)
+    plan = SparkCompiler().compile(tschema)
 
     spark = _build_session(args.master, args.shuffle_partitions)
-    df = TableSource(args.input, fmt=args.format).load(spark)
+    # the schema reaches the reader too: JSON/CSV inputs read with the
+    # derived all-string StructType (no inference scan); parquet/iceberg
+    # ignore it (they carry their own schema)
+    df = TableSource(args.input, fmt=args.format, schema=tschema).load(spark)
 
     # --fresh[=TOKEN]: deterministic token (default: today's UTC date), so
     # a crashed fresh run resumes by re-running the same command — a random
@@ -140,7 +144,7 @@ def cmd_prep(args) -> int:
         with open(args.schema) as f:
             schema = T(json.load(f))
     spark = _build_session(args.master, args.shuffle_partitions)
-    df = TableSource(args.input, fmt=args.format).load(spark)
+    df = TableSource(args.input, fmt=args.format, schema=schema).load(spark)
     res = prepare_training_data(
         df, schema, id_col=args.id_col, text_col=args.text_col,
         max_tokens=args.max_tokens, near_dup=not args.no_near_dup,

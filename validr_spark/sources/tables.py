@@ -142,10 +142,6 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
     if fmt == "auto":
         fmt = "table" if _looks_like_catalog_ident(spark, location) \
             else "parquet"
-    if schema is not None and not isinstance(schema, str):
-        from pyspark.sql.types import StructType
-        if not isinstance(schema, StructType):     # validr schema / builder
-            schema = validr_read_schema(schema)
     if fmt == "table" or (fmt == "iceberg" and iceberg_available(spark)):
         df = spark.table(location)
     elif fmt == "parquet" or fmt == "iceberg":  # iceberg fallback
@@ -160,6 +156,13 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
         if schema is not None:
+            # convert lazily, only where a read schema is actually used:
+            # parquet/table branches ignore `schema` (they carry their
+            # own), so a union/model validr schema there must not raise
+            if not isinstance(schema, str):
+                from pyspark.sql.types import StructType
+                if not isinstance(schema, StructType):
+                    schema = validr_read_schema(schema)
             reader = reader.schema(schema)
         df = reader.load(location)
     if predicate:
