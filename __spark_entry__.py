@@ -184,6 +184,18 @@ def q_incremental_new(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_emb_drift(spark, sf):
+    """Embedding moment drift (operators/embedding.py) between the two
+    vec_id-parity halves of the embeddings table: per-dim two-sample mean
+    z-scores from mapInPandas moment partials; DuckDB recomputes the
+    moments with zip-unnest + var_pop."""
+    from validr_spark.operators.embedding import embedding_drift
+    emb = _load(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(a, b)
+
+
 def q_para_dedup(spark, sf):
     """C4-style corpus line dedup (operators/paradedup.py): documents'
     words become lines (guaranteeing cross-doc duplicates), first global
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new": q_incremental_new,
         "tokenized_stats": q_tokenized_stats,
         "para_dedup": q_para_dedup,
+        "emb_drift": q_emb_drift,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1125,6 +1138,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
             ORDER BY fingerprint
+        """,
+        "emb_drift": r"""
+            WITH ex AS (
+              SELECT vec_id % 2 AS g,
+                     unnest(generate_series(1, len(embedding))) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), st AS (
+              SELECT g, pos, count(*) AS n, avg(v::DOUBLE) AS m,
+                     var_pop(v::DOUBLE) AS va
+              FROM ex GROUP BY g, pos
+            ), j AS (
+              SELECT a.pos, a.n AS na, a.m AS ma, a.va AS va,
+                     b.n AS nb, b.m AS mb, b.va AS vb
+              FROM st a JOIN st b ON a.pos = b.pos
+              WHERE a.g = 0 AND b.g = 1
+            ), zz AS (
+              SELECT CASE WHEN sqrt(va/na + vb/nb) > 0
+                          THEN abs(ma - mb) / sqrt(va/na + vb/nb)
+                          ELSE 0 END AS z,
+                     (ma - mb) * (ma - mb) AS d2, na, nb
+              FROM j)
+            SELECT count(*)::BIGINT AS n_dims,
+                   CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dims_shifted,
+                   round(max(z), 6) AS max_abs_z,
+                   round(sqrt(sum(d2)), 6) AS mean_shift_l2,
+                   CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b
+            FROM zz
         """,
         "para_dedup": r"""
             WITH base AS (
