@@ -196,6 +196,40 @@ def q_emb_drift(spark, sf):
     return embedding_drift(a, b)
 
 
+def q_dup_spans(spark, sf):
+    """Exact repeated-substring spans (operators/spans.py, Lee et al.
+    granularity): maximal per-doc word-index ranges duplicated verbatim
+    across ≥2 documents, global-first-occurrence survivor marked keep.
+    DuckDB rebuilds the 8-gram positions with list_transform slices and
+    the same gaps-and-islands window."""
+    from validr_spark.operators.spans import duplicate_spans
+    df = _load(spark, sf, "documents")
+    s = duplicate_spans(df, n=8)
+    return (s.select("doc_id",
+                     F.col("start_word").cast("long").alias("start_word"),
+                     F.col("end_word").cast("long").alias("end_word"),
+                     "n_grams", "keep")
+            .orderBy("doc_id", "start_word"))
+
+
+def q_doc_entropy(spark, sf):
+    """Per-doc word-distribution Shannon entropy (operators/textstats.py
+    word_entropy) — the lexical-diversity quality signal; DuckDB twin
+    recomputes it from split-regex word counts."""
+    from validr_spark.operators.textstats import word_entropy
+    return (word_entropy(_load(spark, sf, "documents"))
+            .orderBy("doc_id"))
+
+
+def q_src_entropy(spark, sf):
+    """Per-source language-mix entropy (operators/drift.py value_entropy)
+    — the generic distribution-diversity drift signal."""
+    from validr_spark.operators.drift import value_entropy
+    return (value_entropy(_load(spark, sf, "documents"), "lang",
+                          by=["source"])
+            .orderBy("source"))
+
+
 def q_para_dedup(spark, sf):
     """C4-style corpus line dedup (operators/paradedup.py): documents'
     words become lines (guaranteeing cross-doc duplicates), first global
@@ -948,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_stats": q_tokenized_stats,
         "para_dedup": q_para_dedup,
         "emb_drift": q_emb_drift,
+        "dup_spans": q_dup_spans,
+        "doc_entropy": q_doc_entropy,
+        "src_entropy": q_src_entropy,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1168,6 +1205,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(na) AS BIGINT) AS n_a,
                    CAST(max(nb) AS BIGINT) AS n_b
             FROM zz
+        """,
+        "dup_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                       - 1 AS pos,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 7, 0)),
+                       i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+            rn AS (
+              SELECT doc_id, pos, gram,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM g),
+            dup AS (
+              SELECT gram FROM g
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT r.doc_id, r.pos, (r.rn = 1) AS isf
+              FROM rn r JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, pos, isf,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM hits)
+            SELECT doc_id, min(pos)::BIGINT AS start_word,
+                   (max(pos) + 7)::BIGINT AS end_word,
+                   count(*)::BIGINT AS n_grams,
+                   max(isf) AS keep
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, start_word
+        """,
+        "doc_entropy": r"""
+            WITH wrds AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents WHERE text IS NOT NULL),
+            pw AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM wrds WHERE w <> '' GROUP BY doc_id, w)
+            SELECT doc_id, sum(c)::BIGINT AS n_words,
+                   count(*)::BIGINT AS n_distinct_words,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                     AS entropy
+            FROM pw GROUP BY doc_id ORDER BY doc_id
+        """,
+        "src_entropy": r"""
+            WITH pv AS (
+              SELECT source, lang, count(*) AS c
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY source, lang)
+            SELECT source, sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_distinct,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                     AS entropy
+            FROM pv GROUP BY source ORDER BY source
         """,
         "para_dedup": r"""
             WITH base AS (

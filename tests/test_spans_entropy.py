@@ -1,0 +1,101 @@
+"""Repeated-substring spans (operators/spans.py) and entropy signals
+(textstats.word_entropy, drift.value_entropy)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.drift import value_entropy
+from validr_spark.operators.spans import (duplicate_spans,
+                                          positioned_ngrams,
+                                          span_dedup_stats)
+from validr_spark.operators.textstats import word_entropy
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # doc 1 and 2 share the 8-word passage at different offsets
+        (1, f"{SHARED} tail one two three"),
+        (2, f"lead in words here {SHARED}"),
+        (3, "completely unrelated text with no duplicated passage at all"),
+        (4, None),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_positioned_ngrams_positions(spark, docs):
+    g = positioned_ngrams(docs, n=8)
+    by_doc = {r["doc_id"]: r["pos"]
+              for r in g.groupBy("doc_id").agg(
+                  F.min("pos").alias("pos")).collect()}
+    assert by_doc[1] == 0 and by_doc[2] == 0
+    # doc 5 (1 word) and doc 4 (null) produce no grams
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_duplicate_spans_survivor_and_range(spark, docs):
+    s = duplicate_spans(docs, n=8).collect()
+    spans = {r["doc_id"]: r for r in s}
+    assert set(spans) == {1, 2}
+    # doc 1: passage at words 0..7, single gram
+    assert (spans[1]["start_word"], spans[1]["end_word"],
+            spans[1]["n_grams"]) == (0, 7, 1)
+    # doc 2: passage at words 4..11
+    assert (spans[2]["start_word"], spans[2]["end_word"]) == (4, 11)
+    # global first occurrence orders by (doc_id, pos): doc 1 keeps
+    assert spans[1]["keep"] is True and spans[2]["keep"] is False
+
+
+def test_duplicate_spans_merges_adjacent_runs(spark):
+    # 10 shared words → three 8-gram positions → ONE maximal span
+    shared = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame(
+        [(1, shared + " unique1 filler"), (2, "pre " + shared)],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r for r in duplicate_spans(df, n=8).collect()}
+    assert (s[1]["start_word"], s[1]["end_word"], s[1]["n_grams"]) \
+        == (0, 9, 3)
+    assert (s[2]["start_word"], s[2]["end_word"]) == (1, 10)
+
+
+def test_span_dedup_stats(spark, docs):
+    r = span_dedup_stats(docs, n=8).collect()[0]
+    assert r["n_docs_affected"] == 2 and r["n_spans"] == 2
+    assert r["n_spans_cut"] == 1
+    assert r["dup_words_total"] == 16 and r["cut_words_total"] == 8
+
+
+def test_word_entropy_hand_math(spark):
+    # "a a b" → counts {a:2, b:1}, H = log2(3) - (2*1 + 1*0)/3
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    r = word_entropy(df).collect()[0]
+    expect = math.log2(3) - (2 * math.log2(2)) / 3
+    assert r["n_words"] == 3 and r["n_distinct_words"] == 2
+    assert abs(r["entropy"] - expect) < 1e-6
+
+
+def test_word_entropy_uniform_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], "doc_id long, text string")
+    by = {r["doc_id"]: r["entropy"] for r in word_entropy(df).collect()}
+    assert by[1] == 0.0          # single repeated word: zero entropy
+    assert abs(by[2] - 2.0) < 1e-6   # 4 uniform words: 2 bits
+
+
+def test_value_entropy_groups_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s1", "de"), ("s1", None),
+         ("s2", "fr")],
+        "source string, lang string")
+    out = {r["source"]: r for r in
+           value_entropy(df, "lang", by=["source"]).collect()}
+    # null lang ignored: s1 has n=3 over {en:2, de:1}
+    assert out["s1"]["n"] == 3 and out["s1"]["n_distinct"] == 2
+    expect = math.log2(3) - (2 * math.log2(2)) / 3
+    assert abs(out["s1"]["entropy"] - expect) < 1e-6
+    assert out["s2"]["entropy"] == 0.0

@@ -11,7 +11,8 @@ than here so `import validr_spark` stays cheap.
 
 from .consistency import check_invariants
 from .diff import diff_summary, table_diff
-from .drift import chi_square_counts, ks_approx, ks_exact, psi
+from .drift import (chi_square_counts, ks_approx, ks_exact, psi,
+                    value_entropy)
 from .embedding import dim_moments, embedding_drift
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
@@ -29,7 +30,7 @@ __all__ = [
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
     "check_invariants",
-    "ks_exact", "ks_approx", "chi_square_counts", "psi",
+    "ks_exact", "ks_approx", "chi_square_counts", "psi", "value_entropy",
     "dim_moments", "embedding_drift",
     "table_diff", "diff_summary",
     "connected_components", "connected_components_star",

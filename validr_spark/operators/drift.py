@@ -109,6 +109,36 @@ def chi_square_counts(obs: DataFrame, exp: DataFrame) -> DataFrame:
     )
 
 
+def value_entropy(df: DataFrame, col: str,
+                  by: list[str] | None = None) -> DataFrame:
+    """Shannon entropy (bits) of a column's value distribution, optionally
+    per group: ``(*by, n, n_distinct, entropy)``.
+
+    Complements KS/chi²/PSI with a scalar diversity signal — token-id
+    usage entropy per source (has a source collapsed to few tokens?),
+    category-mix entropy per day, vocabulary coverage of a corpus slice.
+    For token arrays explode first:
+    ``value_entropy(df.select("source", F.explode("tokens").alias("tok")),
+    "tok", by=["source"])``.
+
+    ``entropy = log2(n) − Σ c·log2(c) / n`` over per-value counts — two
+    chained hash-aggs, map-side partials, shuffle ≤ distinct values per
+    group; never a driver-side histogram.  NULLs are ignored (they are a
+    null-rate concern, not a distribution one).
+    """
+    keys = list(by or [])
+    per_val = (df.filter(F.col(col).isNotNull())
+               .groupBy(*keys, col)
+               .agg(F.count(F.lit(1)).alias("_c")))
+    cnt = F.col("_c").cast("double")
+    n = F.sum("_c").cast("double")
+    return (per_val.groupBy(*keys)
+            .agg(F.sum("_c").alias("n"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.log2(n) - F.sum(cnt * F.log2(cnt)) / n, 6)
+                 .alias("entropy")))
+
+
 def psi(df_ref: DataFrame, df_new: DataFrame, col: str,
         bins: int = 10, eps: float = 1e-6) -> DataFrame:
     """Population Stability Index over equal-width bins of the REFERENCE

@@ -229,6 +229,41 @@ def repetition_features(col) -> Column:
     )
 
 
+def word_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 carry_cols: list[str] | None = None) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the word distribution —
+    the CCNet/Gopher-family lexical-diversity quality signal: gibberish
+    and keyword-stuffed spam sit at the extremes, natural prose in a
+    band (filter on it like ``quality_filter`` thresholds).
+
+    ``entropy = log2(n) − Σ c·log2(c) / n`` over per-word counts ``c`` —
+    computed from the two grouped aggregates, never a per-doc
+    vocabulary map in memory.
+
+    Shape at scale: explode(words) → hash-agg on (doc, word) with
+    map-side partials (the shuffle carries distinct words per doc, not
+    occurrences) → per-doc agg re-using the same hash partitioning
+    prefix.  All codegen; no lambda HOFs, no Python.
+
+    No counterpart in guyskk/validr (single-value validation only).
+    """
+    carry = list(carry_cols or [])
+    c = F.col(text_col)
+    wrds = (df.select(F.col(id_col), *carry,
+                      F.explode(words_of(c)).alias("_w"))
+            .filter(F.col("_w") != ""))
+    per_word = (wrds.groupBy(id_col, *carry, "_w")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    cnt = F.col("_c").cast("double")
+    n = F.sum("_c").cast("double")
+    return (per_word.groupBy(id_col, *carry)
+            .agg(F.sum("_c").alias("n_words"),
+                 F.count(F.lit(1)).alias("n_distinct_words"),
+                 F.round(F.log2(n) - F.sum(cnt * F.log2(cnt)) / n, 6)
+                 .alias("entropy")))
+
+
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 2,
                     carry_cols: list[str] | None = None) -> DataFrame:
