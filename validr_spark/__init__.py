@@ -24,6 +24,7 @@ from .pyvalidate import (
     validator,
 )
 from .schema import Builder, Schema, T
+from .schemadiff import diff_verdict, needs_revalidation, schema_diff
 
 __version__ = "0.1.0"
 
@@ -35,6 +36,7 @@ __all__ = [
     "create_re_validator", "create_enum_validator",
     "SparkCompiler", "ValidationPlan",
     "fields", "asdict", "modelclass",
+    "schema_diff", "diff_verdict", "needs_revalidation",
 ]
 
 

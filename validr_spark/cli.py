@@ -158,6 +158,27 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Classify a schema change (schemadiff.py): prints each path-level
+    delta plus the verdict, and exits 1 when the change requires
+    re-validation (outputs_changed / narrowed / breaking) — the CI gate
+    for 'can I ship this schema edit without reprocessing?'.  No Spark
+    session: pure driver-side tree walk."""
+    from .schema import T
+    from .schemadiff import diff_verdict, schema_diff
+
+    with open(args.old) as f:
+        old = T(json.load(f))
+    with open(args.new) as f:
+        new = T(json.load(f))
+    entries = schema_diff(old, new)
+    verdict = diff_verdict(entries)
+    for e in entries:
+        print(json.dumps(e))
+    print(json.dumps({"verdict": verdict}))
+    return 0 if verdict in ("identical", "compatible") else 1
+
+
 def cmd_manifest(args) -> int:
     from .plans import ManifestStore
 
@@ -226,6 +247,12 @@ def main(argv=None) -> int:
     pr.add_argument("--master", default=None)
     pr.add_argument("--shuffle-partitions", type=int, default=None)
     pr.set_defaults(fn=cmd_prep)
+
+    d = sub.add_parser("diff", help="classify a schema change (exit 1 if "
+                                    "it requires re-validation)")
+    d.add_argument("old", help="old isomorph-JSON schema file")
+    d.add_argument("new", help="new isomorph-JSON schema file")
+    d.set_defaults(fn=cmd_diff)
 
     m = sub.add_parser("manifest", help="dump a manifest table")
     m.add_argument("--manifest", required=True)
