@@ -230,6 +230,18 @@ def q_src_entropy(spark, sf):
             .orderBy("source"))
 
 
+def q_doc_logprob(spark, sf):
+    """Unigram LM-quality proxy (operators/textstats.py unigram_logprob,
+    exact mode): even-doc_id documents scored under the word distribution
+    of the odd-doc_id half; OOV words floored at 0.5/N.  DuckDB twin
+    rebuilds the count model and the log2 scoring."""
+    from validr_spark.operators.textstats import unigram_logprob
+    df = _load(spark, sf, "documents")
+    even = df.filter(F.col("doc_id") % 2 == 0)
+    odd = df.filter(F.col("doc_id") % 2 == 1)
+    return unigram_logprob(even, ref=odd).orderBy("doc_id")
+
+
 def q_para_dedup(spark, sf):
     """C4-style corpus line dedup (operators/paradedup.py): documents'
     words become lines (guaranteeing cross-doc duplicates), first global
@@ -985,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "doc_entropy": q_doc_entropy,
         "src_entropy": q_src_entropy,
+        "doc_logprob": q_doc_logprob,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1256,6 +1269,33 @@ def oracle_sql() -> dict[str, str]:
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
                      AS entropy
             FROM pw GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_logprob": r"""
+            WITH rw AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 1),
+            cnt AS (
+              SELECT w, count(*) AS c FROM rw WHERE w <> '' GROUP BY w),
+            tot AS (
+              SELECT count(*) AS n FROM rw WHERE w <> ''),
+            dw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 0),
+            scored AS (
+              SELECT d.doc_id, cnt.c, tot.n
+              FROM dw d LEFT JOIN cnt USING (w) CROSS JOIN tot
+              WHERE d.w <> '')
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   round(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS oov_fraction,
+                   round(avg(log2(coalesce(c::DOUBLE, 0.5) / n)), 6)
+                     AS avg_logprob
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "src_entropy": r"""
             WITH pv AS (

@@ -99,3 +99,42 @@ def test_value_entropy_groups_and_nulls(spark):
     expect = math.log2(3) - (2 * math.log2(2)) / 3
     assert abs(out["s1"]["entropy"] - expect) < 1e-6
     assert out["s2"]["entropy"] == 0.0
+
+
+def test_unigram_logprob_hand_math(spark):
+    from validr_spark.operators.textstats import unigram_logprob
+    # ref corpus: "a a a b"; doc: "a b z" → p(a)=3/4, p(b)=1/4, z OOV=0.5/4
+    ref = spark.createDataFrame([(9, "a a a b")], "doc_id long, text string")
+    df = spark.createDataFrame([(1, "a b z")], "doc_id long, text string")
+    r = unigram_logprob(df, ref=ref).collect()[0]
+    expect = (math.log2(3 / 4) + math.log2(1 / 4) + math.log2(0.5 / 4)) / 3
+    assert r["n_words"] == 3
+    assert abs(r["oov_fraction"] - 1 / 3) < 1e-6
+    assert abs(r["avg_logprob"] - expect) < 1e-6
+
+
+def test_unigram_logprob_topv_matches_exact_on_head(spark):
+    from validr_spark.operators.textstats import unigram_logprob
+    rows = [(i, "common common common rare%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    headv = {r["doc_id"]: r
+             for r in unigram_logprob(df, top_v=1).collect()}
+    # "common" dominates: head model keeps it; rare words OOV-floor.
+    # OOV floor (0.5/N) vs exact (1/N): logprob differs by exactly 1 bit
+    # on the 1-of-4 rare word → 0.25 bits on the average.
+    for i in exact:
+        assert abs(headv[i]["oov_fraction"] - 0.25) < 1e-6
+        assert abs((exact[i]["avg_logprob"] - headv[i]["avg_logprob"])
+                   - 0.25) < 1e-6
+
+
+def test_unigram_logprob_self_scoring_no_oov(spark):
+    from validr_spark.operators.textstats import unigram_logprob
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x x")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert all(r["oov_fraction"] == 0.0 for r in out.values())
+    # p(x)=3/4, p(y)=1/4
+    assert abs(out[1]["avg_logprob"]
+               - (math.log2(0.75) + math.log2(0.25)) / 2) < 1e-6

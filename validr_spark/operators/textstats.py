@@ -264,6 +264,64 @@ def word_entropy(df: DataFrame, text_col: str = "text",
                  .alias("entropy")))
 
 
+def unigram_logprob(df: DataFrame, ref: DataFrame | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ref_text_col: str | None = None,
+                    top_v: int | None = None,
+                    oov_alpha: float = 0.5) -> DataFrame:
+    """Per-document average word log-probability under a unigram model —
+    the CCNet-family LM-quality proxy without an external LM: spam and
+    gibberish score far from the corpus's own distribution.
+
+    ``(id, n_words, oov_fraction, avg_logprob)`` with
+    ``avg_logprob = mean log2 p(word)``, ``p = c / N`` from the reference
+    corpus ``ref`` (default: ``df`` itself — self-scoring).  Words absent
+    from the model get the floor ``oov_alpha / N``.
+
+    Scale modes:
+
+    * ``top_v=None`` (exact): the word-count model joins on the word —
+      one shuffle keyed by word on each side; right for oracle/tests and
+      bounded vocabularies (token ids).
+    * ``top_v=V``: the model truncates to the V most frequent words and
+      **broadcasts**; everything else is OOV-floored.  At 10^12 docs the
+      corpus vocabulary is unbounded (typos, ids) but the mass lives in
+      the head — V≈10^6 rows of (word, logp) broadcast in ~tens of MB
+      and the scoring pass becomes explode → broadcast-join → per-doc
+      agg, no corpus-wide shuffle on the word key.
+
+    No counterpart in guyskk/validr (single-value validation only).
+    """
+    ref = df if ref is None else ref
+    rcol = ref_text_col or text_col
+    rwords = (ref.select(F.explode(words_of(F.col(rcol))).alias("_w"))
+              .filter(F.col("_w") != ""))
+    counts = rwords.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    if top_v is not None:
+        counts = counts.orderBy(F.desc("_c"), "_w").limit(top_v)
+    # total N over the FULL reference (not the truncated head), so
+    # probabilities stay consistent between modes
+    total = rwords.agg(F.count(F.lit(1)).alias("_n"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "_w", F.log2(F.col("_c") / F.col("_n")).alias("_logp"))
+    if top_v is not None:
+        model = F.broadcast(model)
+
+    wrds = (df.select(F.col(id_col), F.explode(words_of(F.col(text_col)))
+                      .alias("_w"))
+            .filter(F.col("_w") != ""))
+    scored = (wrds.join(model, "_w", "left")
+              .crossJoin(F.broadcast(total)))
+    floor = F.log2(F.lit(oov_alpha) / F.col("_n"))
+    lp = F.coalesce(F.col("_logp"), floor)
+    oov = F.when(F.col("_logp").isNull(), 1).otherwise(0)
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.round(F.sum(oov) / F.count(F.lit(1)), 6)
+                 .alias("oov_fraction"),
+                 F.round(F.avg(lp), 6).alias("avg_logprob")))
+
+
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 2,
                     carry_cols: list[str] | None = None) -> DataFrame:
