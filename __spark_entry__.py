@@ -230,6 +230,16 @@ def q_src_entropy(spark, sf):
             .orderBy("source"))
 
 
+def q_span_cut(spark, sf):
+    """ExactSubstr deletion (operators/spans.py cut_duplicate_spans):
+    every non-surviving duplicated 8-gram span removed in place, original
+    case preserved.  DuckDB rebuilds the cut texts with the same window
+    CTEs plus an ordered string_agg."""
+    from validr_spark.operators.spans import cut_duplicate_spans
+    df = _load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return cut_duplicate_spans(df, n=8).orderBy("doc_id")
+
+
 def q_doc_logprob(spark, sf):
     """Unigram LM-quality proxy (operators/textstats.py unigram_logprob,
     exact mode): even-doc_id documents scored under the word distribution
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
+        "span_cut": q_span_cut,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1269,6 +1280,66 @@ def oracle_sql() -> dict[str, str]:
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
                      AS entropy
             FROM pw GROUP BY doc_id ORDER BY doc_id
+        """,
+        "span_cut": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(ws) - 7, 0)))
+                       - 1 AS pos,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 7, 0)),
+                       i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+            rn AS (
+              SELECT doc_id, pos, gram,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM g),
+            dup AS (
+              SELECT gram FROM g
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            hits AS (
+              SELECT r.doc_id, r.pos, (r.rn = 1) AS isf
+              FROM rn r JOIN dup USING (gram)),
+            isl AS (
+              SELECT doc_id, pos, isf,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM hits),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e,
+                     max(isf) AS keep
+              FROM isl GROUP BY doc_id, grp),
+            dropped AS (
+              SELECT doc_id, unnest(generate_series(s, e)) AS pos
+              FROM spans WHERE NOT keep),
+            raw AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS rws
+              FROM documents WHERE text IS NOT NULL),
+            pw AS (
+              SELECT doc_id, unnest(generate_series(1, len(rws))) - 1
+                       AS pos,
+                     unnest(rws) AS word
+              FROM raw),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.word
+              FROM pw p LEFT JOIN dropped d
+                ON p.doc_id = d.doc_id AND p.pos = d.pos
+              WHERE d.pos IS NULL),
+            reb AS (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+                     count(*) AS nw
+              FROM kept GROUP BY doc_id)
+            SELECT r.doc_id, coalesce(k.text, '') AS text,
+                   coalesce(k.nw, 0)::BIGINT AS n_words,
+                   (len(r.rws) - coalesce(k.nw, 0))::BIGINT
+                     AS n_words_removed
+            FROM raw r LEFT JOIN reb k USING (doc_id)
+            ORDER BY r.doc_id
         """,
         "doc_logprob": r"""
             WITH rw AS (

@@ -138,3 +138,41 @@ def test_unigram_logprob_self_scoring_no_oov(spark):
     # p(x)=3/4, p(y)=1/4
     assert abs(out[1]["avg_logprob"]
                - (math.log2(0.75) + math.log2(0.25)) / 2) < 1e-6
+
+
+def test_cut_duplicate_spans_keeps_first_copy(spark, docs):
+    from validr_spark.operators.spans import cut_duplicate_spans
+    out = {r["doc_id"]: r for r in
+           cut_duplicate_spans(docs, n=8).collect()}
+    # doc 1 holds the surviving copy: untouched (case/order preserved)
+    assert out[1]["text"] == f"{SHARED} tail one two three"
+    assert out[1]["n_words_removed"] == 0
+    # doc 2 loses the 8-word passage, keeps its lead-in
+    assert out[2]["text"] == "lead in words here"
+    assert out[2]["n_words"] == 4 and out[2]["n_words_removed"] == 8
+    # untouched docs come through verbatim (whitespace-canonical)
+    assert out[3]["n_words_removed"] == 0
+    assert out[5]["text"] == "short"
+
+
+def test_cut_duplicate_spans_preserves_case(spark):
+    from validr_spark.operators.spans import cut_duplicate_spans
+    up = SHARED.upper()
+    df = spark.createDataFrame(
+        [(1, f"{SHARED} extra words following here"),
+         (2, f"{up} trailing body of document two")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(df, n=8).collect()}
+    # grams match case-insensitively; doc 2's copy is cut, case intact
+    assert out[1]["text"].startswith("alpha")
+    assert out[2]["text"] == "trailing body of document two"
+
+
+def test_cut_duplicate_spans_whole_doc_cut(spark):
+    from validr_spark.operators.spans import cut_duplicate_spans
+    df = spark.createDataFrame(
+        [(1, SHARED + " and more"), (2, SHARED)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(df, n=8).collect()}
+    assert out[2]["text"] == "" and out[2]["n_words"] == 0
+    assert out[2]["n_words_removed"] == 8

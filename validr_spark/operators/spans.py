@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from validr_spark.operators.textstats import words_of
 
-__all__ = ["positioned_ngrams", "duplicate_spans", "span_dedup_stats"]
+__all__ = ["positioned_ngrams", "duplicate_spans", "cut_duplicate_spans",
+           "span_dedup_stats"]
 
 
 def positioned_ngrams(df: DataFrame, text_col: str = "text",
@@ -92,6 +93,52 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_grams"),
                  (F.max("_isf") == 1).alias("keep"))
             .drop("_grp"))
+
+
+def cut_duplicate_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Rebuild each document with its non-surviving duplicated spans CUT
+    (keep=False ranges from :func:`duplicate_spans`): each duplicated
+    passage survives exactly once in the corpus, every other verbatim
+    copy is removed in place — Lee et al.'s ExactSubstr deletion, as a
+    corpus transform.  Returns ``(id, text, n_words, n_words_removed)``.
+
+    Reconstruction splits on the same ``\\s+`` boundaries as the gram
+    pass but keeps the ORIGINAL case (whitespace is canonicalized to
+    single spaces; word positions align because lowercasing never
+    changes token boundaries).  Overlapping keep/cut ranges (possible
+    when two islands sit closer than n words) resolve in favor of
+    cutting — acceptable for a dedup whose unit is the word window.
+
+    Shape: positions-to-drop = ``sequence()``-explode of the (rare) cut
+    spans; original words posexplode LEFT ANTI join on (doc, pos) — both
+    shuffles keyed by doc id; per-doc reassembly via the same
+    array_sort(collect_list) pattern as paradedup.py (state bounded by
+    words/doc, which the schema's maxlen already bounds).
+    """
+    cuts = duplicate_spans(df, text_col, id_col, n, min_docs) \
+        .filter(~F.col("keep"))
+    drop = cuts.select(F.col(id_col).alias("_doc"),
+                       F.explode(F.sequence("start_word", "end_word"))
+                       .alias("_pos"))
+    raw_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    src = df.select(F.col(id_col).alias("_doc"),
+                    F.posexplode(raw_words).alias("_pos", "_word"))
+    kept = src.join(drop, ["_doc", "_pos"], "left_anti")
+    rebuilt = (kept.groupBy("_doc")
+               .agg(F.array_sort(F.collect_list(
+                    F.struct("_pos", "_word"))).alias("_ws"),
+                    F.count(F.lit(1)).alias("_n_kept")))
+    totals = df.select(F.col(id_col).alias("_doc"),
+                       F.size(raw_words).alias("_n_total"))
+    n_kept = F.coalesce(F.col("_n_kept"), F.lit(0))
+    return (totals.join(rebuilt, "_doc", "left")
+            .select(F.col("_doc").alias(id_col),
+                    F.coalesce(F.concat_ws(" ", F.col("_ws._word")),
+                               F.lit("")).alias(text_col),
+                    n_kept.alias("n_words"),
+                    (F.col("_n_total") - n_kept).alias("n_words_removed")))
 
 
 def span_dedup_stats(df: DataFrame, text_col: str = "text",
