@@ -221,3 +221,48 @@ def test_star_long_chain_logarithmic_rounds(spark):
     got = {r["id"]: r["component"]
            for r in connected_components_star(e, max_iter=15).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from validr_spark.operators.skew import salted_join
+    # hot key 'h' dominates the left side
+    left = spark.createDataFrame(
+        [(i, "h" if i % 10 else f"k{i}") for i in range(200)],
+        "row_id long, key string")
+    right = spark.createDataFrame(
+        [("h", 1), ("k0", 2), ("k30", 3), ("absent", 4)],
+        "key string, val int")
+    for how in ("inner", "left"):
+        plain = sorted((r["row_id"], r["val"]) for r in
+                       left.join(right, "key", how).collect())
+        salted = sorted((r["row_id"], r["val"]) for r in
+                        salted_join(left, right, "key", salt=7,
+                                    how=how).collect())
+        assert salted == plain, how
+    # column order/shape matches the plain join
+    assert salted_join(left, right, "key", salt=3).columns \
+        == left.join(right, "key").columns
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from validr_spark.operators.skew import salted_join
+    import pyspark.sql.functions as F
+    left = spark.createDataFrame(
+        [(i, "h") for i in range(500)], "row_id long, key string")
+    right = spark.createDataFrame([("h", 1)], "key string, val int")
+    s = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                        F.lit(8)).cast("int"))
+    n_buckets = s.select("_salt").distinct().count()
+    assert n_buckets >= 6          # hot key really spreads over salts
+    assert salted_join(left, right, "key", salt=8).count() == 500
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from validr_spark.operators.skew import salted_join
+    import pytest
+    df = spark.createDataFrame([(1, "a")], "row_id long, key string")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "key", salt=0)
+    with pytest.raises(ValueError):
+        salted_join(df, df, "key", salt=2, how="right")

@@ -20,7 +20,8 @@ from .incremental import (build_fingerprint_bloom, incremental_dedup,
                           incremental_new_rows)
 from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
-from .skew import heavy_hitters, key_skew_report, suggest_salt
+from .skew import (heavy_hitters, key_skew_report, salted_join,
+                   suggest_salt)
 from .stats import column_profile, null_rates
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
 from .uniqueness import duplicate_keys, duplication_report
@@ -36,7 +37,7 @@ __all__ = [
     "connected_components", "connected_components_star",
     "dedup_clusters", "dedup_by_components",
     "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",
-    "heavy_hitters", "key_skew_report", "suggest_salt",
+    "heavy_hitters", "key_skew_report", "suggest_salt", "salted_join",
     "bpe_pieces", "hash_tokens", "tokenize_documents",
     "dedup_paragraphs", "paragraph_stats",
 ]

@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "key_skew_report", "suggest_salt"]
+__all__ = ["heavy_hitters", "key_skew_report", "suggest_salt",
+           "salted_join"]
 
 
 def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
@@ -51,6 +52,41 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("key").isNull(), F.col("n"))),
                    F.lit(0)).alias("null_rows"),
         F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"))
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt: int, how: str = "inner",
+                salt_source: str | None = None) -> DataFrame:
+    """Equi-join that defeats key skew by salting: the SKEWED side gets a
+    deterministic salt bucket in ``[0, salt)``, the other side is
+    replicated ``salt``× (``explode(sequence(...))`` — a codegen
+    generator, the rows are never materialized driver-side), and the join
+    runs on ``(key, salt)`` so one hot key spreads over ``salt`` reducers.
+    Output columns match ``skewed.join(other, on, how)``.
+
+    The salt is ``pmod(xxhash64(salt_source or ALL skewed-side columns),
+    salt)`` — deterministic (resumable runs produce identical plans; no
+    ``rand()`` re-evaluation hazard under retries) yet uniform within a
+    hot key.  Size ``salt`` with :func:`suggest_salt`.
+
+    Use when AQE's skew-join can't help: AQE only splits SORT-MERGE
+    partitions after materializing both sides' shuffle files, and it
+    cannot split a skewed AGGREGATION input — explicit salting works for
+    both and keeps the hot key off a single reducer from the first
+    shuffle onward.  ``how`` supports inner/left joins (semantics
+    preserved because every skewed row carries exactly one salt value and
+    every other-side key exists in all ``salt`` replicas)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    src = ([F.col(salt_source)] if salt_source
+           else [F.col(c) for c in skewed.columns])
+    s = skewed.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(salt))
+                          .cast("int"))
+    rep = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return s.join(rep, [on, "_salt"], how).drop("_salt")
 
 
 def suggest_salt(df: DataFrame, key_col: str,
