@@ -429,3 +429,50 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         assert g[k].end_ts == b[k].end_ts + dt.timedelta(minutes=30)
     # extra agg rode along in the same state store
     assert all(r.total_value is not None for r in got)
+
+
+def test_bad_rows_quarantine_view(spark, seq_df):
+    plan = SparkCompiler().compile(seq_schema())
+    res = plan.apply(seq_df.withColumn("_id", F.col("doc_id")),
+                     id_cols=["_id"])
+    bad = res.bad_rows()
+    rows = bad.collect()
+    assert len(rows) == 6                       # 2 bad per source
+    assert all(r["n_violations"] == 1 for r in rows)
+    # coerced shape: schema columns present, violations array dropped
+    assert set(bad.columns) == {"_id", "doc_id", "n_tok", "source",
+                                "n_violations"}
+    # clean + bad partition the input
+    assert res.clean().count() + len(rows) == 300
+
+
+def test_resumable_quarantine_sink(spark, seq_df, tmp_path):
+    plan = SparkCompiler().compile(seq_schema())
+    q = str(tmp_path / "quarantine")
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "manifest"),
+                             violations_path=str(tmp_path / "violations"),
+                             quarantine_path=q, batch_parts=2)
+    rv.run(spark, seq_df, id_cols=["doc_id"])
+    bad = spark.read.parquet(q)
+    assert bad.count() == 6
+    assert set(bad.select("_part").distinct().toPandas()["_part"]) \
+        == {"a", "b", "c"}
+    assert set(bad.columns) >= {"doc_id", "n_tok", "source",
+                                "n_violations", "_lineage", "_run_id",
+                                "_part"}
+    # idempotent redo under a new lineage: stale quarantine rows replaced
+    relaxed = T.dict(doc_id=T.str.minlen(1),
+                     n_tok=T.int.min(1).max(2000),
+                     source=T.enum("a b c"))
+    rv2 = ResumableValidation(SparkCompiler().compile(relaxed),
+                              part_col="source",
+                              manifest_path=str(tmp_path / "manifest"),
+                              violations_path=str(tmp_path / "violations"),
+                              quarantine_path=q, batch_parts=2)
+    rv2.run(spark, seq_df, id_cols=["doc_id"])
+    try:
+        n_left = spark.read.parquet(q).count()
+    except Exception:
+        n_left = 0          # whole sink dir empty (no part files at all)
+    assert n_left == 0      # all rows now pass

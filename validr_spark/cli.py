@@ -78,6 +78,7 @@ def cmd_validate(args) -> int:
         manifest_path=args.manifest, violations_path=args.violations,
         batch_parts=args.batch_parts,
         extra_lineage=extra,
+        quarantine_path=args.quarantine,
     )
     report = run.run(spark, df, id_cols=args.id_cols)
     print(json.dumps(report))
@@ -204,6 +205,9 @@ def main(argv=None) -> int:
     v.add_argument("--violations", required=True)
     v.add_argument("--manifest", required=True)
     v.add_argument("--id-cols", nargs="*", default=[])
+    v.add_argument("--quarantine", default=None,
+                   help="also write failing rows (coerced shape + "
+                        "n_violations) here, partitioned like violations")
     v.add_argument("--batch-parts", type=int, default=64)
     v.add_argument("--fresh", nargs="?", const="", default=None,
                    metavar="TOKEN",

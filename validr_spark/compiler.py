@@ -749,6 +749,17 @@ class ValidationResult:
         return (self.df.filter(F.size(F.col(self._vc)) == 0)
                 .drop(self._vc))
 
+    def bad_rows(self) -> DataFrame:
+        """Quarantine view: rows that failed ≥1 check, in coerced shape
+        plus an ``n_violations`` count — write this next to the clean
+        output so a repair loop can fix-and-revalidate instead of
+        re-scanning the full input for its failures.  Complement of
+        :meth:`clean`; same single-projection plan, only the filter
+        predicate flips."""
+        return (self.df.filter(F.size(F.col(self._vc)) > 0)
+                .withColumn("n_violations", F.size(F.col(self._vc)))
+                .drop(self._vc))
+
     def violations(self) -> DataFrame:
         """One row per violation: (id..., rule_id, position, message, value).
 

@@ -121,11 +121,12 @@ class ResumableValidation:
 
     def __init__(self, plan, part_col: str, manifest_path: str,
                  violations_path: str, batch_parts: int = 64,
-                 extra_lineage: str = ""):
+                 extra_lineage: str = "", quarantine_path: str | None = None):
         self.plan = plan
         self.part_col = part_col
         self.manifest_path = manifest_path
         self.violations_path = violations_path
+        self.quarantine_path = quarantine_path
         self.batch_parts = max(1, batch_parts)
         self.lineage = lineage_hash(plan, part_col, extra_lineage)
 
@@ -163,7 +164,8 @@ class ResumableValidation:
                 "n_parts_processed": len(processed),
                 "parts": processed}
 
-    def _delete_part_dirs(self, spark, parts: list[str]) -> None:
+    def _delete_part_dirs(self, spark, parts: list[str],
+                          root_path: str | None = None) -> None:
         """Remove the violations partition dirs of every part in `parts`.
 
         Driver-side Hadoop-FS surgery over at most `batch_parts` dirs.
@@ -177,7 +179,8 @@ class ResumableValidation:
         import urllib.parse
 
         jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self.violations_path)
+        root = jvm.org.apache.hadoop.fs.Path(
+            root_path or self.violations_path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(root):
             return
@@ -206,6 +209,17 @@ class ResumableValidation:
             .write.mode("append")
             .partitionBy("_part")
             .parquet(self.violations_path))
+
+        # 1b. optional quarantine sink: the failing ROWS in coerced shape
+        #     (repair-loop input), same delete-then-append idempotence.
+        if self.quarantine_path:
+            self._delete_part_dirs(spark, parts, self.quarantine_path)
+            (res.bad_rows()
+                .withColumn("_lineage", F.lit(self.lineage))
+                .withColumn("_run_id", F.lit(run_id))
+                .write.mode("append")
+                .partitionBy("_part")
+                .parquet(self.quarantine_path))
 
         # 2. verdict metrics: cheap count-only scan (reads just part_col
         #    thanks to column pruning) + the small violations we just wrote.
