@@ -609,6 +609,21 @@ def q_ngram_jaccard(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_jaccard_exact(spark, sf):
+    """Exact word-3-gram Jaccard verifier (operators/dedup.py
+    jaccard_verify) over a DETERMINISTIC candidate set (all doc pairs with
+    ids < 60) — oracles the near-dup verify component itself, independent
+    of minhash candidate generation; DuckDB recomputes set Jaccard from
+    distinct grams."""
+    df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    a = df.select(F.col("doc_id").alias("id_a"))
+    b = df.select(F.col("doc_id").alias("id_b"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (dedup.jaccard_verify(df, cand, ngram=3, threshold=0.01)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_multimodal_features(spark, sf):
     from validr_spark.operators.multimodal import (extract_features,
                                                    make_fake_media)
@@ -1009,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
         "span_cut": q_span_cut,
+        "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -1280,6 +1296,31 @@ def oracle_sql() -> dict[str, str]:
                    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
                      AS entropy
             FROM pw GROUP BY doc_id ORDER BY doc_id
+        """,
+        "jaccard_exact": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> array_to_string(ws[i:i+2], ' '))) AS gram
+              FROM w),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
+            ORDER BY id_a, id_b
         """,
         "span_cut": r"""
             WITH w AS (
