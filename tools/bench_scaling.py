@@ -37,6 +37,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CUSTOM_MARK = "<!-- custom sections below are preserved -->"
 
 DEFAULT_ROWS = 8_000_000
 SHM_CACHE = "/dev/shm/validr_spark_seq_scaling"
@@ -181,8 +182,16 @@ payload).  Our engine validates {seq_best_large:,.0f} rows/s
 tokens/row ⇒ {tok_best_large:,.0f} scalar checks/s on token
 elements alone) on local[{n_large}].
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written sections (headline-query tables, caveats)
+    # below the marker across regenerations of the scaling part
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if CUSTOM_MARK in old:
+            tail = old.split(CUSTOM_MARK, 1)[1]
+    with open(bench_path, "w") as f:
+        f.write(md + "\n" + CUSTOM_MARK + tail)
     print(json.dumps({
         "n_small": n_small, "n_large": n_large,
         "best_small_s": best(r_small), "best_large_s": best(r_large),
