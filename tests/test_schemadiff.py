@@ -119,3 +119,12 @@ def test_cli_diff(tmp_path, capsys):
     out = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert out[-1] == {"verdict": "narrowed"}
     assert out[0]["path"] == "doc_id.minlen"
+
+
+def test_bound_added_and_removed():
+    assert v(T.int, T.int.min(0)) == "narrowed"
+    assert v(T.int.min(0), T.int) == "compatible"
+    assert v(T.str, T.str.maxlen(10)) == "narrowed"
+    assert v(T.str.maxlen(10), T.str) == "compatible"
+    d = schema_diff(T.int, T.int.min(0))
+    assert d[0]["kind"] == "param_added" and d[0]["severity"] == "narrowing"

@@ -148,7 +148,9 @@ def span_dedup_stats(df: DataFrame, text_col: str = "text",
     ``(n_docs_affected, n_spans, n_spans_cut, dup_words_total,
     cut_words_total)`` — ``*_cut`` excludes the keep=True survivors.
     Span word counts use the inclusive window size
-    ``end_word − start_word + 1``."""
+    ``end_word − start_word + 1``; two islands closer than n words have
+    overlapping windows, so word totals are an upper bound (the cutter
+    itself deduplicates positions and is exact)."""
     s = duplicate_spans(df, text_col, id_col, n, min_docs)
     words = F.col("end_word") - F.col("start_word") + 1
     cut = F.when(~F.col("keep"), words).otherwise(F.lit(0))

@@ -296,12 +296,13 @@ def unigram_logprob(df: DataFrame, ref: DataFrame | None = None,
     rcol = ref_text_col or text_col
     rwords = (ref.select(F.explode(words_of(F.col(rcol))).alias("_w"))
               .filter(F.col("_w") != ""))
-    counts = rwords.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    if top_v is not None:
-        counts = counts.orderBy(F.desc("_c"), "_w").limit(top_v)
+    counts_full = rwords.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    counts = (counts_full.orderBy(F.desc("_c"), "_w").limit(top_v)
+              if top_v is not None else counts_full)
     # total N over the FULL reference (not the truncated head), so
-    # probabilities stay consistent between modes
-    total = rwords.agg(F.count(F.lit(1)).alias("_n"))
+    # probabilities stay consistent between modes; summed from the count
+    # table — no second explode scan of the reference
+    total = counts_full.agg(F.sum("_c").alias("_n"))
     model = counts.crossJoin(F.broadcast(total)).select(
         "_w", F.log2(F.col("_c") / F.col("_n")).alias("_logp"))
     if top_v is not None:

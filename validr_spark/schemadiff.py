@@ -94,11 +94,21 @@ def _param_severity(name, old, new):
         if new is None:
             return "narrowing"
         return "behavioral"
-    numeric = (isinstance(old, (int, float)) and isinstance(new, (int, float))
-               and not isinstance(old, bool) and not isinstance(new, bool))
-    if name in _TIGHTER_UP and numeric:
-        return "narrowing" if new > old else "widening"
-    if name in _TIGHTER_DOWN and numeric:
+    if name in _TIGHTER_UP or name in _TIGHTER_DOWN:
+        # adding an explicit bound tightens vs the validator's (looser)
+        # default envelope; removing it returns to that default
+        if old is None:
+            return "narrowing"
+        if new is None:
+            return "widening"
+        numeric = (isinstance(old, (int, float))
+                   and isinstance(new, (int, float))
+                   and not isinstance(old, bool)
+                   and not isinstance(new, bool))
+        if not numeric:
+            return "breaking"     # e.g. duration-string bounds: unknowable
+        if name in _TIGHTER_UP:
+            return "narrowing" if new > old else "widening"
         return "narrowing" if new < old else "widening"
     if name in _WIDER_TRUE:
         return "widening" if bool(new) and not bool(old) else "narrowing"
