@@ -624,6 +624,19 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    weight every document toward the lang='en' slice under add-0.5
+    smoothed shared-vocab unigram models, then Gumbel-top-50 resample
+    (md5-seeded, deterministic).  DuckDB rebuilds both models, the
+    smoothing, and the Gumbel keys from the same md5."""
+    from validr_spark.operators.dsir import dsir_select
+    docs = _load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    target = docs.filter(F.col("lang") == "en")
+    return (dsir_select(docs, target, k=50, temperature=0.2)
+            .orderBy(F.desc("sample_key"), "doc_id"))
+
+
 def q_multimodal_features(spark, sf):
     from validr_spark.operators.multimodal import (extract_features,
                                                    make_fake_media)
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
+        "dsir_select": q_dsir_select,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
@@ -1321,6 +1335,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "dsir_select": r"""
+            WITH raw AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+            tw AS (
+              SELECT unnest(string_split_regex(lower(trim(r.text)), '\s+'))
+                       AS w
+              FROM raw r JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en'),
+            tcnt AS (
+              SELECT w, count(*) AS c_t FROM tw WHERE w <> '' GROUP BY w),
+            tn AS (SELECT sum(c_t) AS n_t FROM tcnt),
+            rw AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w FROM raw),
+            rcnt AS (
+              SELECT w, count(*) AS c_r FROM rw WHERE w <> '' GROUP BY w),
+            rn AS (SELECT sum(c_r) AS n_r FROM rcnt),
+            voc AS (
+              SELECT count(*) AS v FROM (
+                SELECT w FROM tcnt UNION SELECT w FROM rcnt)),
+            dw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM raw),
+            scored AS (
+              SELECT d.doc_id, tcnt.c_t, rcnt.c_r, tn.n_t, rn.n_r, voc.v
+              FROM dw d LEFT JOIN tcnt USING (w) LEFT JOIN rcnt USING (w)
+              CROSS JOIN tn CROSS JOIN rn CROSS JOIN voc
+              WHERE d.w <> ''),
+            wts AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     round(avg(CASE
+                       WHEN c_t IS NULL AND c_r IS NULL THEN 0.0
+                       ELSE log2((coalesce(c_t, 0) + 0.5)
+                                 / (n_t + 0.5 * v))
+                          - log2((coalesce(c_r, 0) + 0.5)
+                                 / (n_r + 0.5 * v)) END), 6)
+                       AS log_weight
+              FROM scored GROUP BY doc_id),
+            keyed AS (
+              SELECT doc_id, n_words, log_weight,
+                     round(log_weight / 0.2
+                           - ln(-ln((('0x' || substr(
+                                 md5('42|' || doc_id::VARCHAR), 1, 8))
+                                 ::BIGINT + 0.5) / 4294967296.0)), 6)
+                       AS sample_key
+              FROM wts)
+            SELECT doc_id, n_words, log_weight, sample_key
+            FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
         """,
         "span_cut": r"""
             WITH w AS (

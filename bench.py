@@ -194,7 +194,7 @@ HEADLINE = [
     "asof_clicks", "check_suite", "contamination",
     "events_diff", "dup_components", "psi_drift", "key_skew", "pack_stats",
     "pipeline_prep", "incremental_new", "tokenized_stats", "para_dedup",
-    "emb_drift", "dup_spans", "doc_entropy",
+    "emb_drift", "dup_spans", "doc_entropy", "dsir_select",
 ]
 
 

@@ -13,6 +13,7 @@ from .consistency import check_invariants
 from .diff import diff_summary, table_diff
 from .drift import (chi_square_counts, ks_approx, ks_exact, psi,
                     value_entropy)
+from .dsir import dsir_select, dsir_weights, importance_sample
 from .embedding import dim_moments, embedding_drift
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
@@ -40,4 +41,5 @@ __all__ = [
     "heavy_hitters", "key_skew_report", "suggest_salt", "salted_join",
     "bpe_pieces", "hash_tokens", "tokenize_documents",
     "dedup_paragraphs", "paragraph_stats",
+    "dsir_weights", "importance_sample", "dsir_select",
 ]
