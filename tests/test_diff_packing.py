@@ -104,3 +104,38 @@ def test_utilization_reasonable(spark, docs):
     assert row["n_docs"] == 502
     # FFD within shards: waste should be modest on mixed lengths
     assert row["utilization"] > 0.7
+
+
+# --- token-balanced shards (repartition_by_tokens) --------------------------
+
+def test_repartition_by_tokens_bounds_outlier(spark):
+    """One 100x-token outlier doc: every other partition's token total
+    stays within 2x of the target."""
+    small = spark.range(400).select(
+        F.col("id").alias("doc_id"), F.lit(64).alias("n_tok"))
+    big = spark.createDataFrame([(9999, 6400)], "doc_id long, n_tok int")
+    df = small.unionByName(big.select("doc_id", F.col("n_tok").cast("int"))
+                           if small.schema["n_tok"].dataType.simpleString()
+                           == "int" else big)
+    from validr_spark.operators.packing import repartition_by_tokens
+    out = repartition_by_tokens(df, target_tokens=4096)
+    sizes = (out.withColumn("_p", F.spark_partition_id())
+             .groupBy("_p").agg(F.sum("n_tok").alias("t")).collect())
+    rest = [r["t"] for r in sizes if r["t"] < 6400]
+    assert len(rest) >= 2
+    assert max(rest) <= 2 * 4096
+    assert out.count() == 401
+
+
+def test_repartition_by_tokens_deterministic(spark):
+    from validr_spark.operators.packing import repartition_by_tokens
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("n_tok"))
+    a = repartition_by_tokens(df, 512)
+    b = repartition_by_tokens(df.repartition(7), 512)
+    pa = sorted(map(tuple, a.withColumn("_p", F.spark_partition_id())
+                    .collect()))
+    pb = sorted(map(tuple, b.withColumn("_p", F.spark_partition_id())
+                    .collect()))
+    assert pa == pb

@@ -91,42 +91,15 @@ def repartition_by_size(df: DataFrame, content_col: str = "content",
     (a count-balanced repartition would happily put a 4 GB video in a
     normal-sized bucket).
 
-    Shape (no global sort, no single-reducer window):
-      1. rows → ``coarse_groups`` hash groups; per-group byte totals are
-         collected to the driver (``coarse_groups`` longs, never rows);
-      2. driver prefix-sums the totals into per-group byte offsets;
-      3. within each group, a bounded window computes the running byte sum
-         in deterministic (content-hash) order; global start offset =
-         group offset + running sum − row bytes;
-      4. bucket = floor(start / target_bytes); range-repartition on it.
+    Thin wrapper over the generic distributed prefix-sum packer
+    (``packing.repartition_by_weight``) with weight = payload bytes and
+    deterministic content-hash order.
     """
-    from pyspark.sql import Window
+    from .packing import repartition_by_weight
 
-    nb = F.coalesce(F.octet_length(content_col).cast("long"), F.lit(0))
-    h = F.xxhash64(F.col(content_col))
-    tmp = (df.withColumn("_nb", nb).withColumn("_h", h)
-           .withColumn("_g", F.pmod(F.col("_h"), F.lit(coarse_groups))
-                       .cast("int")))
-    totals = {r["_g"]: (r["t"] or 0) for r in
-              tmp.groupBy("_g").agg(F.sum("_nb").alias("t")).collect()}
-    offsets, run = {}, 0
-    for gk in sorted(totals):
-        offsets[gk] = run
-        run += totals[gk]
-    n_buckets = max(1, -(-run // target_bytes))
-
-    off_pairs = []
-    for gk, off in offsets.items():
-        off_pairs += [F.lit(gk), F.lit(off)]
-    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
-    w = (Window.partitionBy("_g").orderBy("_h")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    start = (F.element_at(off_map, F.col("_g"))
-             + F.sum("_nb").over(w) - F.col("_nb"))
-    bucketed = tmp.withColumn(
-        "_bucket", F.floor(start / F.lit(target_bytes)).cast("int"))
-    return (bucketed.repartitionByRange(n_buckets, F.col("_bucket"))
-            .select(*df.columns))
+    return repartition_by_weight(
+        df, F.octet_length(content_col), target_bytes, coarse_groups,
+        order=F.xxhash64(F.col(content_col)))
 
 
 def make_fake_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:

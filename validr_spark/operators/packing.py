@@ -37,7 +37,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as st
 
-__all__ = ["pack_greedy", "packing_stats"]
+__all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
+           "repartition_by_tokens"]
+
+
+def repartition_by_weight(df: DataFrame, weight, target: int,
+                          coarse_groups: int = 256,
+                          order=None) -> DataFrame:
+    """Greedy weight-aware repartition: rows are packed into buckets by a
+    cumulative sum of ``weight`` (distributed prefix-sum), so per-task
+    payload is bounded by ``target`` + one row — regardless of row-count
+    skew (a count-balanced repartition would happily put a 4 GB video or
+    a 1M-token document in a normal-sized bucket).
+
+    Shape (no global sort, no single-reducer window):
+      1. rows → ``coarse_groups`` hash groups; per-group weight totals
+         are collected to the driver (``coarse_groups`` longs, never
+         rows);
+      2. driver prefix-sums the totals into per-group offsets;
+      3. within each group, a bounded window computes the running weight
+         sum in deterministic ``order`` (default: xxhash64 of all
+         columns); global start = group offset + running sum − weight;
+      4. bucket = floor(start / target); range-repartition on it.
+
+    Used by :func:`repartition_by_tokens` (token-balanced training
+    shards) and ``multimodal.repartition_by_size`` (byte-balanced media
+    tasks).  Deterministic for a fixed input — resumable-run safe.
+    """
+    from pyspark.sql import Window
+
+    wt = weight.cast("long")
+    h = order if order is not None else F.xxhash64(*df.columns)
+    tmp = (df.withColumn("_wt", F.coalesce(wt, F.lit(0)))
+           .withColumn("_h", h)
+           .withColumn("_g", F.pmod(F.col("_h"), F.lit(coarse_groups))
+                       .cast("int")))
+    totals = {r["_g"]: (r["t"] or 0) for r in
+              tmp.groupBy("_g").agg(F.sum("_wt").alias("t")).collect()}
+    offsets, run = {}, 0
+    for gk in sorted(totals):
+        offsets[gk] = run
+        run += totals[gk]
+    n_buckets = max(1, -(-run // target))
+
+    off_pairs = []
+    for gk, off in offsets.items():
+        off_pairs += [F.lit(gk), F.lit(off)]
+    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
+    w = (Window.partitionBy("_g").orderBy("_h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.element_at(off_map, F.col("_g"))
+             + F.sum("_wt").over(w) - F.col("_wt"))
+    bucketed = tmp.withColumn(
+        "_bucket", F.floor(start / F.lit(target)).cast("int"))
+    return (bucketed.repartitionByRange(n_buckets, F.col("_bucket"))
+            .select(*df.columns))
+
+
+def repartition_by_tokens(df: DataFrame, target_tokens: int,
+                          token_col: str = "n_tok",
+                          coarse_groups: int = 256) -> DataFrame:
+    """Token-balanced training shards: repartition the sequence table so
+    every task/output file carries ≈``target_tokens`` tokens (bounded by
+    ``target_tokens`` + one document), not ≈equal ROW counts — with
+    heavy-tailed document lengths, count-balanced shards vary several ×
+    in token load, which is exactly the straggler/OOM profile a
+    100 TB write wants to avoid.  Write the result with one file per
+    partition for even shards."""
+    return repartition_by_weight(df, F.col(token_col), target_tokens,
+                                 coarse_groups)
 
 
 def pack_greedy(df: DataFrame, max_tokens: int,
