@@ -624,6 +624,23 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_ccnet_mix(spark, sf):
+    """CCNet perplexity-bucket selection (operators/textstats.py
+    ccnet_sample): even-doc_id documents scored under the odd-half unigram
+    model, bucketed at fixed logprob cutoffs (head/middle/tail), kept at
+    per-bucket md5 rates (1.0 / 0.5 / 0.1).  DuckDB rebuilds the model,
+    the buckets, and the md5 thresholds; hash-matching the kept doc_ids
+    pins scoring + bucketing + selection end-to-end."""
+    from validr_spark.operators.textstats import ccnet_sample
+    df = _load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    even = df.filter(F.col("doc_id") % 2 == 0)
+    odd = df.filter(F.col("doc_id") % 2 == 1)
+    kept = ccnet_sample(even, cutoffs=[-4.91, -4.92], rates={0: 1.0, 1: 0.5},
+                        ref=odd, default_rate=0.1)
+    return (kept.select("doc_id", "bucket", "avg_logprob")
+            .orderBy("doc_id"))
+
+
 def q_dsir_select(spark, sf):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     weight every document toward the lang='en' slice under add-0.5
@@ -1037,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
         "dsir_select": q_dsir_select,
+        "ccnet_mix": q_ccnet_mix,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
@@ -1335,6 +1353,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "ccnet_mix": r"""
+            WITH rw AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 1),
+            cnt AS (
+              SELECT w, count(*) AS c FROM rw WHERE w <> '' GROUP BY w),
+            tot AS (
+              SELECT count(*) AS n FROM rw WHERE w <> ''),
+            dw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 2 = 0),
+            scored AS (
+              SELECT d.doc_id, cnt.c, tot.n
+              FROM dw d LEFT JOIN cnt USING (w) CROSS JOIN tot
+              WHERE d.w <> ''),
+            wts AS (
+              SELECT doc_id,
+                     round(avg(log2(coalesce(c::DOUBLE, 0.5) / n)), 6)
+                       AS avg_logprob
+              FROM scored GROUP BY doc_id),
+            bkt AS (
+              SELECT doc_id, avg_logprob,
+                     CASE WHEN avg_logprob >= -4.91 THEN 0
+                          WHEN avg_logprob >= -4.92 THEN 1
+                          ELSE 2 END AS bucket
+              FROM wts)
+            SELECT doc_id, bucket::INT AS bucket, avg_logprob
+            FROM bkt
+            WHERE substr(md5('42|' || doc_id::VARCHAR), 1, 8)
+                  < CASE WHEN bucket = 0 THEN 'gggggggg'
+                         WHEN bucket = 1 THEN '80000000'
+                         ELSE '19999999' END
+            ORDER BY doc_id
         """,
         "dsir_select": r"""
             WITH raw AS (

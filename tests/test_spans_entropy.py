@@ -176,3 +176,54 @@ def test_cut_duplicate_spans_whole_doc_cut(spark):
     out = {r["doc_id"]: r for r in cut_duplicate_spans(df, n=8).collect()}
     assert out[2]["text"] == "" and out[2]["n_words"] == 0
     assert out[2]["n_words_removed"] == 8
+
+
+# --- CCNet buckets + per-bucket sampling ------------------------------------
+
+def test_logprob_buckets_assignment(spark):
+    from validr_spark.operators.textstats import (logprob_buckets,
+                                                  unigram_logprob)
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "the cat"), (3, "zzz qqq www")],
+        ["doc_id", "text"])
+    ref = spark.createDataFrame([(9, "the the the the cat")],
+                                ["doc_id", "text"])
+    scored = {r["doc_id"]: r["avg_logprob"]
+              for r in unigram_logprob(df, ref=ref).collect()}
+    # doc1 all head words, doc3 all OOV: pick cutoffs between the scores
+    assert scored[1] > scored[2] > scored[3]
+    lo = (scored[2] + scored[3]) / 2
+    hi = (scored[1] + scored[2]) / 2
+    out = {r["doc_id"]: r["bucket"]
+           for r in logprob_buckets(df, [hi, lo], ref=ref).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_logprob_buckets_requires_cutoffs(spark):
+    import pytest as _pytest
+    from validr_spark.operators.textstats import logprob_buckets
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="cutoff"):
+        logprob_buckets(df, [])
+
+
+def test_ccnet_sample_rates_and_determinism(spark):
+    from validr_spark.operators.textstats import ccnet_sample
+    rows = [(i, "the cat sat" if i % 2 else "zz qq ww") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = spark.createDataFrame([(9999, "the cat sat on the mat")],
+                                ["doc_id", "text"])
+    # matching docs -> bucket 0 (keep all); OOV docs -> tail (keep 10%)
+    kept = ccnet_sample(df, cutoffs=[-3.0], rates={0: 1.0}, ref=ref,
+                        default_rate=0.1)
+    got = kept.collect()
+    n_head = sum(1 for r in got if r["bucket"] == 0)
+    n_tail = sum(1 for r in got if r["bucket"] == 1)
+    assert n_head == 200                      # every head doc kept
+    assert 5 <= n_tail <= 45                  # ~10% of 200 tail docs
+    # original columns survive the join-back
+    assert set(kept.columns) >= {"doc_id", "text", "avg_logprob", "bucket"}
+    again = ccnet_sample(df.repartition(7), cutoffs=[-3.0], rates={0: 1.0},
+                         ref=ref, default_rate=0.1)
+    assert sorted(r["doc_id"] for r in got) == \
+        sorted(r["doc_id"] for r in again.collect())

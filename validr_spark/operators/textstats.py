@@ -323,6 +323,69 @@ def unigram_logprob(df: DataFrame, ref: DataFrame | None = None,
                  F.round(F.avg(lp), 6).alias("avg_logprob")))
 
 
+def logprob_buckets(df: DataFrame, cutoffs: list[float],
+                    ref: DataFrame | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ref_text_col: str | None = None,
+                    top_v: int | None = None,
+                    oov_alpha: float = 0.5) -> DataFrame:
+    """CCNet-style LM-quality buckets (Wenzek et al., LREC 2020): score
+    every document with :func:`unigram_logprob` against a reference
+    corpus, then bucket by fixed ``cutoffs`` — bucket 0 (head) =
+    ``avg_logprob ≥ cutoffs[0]``, bucket i = first cutoff the score
+    clears, bucket ``len(cutoffs)`` (tail) = below all of them.
+
+    Fixed cutoffs (not per-run quantiles) are deliberate: CCNet computes
+    head/middle/tail thresholds ONCE on a reference snapshot and reuses
+    them, which keeps incremental/resumed runs consistent — a quantile
+    recomputed per batch would migrate documents between buckets as the
+    corpus grows.  Use ``df.approxQuantile("avg_logprob", ...)`` on a
+    snapshot to calibrate cutoffs.
+
+    Adds ``bucket`` to the ``unigram_logprob`` output; same scale modes
+    (``top_v`` broadcast-head = the 10^12-doc path).
+    """
+    cuts = sorted((float(c) for c in cutoffs), reverse=True)
+    if not cuts:
+        raise ValueError("logprob_buckets: need at least one cutoff")
+    scored = unigram_logprob(df, ref, text_col, id_col, ref_text_col,
+                             top_v, oov_alpha)
+    expr = None
+    for i, c in enumerate(cuts):
+        cond = F.col("avg_logprob") >= F.lit(c)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return scored.withColumn("bucket",
+                             expr.otherwise(len(cuts)).cast("int"))
+
+
+def ccnet_sample(df: DataFrame, cutoffs: list[float],
+                 rates: dict[int, float],
+                 ref: DataFrame | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 ref_text_col: str | None = None,
+                 top_v: int | None = None, oov_alpha: float = 0.5,
+                 seed: str = "42", default_rate: float = 0.0) -> DataFrame:
+    """The CCNet selection step: per-quality-bucket keep rates (e.g. keep
+    all of the head, half of the middle, a sliver of the tail), applied
+    with the deterministic md5 sampler from operators/sampling.py —
+    reruns keep the identical rows.
+
+    Returns the input rows of the kept documents plus their
+    ``avg_logprob`` and ``bucket`` columns.  One scoring pass + a
+    map-side rate filter + one id-keyed join back to the corpus (the
+    score table is (id, 3 numerics) — tiny next to the corpus row).
+    """
+    from .sampling import weighted_mix
+
+    buckets = logprob_buckets(df, cutoffs, ref, text_col, id_col,
+                              ref_text_col, top_v, oov_alpha)
+    tagged = buckets.withColumn("_b", F.col("bucket").cast("string"))
+    kept = weighted_mix(tagged, {str(int(b)): r for b, r in rates.items()},
+                        "_b", key=id_col, seed=seed,
+                        default_rate=default_rate)
+    return df.join(kept.select(id_col, "avg_logprob", "bucket"), id_col)
+
+
 def top_ngram_stats(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 2,
                     carry_cols: list[str] | None = None) -> DataFrame:
