@@ -624,6 +624,17 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_token_budget(spark, sf):
+    """Deterministic budgeted corpus cut (operators/packing.py
+    take_weight_budget): the first documents in md5(seed|doc_id) order
+    whose cumulative n_chars stays within a 20,000-char budget.  DuckDB
+    recomputes the same md5 order and running sum."""
+    from validr_spark.operators.packing import take_weight_budget
+    df = _load(spark, sf, "documents")
+    kept = take_weight_budget(df, 20_000, F.col("n_chars"))
+    return kept.select("doc_id", "n_chars").orderBy("doc_id")
+
+
 def q_ccnet_mix(spark, sf):
     """CCNet perplexity-bucket selection (operators/textstats.py
     ccnet_sample): even-doc_id documents scored under the odd-half unigram
@@ -1055,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "dsir_select": q_dsir_select,
         "ccnet_mix": q_ccnet_mix,
+        "token_budget": q_token_budget,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
@@ -1353,6 +1365,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "token_budget": r"""
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     sum(coalesce(n_chars, 0)) OVER (
+                       ORDER BY md5('42|' || doc_id::VARCHAR), doc_id)
+                       AS cum
+              FROM documents)
+            WHERE cum <= 20000 ORDER BY doc_id
         """,
         "ccnet_mix": r"""
             WITH rw AS (

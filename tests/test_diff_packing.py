@@ -139,3 +139,53 @@ def test_repartition_by_tokens_deterministic(spark):
     pb = sorted(map(tuple, b.withColumn("_p", F.spark_partition_id())
                     .collect()))
     assert pa == pb
+
+
+# --- budgeted corpus cut (take_token_budget) --------------------------------
+
+def _expected_budget_ids(rows, budget, seed="42"):
+    import hashlib
+    order = sorted(rows, key=lambda r: (hashlib.md5(
+        f"{seed}|{r[0]}".encode()).hexdigest(), r[0]))
+    out, cum = [], 0
+    for i, t in order:
+        cum += t
+        if cum > budget:
+            break
+        out.append(i)
+    return sorted(out)
+
+
+def test_take_token_budget_exact_maximal_prefix(spark):
+    from validr_spark.operators.packing import take_token_budget
+    rows = [(i, 10 + (i * 7) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    kept = take_token_budget(df, budget_tokens=5000)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == _expected_budget_ids(rows, 5000)
+    tot = kept.agg(F.sum("n_tok")).first()[0]
+    assert tot <= 5000
+
+
+def test_take_token_budget_partitioning_invariant(spark):
+    from validr_spark.operators.packing import take_token_budget
+    rows = [(i, 10 + (i * 7) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    a = sorted(r["doc_id"] for r in take_token_budget(df, 5000).collect())
+    b = sorted(r["doc_id"] for r in
+               take_token_budget(df.repartition(7), 5000).collect())
+    assert a == b
+
+
+def test_take_token_budget_monotone_under_growth(spark):
+    """Adding rows only shrinks the old selection from its hash-order
+    tail: old survivors of the grown corpus are a subset of the old
+    selection."""
+    from validr_spark.operators.packing import take_token_budget
+    old_rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    new_rows = old_rows + [(1000 + i, 25) for i in range(100)]
+    old = spark.createDataFrame(old_rows, "doc_id long, n_tok int")
+    new = spark.createDataFrame(new_rows, "doc_id long, n_tok int")
+    kept_old = {r["doc_id"] for r in take_token_budget(old, 4000).collect()}
+    kept_new = {r["doc_id"] for r in take_token_budget(new, 4000).collect()}
+    assert (kept_new & set(i for i, _ in old_rows)) <= kept_old

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as st
 
 __all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
-           "repartition_by_tokens"]
+           "repartition_by_tokens", "take_weight_budget",
+           "take_token_budget"]
 
 
 def repartition_by_weight(df: DataFrame, weight, target: int,
@@ -92,6 +93,65 @@ def repartition_by_weight(df: DataFrame, weight, target: int,
         "_bucket", F.floor(start / F.lit(target)).cast("int"))
     return (bucketed.repartitionByRange(n_buckets, F.col("_bucket"))
             .select(*df.columns))
+
+
+def take_weight_budget(df: DataFrame, budget: int, weight,
+                       id_col: str = "doc_id",
+                       seed: str = "42") -> DataFrame:
+    """Deterministic budgeted corpus cut: keep the first rows in
+    ``md5(seed|id)`` order whose cumulative ``weight`` stays within
+    ``budget`` (a row that would cross the budget is dropped — strict).
+
+    The "give me exactly ~B tokens of this corpus" step of a training-mix
+    recipe, done as a *selection rule* rather than a fraction: a
+    fraction-based sample under- or over-shoots by the length
+    distribution, and a limit-after-sort needs a global sort.  md5 order
+    makes the cut (a) uniform-random w.r.t. content, (b) identical on
+    rerun/resume, and (c) *monotone under growth* — the kept set is
+    always a prefix of the same (hash, id) total order, so adding rows
+    to the corpus only moves the cut threshold earlier: the old
+    selection shrinks from its hash-order tail, never reshuffles.
+
+    Distributed shape (no global sort, no single-reducer window): the
+    first two hex chars of the hash split rows into 256 groups that are
+    CONTIGUOUS ranges of the sort order, so per-group totals prefix-sum
+    on the driver into exact global offsets (256 longs, never rows);
+    each group then needs only a bounded in-group running sum.
+    """
+    from pyspark.sql import Window
+
+    wt = F.coalesce(weight.cast("long"), F.lit(0))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    tmp = (df.withColumn("_wt", wt).withColumn("_h", h)
+           .withColumn("_g", F.substring("_h", 1, 2)))
+    totals = {r["_g"]: (r["t"] or 0) for r in
+              tmp.groupBy("_g").agg(F.sum("_wt").alias("t")).collect()}
+    offsets, run = {}, 0
+    for gk in sorted(totals):          # hex prefixes sort = hash order
+        offsets[gk] = run
+        run += totals[gk]
+
+    off_pairs = []
+    for gk, off in offsets.items():
+        off_pairs += [F.lit(gk), F.lit(off)]
+    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
+    w = (Window.partitionBy("_g").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.element_at(off_map, F.col("_g")) + F.sum("_wt").over(w)
+    return (tmp.withColumn("_cum", cum)
+            .filter(F.col("_cum") <= F.lit(budget))
+            .select(*df.columns))
+
+
+def take_token_budget(df: DataFrame, budget_tokens: int,
+                      token_col: str = "n_tok",
+                      id_col: str = "doc_id",
+                      seed: str = "42") -> DataFrame:
+    """:func:`take_weight_budget` with weight = token count: a strict
+    ~``budget_tokens``-sized, deterministic, content-uniform cut of the
+    sequence corpus."""
+    return take_weight_budget(df, budget_tokens, F.col(token_col),
+                              id_col, seed)
 
 
 def repartition_by_tokens(df: DataFrame, target_tokens: int,
