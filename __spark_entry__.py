@@ -635,6 +635,18 @@ def q_token_budget(spark, sf):
     return kept.select("doc_id", "n_chars").orderBy("doc_id")
 
 
+def q_budget_mix(spark, sf):
+    """Per-source budget mixture cut (operators/packing.py
+    take_grouped_budgets): fixed n_chars budgets for three sources,
+    everything else dropped.  DuckDB recomputes the per-source md5-order
+    running sums."""
+    from validr_spark.operators.packing import take_grouped_budgets
+    df = _load(spark, sf, "documents")
+    kept = take_grouped_budgets(
+        df, {"src0": 3000, "src1": 2000, "src2": 1000}, F.col("n_chars"))
+    return kept.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def q_ccnet_mix(spark, sf):
     """CCNet perplexity-bucket selection (operators/textstats.py
     ccnet_sample): even-doc_id documents scored under the odd-half unigram
@@ -1067,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "ccnet_mix": q_ccnet_mix,
         "token_budget": q_token_budget,
+        "budget_mix": q_budget_mix,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
@@ -1374,6 +1387,19 @@ def oracle_sql() -> dict[str, str]:
                        AS cum
               FROM documents)
             WHERE cum <= 20000 ORDER BY doc_id
+        """,
+        "budget_mix": r"""
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     sum(coalesce(n_chars, 0)) OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42|' || doc_id::VARCHAR), doc_id)
+                       AS cum
+              FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+            WHERE cum <= CASE source WHEN 'src0' THEN 3000
+                                     WHEN 'src1' THEN 2000
+                                     ELSE 1000 END
+            ORDER BY doc_id
         """,
         "ccnet_mix": r"""
             WITH rw AS (

@@ -189,3 +189,34 @@ def test_take_token_budget_monotone_under_growth(spark):
     kept_old = {r["doc_id"] for r in take_token_budget(old, 4000).collect()}
     kept_new = {r["doc_id"] for r in take_token_budget(new, 4000).collect()}
     assert (kept_new & set(i for i, _ in old_rows)) <= kept_old
+
+
+def test_take_grouped_budgets_matches_per_group_cut(spark):
+    from validr_spark.operators.packing import (take_grouped_budgets,
+                                                take_weight_budget)
+    rows = [(i, f"s{i % 3}", 10 + (i * 7) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    budgets = {"s0": 1500, "s1": 800}          # s2 dropped entirely
+    got = take_grouped_budgets(df, budgets, F.col("n_tok"))
+    by_src = {}
+    for r in got.collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert set(by_src) <= {"s0", "s1"}
+    for src, b in budgets.items():
+        solo = take_weight_budget(df.filter(F.col("source") == src), b,
+                                  F.col("n_tok"))
+        assert by_src.get(src, set()) == {r["doc_id"]
+                                          for r in solo.collect()}
+    # budgets respected
+    sums = {r["source"]: r["t"] for r in
+            got.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    assert all(sums[s] <= budgets[s] for s in sums)
+
+
+def test_take_grouped_budgets_empty_budgets_raises(spark):
+    import pytest as _pytest
+    from validr_spark.operators.packing import take_grouped_budgets
+    df = spark.createDataFrame([(1, "a", 2)],
+                               "doc_id long, source string, n_tok int")
+    with _pytest.raises(ValueError, match="non-empty"):
+        take_grouped_budgets(df, {}, F.col("n_tok"))

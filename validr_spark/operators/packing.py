@@ -39,7 +39,8 @@ from pyspark.sql import types as st
 
 __all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
            "repartition_by_tokens", "take_weight_budget",
-           "take_token_budget"]
+           "take_token_budget", "take_grouped_budgets",
+           "take_token_budgets"]
 
 
 def repartition_by_weight(df: DataFrame, weight, target: int,
@@ -152,6 +153,71 @@ def take_token_budget(df: DataFrame, budget_tokens: int,
     sequence corpus."""
     return take_weight_budget(df, budget_tokens, F.col(token_col),
                               id_col, seed)
+
+
+def take_grouped_budgets(df: DataFrame, budgets: dict, weight,
+                         group_col: str = "source",
+                         id_col: str = "doc_id",
+                         seed: str = "42") -> DataFrame:
+    """Per-group budgeted cuts in one pass — the mixture-recipe step
+    ("30B tokens of web + 5B of code + 1B of wiki"): for every group
+    value in ``budgets``, keep the maximal md5-order prefix of that
+    group whose cumulative ``weight`` fits the group's budget.  Rows
+    whose group is not in ``budgets`` are dropped.
+
+    Same distributed shape as :func:`take_weight_budget`, with the
+    coarse prefix-sum done per (group, hex-prefix): the driver holds
+    ``len(budgets) × 256`` longs, never rows.  Each group's selection is
+    identical to running :func:`take_weight_budget` on that group alone
+    (md5 order is per-row, so filtering commutes with it) — but the
+    corpus is scanned once, not once per group.
+    """
+    if not budgets:
+        raise ValueError("take_grouped_budgets: budgets must be non-empty")
+    sep = "\x00"
+    wt = F.coalesce(weight.cast("long"), F.lit(0))
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    keys = [str(k) for k in budgets]
+    tmp = (df.filter(F.col(group_col).cast("string").isin(keys))
+           .withColumn("_wt", wt).withColumn("_h", h)
+           .withColumn("_g", F.substring("_h", 1, 2))
+           .withColumn("_gk", F.concat_ws(
+               sep, F.col(group_col).cast("string"), F.col("_g"))))
+    totals: dict = {}
+    for r in tmp.groupBy(group_col, "_g").agg(
+            F.sum("_wt").alias("t")).collect():
+        totals.setdefault(str(r[group_col]), {})[r["_g"]] = r["t"] or 0
+    off_pairs = []
+    for grp, by_hex in totals.items():
+        run = 0
+        for gk in sorted(by_hex):      # hex prefixes sort = hash order
+            off_pairs += [F.lit(grp + sep + gk), F.lit(run)]
+            run += by_hex[gk]
+    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col, "_g").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.element_at(off_map, F.col("_gk")) + F.sum("_wt").over(w)
+    bexpr = None
+    for k, b in budgets.items():
+        cond = F.col(group_col).cast("string") == F.lit(str(k))
+        lit = F.lit(int(b))
+        bexpr = F.when(cond, lit) if bexpr is None else bexpr.when(cond, lit)
+    return (tmp.withColumn("_cum", cum)
+            .filter(F.col("_cum") <= bexpr)
+            .select(*df.columns))
+
+
+def take_token_budgets(df: DataFrame, budgets: dict,
+                       token_col: str = "n_tok",
+                       group_col: str = "source",
+                       id_col: str = "doc_id",
+                       seed: str = "42") -> DataFrame:
+    """:func:`take_grouped_budgets` with weight = token count: the
+    per-domain token-budget mixture cut of the sequence corpus."""
+    return take_grouped_budgets(df, budgets, F.col(token_col),
+                                group_col, id_col, seed)
 
 
 def repartition_by_tokens(df: DataFrame, target_tokens: int,
