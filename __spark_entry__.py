@@ -635,6 +635,17 @@ def q_token_budget(spark, sf):
     return kept.select("doc_id", "n_chars").orderBy("doc_id")
 
 
+def q_train_order(spark, sf):
+    """Deterministic global training shuffle (operators/sampling.py
+    training_order): every document gets a (shard, pos) reading order
+    from md5(42|doc_id) — rerun-identical, per-shard windows only.
+    DuckDB recomputes the shard assignment and in-shard row_number."""
+    from validr_spark.operators.sampling import training_order
+    df = _load(spark, sf, "documents")
+    return (training_order(df, "doc_id", shards=16)
+            .select("doc_id", "shard", "pos").orderBy("doc_id"))
+
+
 def q_budget_mix(spark, sf):
     """Per-source budget mixture cut (operators/packing.py
     take_grouped_budgets): fixed n_chars budgets for three sources,
@@ -1080,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_mix": q_ccnet_mix,
         "token_budget": q_token_budget,
         "budget_mix": q_budget_mix,
+        "train_order": q_train_order,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "token_counts": q_token_counts,
@@ -1387,6 +1399,17 @@ def oracle_sql() -> dict[str, str]:
                        AS cum
               FROM documents)
             WHERE cum <= 20000 ORDER BY doc_id
+        """,
+        "train_order": r"""
+            SELECT doc_id,
+                   ((('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))
+                     ::BIGINT) % 16)::INT AS shard,
+                   row_number() OVER (
+                     PARTITION BY (('0x' || substr(
+                         md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT) % 16
+                     ORDER BY md5('42|' || doc_id::VARCHAR),
+                              doc_id::VARCHAR)::BIGINT AS pos
+            FROM documents ORDER BY doc_id
         """,
         "budget_mix": r"""
             SELECT doc_id, source, n_chars FROM (

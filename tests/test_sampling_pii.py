@@ -215,3 +215,32 @@ def test_top_ngram_stats(spark):
     assert rows[1].n_ngrams == 5
     assert rows[1].top_ngram_count == 2
     assert rows[1].top_ngram_fraction == pytest.approx(0.4)
+
+
+# --- deterministic training order -------------------------------------------
+
+def test_training_order_deterministic_and_dense(spark, docs):
+    out1 = sampling.training_order(docs, "doc_id", shards=16)
+    out2 = sampling.training_order(docs.repartition(9), "doc_id", shards=16)
+    a = sorted(map(tuple, out1.select("doc_id", "shard", "pos").collect()))
+    b = sorted(map(tuple, out2.select("doc_id", "shard", "pos").collect()))
+    assert a == b
+    # every shard's positions are dense 1..n
+    rows = out1.select("shard", "pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # order is a pure function of md5: matches a python recompute
+    import hashlib
+    exp = sorted(
+        ((int(hashlib.md5(f"42|{i}".encode()).hexdigest()[:8], 16) % 16)
+         for i in range(400)))
+    got = sorted(r["shard"] for r in rows)
+    assert got == exp
+
+
+def test_training_order_rejects_bad_shards(spark, docs):
+    with pytest.raises(ValueError, match="shards"):
+        sampling.training_order(docs, "doc_id", shards=0)

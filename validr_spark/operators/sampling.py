@@ -161,3 +161,31 @@ def sample_report(df: DataFrame, sampled: DataFrame,
     return (a.join(b, group_col, "left")
             .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
             .withColumn("rate", F.round(F.col("n_kept") / F.col("n_in"), 6)))
+
+
+def training_order(df: DataFrame, key: str, seed: str = "42",
+                   shards: int = 256) -> DataFrame:
+    """Deterministic global shuffle for training output: assign every row
+    a ``(shard, pos)`` reading order derived from ``md5(seed|key)`` —
+    document-level shuffling a pretraining data loader consumes shard by
+    shard.  Unlike ``ORDER BY rand()`` (a global sort on a
+    nondeterministic key) or ``repartition`` (sampled, run-varying range
+    boundaries), this order is a pure function of (seed, key): reruns,
+    resumed runs, and independent engines produce the identical order.
+
+    ``shard`` = the hash's first 8 hex chars mod ``shards`` (uniform);
+    ``pos`` = dense rank within the shard by (full hash, key).  One
+    per-shard window — the sort is per-shard, never global.  Write with
+    ``.repartition(shards, "shard").sortWithinPartitions("shard",
+    "pos")`` partitioned by shard, and read shards in index order.
+    """
+    if shards <= 0:
+        raise ValueError("training_order: shards must be positive")
+    full = F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string")))
+    shard = F.pmod(F.conv(F.substring(full, 1, 8), 16, 10).cast("long"),
+                   F.lit(shards)).cast("int")
+    out = df.withColumn("shard", shard).withColumn("_fh", full)
+    w = Window.partitionBy("shard").orderBy(F.col("_fh"),
+                                            F.col(key).cast("string"))
+    return (out.withColumn("pos", F.row_number().over(w))
+            .drop("_fh"))
