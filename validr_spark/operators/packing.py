@@ -43,6 +43,44 @@ __all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
            "take_token_budgets"]
 
 
+def _coarse_running_sum(tmp, g_col: str, order_cols,
+                        group_col: str | None = None):
+    """Shared driver-side prefix-sum core: global running cumulative sum
+    of ``_wt`` within each logical stream (one stream per ``group_col``
+    value, or a single stream), where the stream is chunked into coarse
+    ``g_col`` groups.  Only per-(group, chunk) totals reach the driver —
+    never rows.  Chunk offsets are prefix-summed in sorted chunk order,
+    so when the chunk key is a PREFIX of the in-chunk sort key (hex
+    prefix of the hash), the result is the exact running sum of the
+    whole stream in that total order.
+
+    Returns ``(cum_column, grand_total)``; the cum column is INCLUSIVE
+    of the current row.
+    """
+    from pyspark.sql import Window
+
+    sep = "\x00"
+    part = ([group_col] if group_col else []) + [g_col]
+    totals: dict = {}
+    for r in tmp.groupBy(*part).agg(F.sum("_wt").alias("t")).collect():
+        grp = str(r[group_col]) if group_col else ""
+        totals.setdefault(grp, {})[r[g_col]] = r["t"] or 0
+    off_pairs, grand = [], 0
+    for grp in sorted(totals):
+        run = 0
+        by_g = totals[grp]
+        for gk in sorted(by_g):
+            off_pairs += [F.lit(f"{grp}{sep}{gk}"), F.lit(run)]
+            run += by_g[gk]
+        grand += run
+    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
+    gexpr = (F.col(group_col).cast("string") if group_col else F.lit(""))
+    key = F.concat_ws(sep, gexpr, F.col(g_col).cast("string"))
+    w = (Window.partitionBy(*part).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return F.element_at(off_map, key) + F.sum("_wt").over(w), grand
+
+
 def repartition_by_weight(df: DataFrame, weight, target: int,
                           coarse_groups: int = 256,
                           order=None) -> DataFrame:
@@ -64,34 +102,26 @@ def repartition_by_weight(df: DataFrame, weight, target: int,
 
     Used by :func:`repartition_by_tokens` (token-balanced training
     shards) and ``multimodal.repartition_by_size`` (byte-balanced media
-    tasks).  Deterministic for a fixed input — resumable-run safe.
+    tasks).  The BUCKET ASSIGNMENT is deterministic for a fixed input
+    (resumable-run safe); the final ``repartitionByRange`` maps buckets
+    to tasks by SAMPLED boundaries, so physical partition numbering can
+    vary between runs and, rarely, two adjacent buckets can share a
+    task (≤ 2× target + one row) — bound violations beyond that are
+    impossible because the bucket ids themselves are exact.
     """
-    from pyspark.sql import Window
-
+    if target <= 0:
+        raise ValueError("repartition_by_weight: target must be positive")
     wt = weight.cast("long")
     h = order if order is not None else F.xxhash64(*df.columns)
     tmp = (df.withColumn("_wt", F.coalesce(wt, F.lit(0)))
            .withColumn("_h", h)
            .withColumn("_g", F.pmod(F.col("_h"), F.lit(coarse_groups))
                        .cast("int")))
-    totals = {r["_g"]: (r["t"] or 0) for r in
-              tmp.groupBy("_g").agg(F.sum("_wt").alias("t")).collect()}
-    offsets, run = {}, 0
-    for gk in sorted(totals):
-        offsets[gk] = run
-        run += totals[gk]
-    n_buckets = max(1, -(-run // target))
-
-    off_pairs = []
-    for gk, off in offsets.items():
-        off_pairs += [F.lit(gk), F.lit(off)]
-    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
-    w = (Window.partitionBy("_g").orderBy("_h")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    start = (F.element_at(off_map, F.col("_g"))
-             + F.sum("_wt").over(w) - F.col("_wt"))
+    cum, grand = _coarse_running_sum(tmp, "_g", [F.col("_h")])
+    n_buckets = max(1, -(-grand // target))
     bucketed = tmp.withColumn(
-        "_bucket", F.floor(start / F.lit(target)).cast("int"))
+        "_bucket", F.floor((cum - F.col("_wt")) / F.lit(target))
+        .cast("int"))
     return (bucketed.repartitionByRange(n_buckets, F.col("_bucket"))
             .select(*df.columns))
 
@@ -113,32 +143,23 @@ def take_weight_budget(df: DataFrame, budget: int, weight,
     to the corpus only moves the cut threshold earlier: the old
     selection shrinks from its hash-order tail, never reshuffles.
 
+    Weights must be non-negative (token/byte/char counts are); a
+    negative weight would make the running sum non-monotone and the
+    "maximal prefix" selection ill-defined.
+
     Distributed shape (no global sort, no single-reducer window): the
     first two hex chars of the hash split rows into 256 groups that are
     CONTIGUOUS ranges of the sort order, so per-group totals prefix-sum
     on the driver into exact global offsets (256 longs, never rows);
     each group then needs only a bounded in-group running sum.
     """
-    from pyspark.sql import Window
-
+    if budget < 0:
+        raise ValueError("take_weight_budget: budget must be >= 0")
     wt = F.coalesce(weight.cast("long"), F.lit(0))
     h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
     tmp = (df.withColumn("_wt", wt).withColumn("_h", h)
            .withColumn("_g", F.substring("_h", 1, 2)))
-    totals = {r["_g"]: (r["t"] or 0) for r in
-              tmp.groupBy("_g").agg(F.sum("_wt").alias("t")).collect()}
-    offsets, run = {}, 0
-    for gk in sorted(totals):          # hex prefixes sort = hash order
-        offsets[gk] = run
-        run += totals[gk]
-
-    off_pairs = []
-    for gk, off in offsets.items():
-        off_pairs += [F.lit(gk), F.lit(off)]
-    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
-    w = (Window.partitionBy("_g").orderBy("_h", id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.element_at(off_map, F.col("_g")) + F.sum("_wt").over(w)
+    cum, _ = _coarse_running_sum(tmp, "_g", [F.col("_h"), F.col(id_col)])
     return (tmp.withColumn("_cum", cum)
             .filter(F.col("_cum") <= F.lit(budget))
             .select(*df.columns))
@@ -165,6 +186,11 @@ def take_grouped_budgets(df: DataFrame, budgets: dict, weight,
     group whose cumulative ``weight`` fits the group's budget.  Rows
     whose group is not in ``budgets`` are dropped.
 
+    ``budgets`` keys must be STRINGS and are matched against the group
+    column's Spark string form — enforcing this beats silently matching
+    nothing when Python's repr of a key (``1``, ``True``) differs from
+    Spark's cast (``1.0``, ``true``).
+
     Same distributed shape as :func:`take_weight_budget`, with the
     coarse prefix-sum done per (group, hex-prefix): the driver holds
     ``len(budgets) × 256`` longs, never rows.  Each group's selection is
@@ -174,34 +200,22 @@ def take_grouped_budgets(df: DataFrame, budgets: dict, weight,
     """
     if not budgets:
         raise ValueError("take_grouped_budgets: budgets must be non-empty")
-    sep = "\x00"
+    bad = [k for k in budgets if not isinstance(k, str)]
+    if bad:
+        raise TypeError(
+            "take_grouped_budgets: budget keys must be strings matching "
+            f"the group column's string form, got {bad!r}")
     wt = F.coalesce(weight.cast("long"), F.lit(0))
     h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
-    keys = [str(k) for k in budgets]
-    tmp = (df.filter(F.col(group_col).cast("string").isin(keys))
+    tmp = (df.filter(F.col(group_col).cast("string")
+                     .isin(list(budgets)))
            .withColumn("_wt", wt).withColumn("_h", h)
-           .withColumn("_g", F.substring("_h", 1, 2))
-           .withColumn("_gk", F.concat_ws(
-               sep, F.col(group_col).cast("string"), F.col("_g"))))
-    totals: dict = {}
-    for r in tmp.groupBy(group_col, "_g").agg(
-            F.sum("_wt").alias("t")).collect():
-        totals.setdefault(str(r[group_col]), {})[r["_g"]] = r["t"] or 0
-    off_pairs = []
-    for grp, by_hex in totals.items():
-        run = 0
-        for gk in sorted(by_hex):      # hex prefixes sort = hash order
-            off_pairs += [F.lit(grp + sep + gk), F.lit(run)]
-            run += by_hex[gk]
-    off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
-
-    from pyspark.sql import Window
-    w = (Window.partitionBy(group_col, "_g").orderBy("_h", id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.element_at(off_map, F.col("_gk")) + F.sum("_wt").over(w)
+           .withColumn("_g", F.substring("_h", 1, 2)))
+    cum, _ = _coarse_running_sum(tmp, "_g", [F.col("_h"), F.col(id_col)],
+                                 group_col=group_col)
     bexpr = None
     for k, b in budgets.items():
-        cond = F.col(group_col).cast("string") == F.lit(str(k))
+        cond = F.col(group_col).cast("string") == F.lit(k)
         lit = F.lit(int(b))
         bexpr = F.when(cond, lit) if bexpr is None else bexpr.when(cond, lit)
     return (tmp.withColumn("_cum", cum)

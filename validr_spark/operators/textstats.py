@@ -343,11 +343,20 @@ def logprob_buckets(df: DataFrame, cutoffs: list[float],
     snapshot to calibrate cutoffs.
 
     Adds ``bucket`` to the ``unigram_logprob`` output; same scale modes
-    (``top_v`` broadcast-head = the 10^12-doc path).
+    (``top_v`` broadcast-head = the 10^12-doc path).  Documents with no
+    words (empty/whitespace-only text) have no score and are absent
+    here; :func:`ccnet_sample` buckets them into the tail explicitly.
+
+    ``cutoffs`` must be strictly decreasing — bucket i is defined by
+    ``cutoffs[i]``, so silently re-sorting (or deduplicating) would
+    reassign the caller's per-bucket rates.
     """
-    cuts = sorted((float(c) for c in cutoffs), reverse=True)
+    cuts = [float(c) for c in cutoffs]
     if not cuts:
         raise ValueError("logprob_buckets: need at least one cutoff")
+    if any(b >= a for a, b in zip(cuts, cuts[1:])):
+        raise ValueError("logprob_buckets: cutoffs must be strictly "
+                         f"decreasing (bucket i = cutoffs[i]), got {cuts}")
     scored = unigram_logprob(df, ref, text_col, id_col, ref_text_col,
                              top_v, oov_alpha)
     expr = None
@@ -374,12 +383,24 @@ def ccnet_sample(df: DataFrame, cutoffs: list[float],
     ``avg_logprob`` and ``bucket`` columns.  One scoring pass + a
     map-side rate filter + one id-keyed join back to the corpus (the
     score table is (id, 3 numerics) — tiny next to the corpus row).
+
+    Documents with no words (empty/whitespace-only/NULL text) have no
+    logprob evidence; they are bucketed into the TAIL
+    (``len(cutoffs)``) with a NULL ``avg_logprob`` and sampled at that
+    bucket's rate — a selection operator must account for every input
+    row, not silently drop the unscorable ones.
     """
     from .sampling import weighted_mix
 
     buckets = logprob_buckets(df, cutoffs, ref, text_col, id_col,
                               ref_text_col, top_v, oov_alpha)
-    tagged = buckets.withColumn("_b", F.col("bucket").cast("string"))
+    tail = len(list(cutoffs))
+    scored = (df.select(id_col)
+              .join(buckets.select(id_col, "avg_logprob", "bucket"),
+                    id_col, "left")
+              .withColumn("bucket", F.coalesce(
+                  F.col("bucket"), F.lit(tail).cast("int"))))
+    tagged = scored.withColumn("_b", F.col("bucket").cast("string"))
     kept = weighted_mix(tagged, {str(int(b)): r for b, r in rates.items()},
                         "_b", key=id_col, seed=seed,
                         default_rate=default_rate)
