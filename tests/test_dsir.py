@@ -126,3 +126,14 @@ def test_arg_validation(spark, corpora):
         importance_sample(w, 0)
     with pytest.raises(ValueError, match="temperature"):
         importance_sample(w, 5, temperature=0.0)
+
+
+def test_wordless_docs_enter_draw_with_neutral_weight(spark):
+    raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, None)], ["doc_id", "text"])
+    target = spark.createDataFrame([(9, "the cat")], ["doc_id", "text"])
+    # k = all rows: every doc must come back, wordless ones neutral
+    out = {r["doc_id"]: (r["n_words"], r["log_weight"])
+           for r in dsir_select(raw, target, 3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, 0.0) and out[3] == (0, 0.0)

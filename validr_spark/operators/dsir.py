@@ -162,7 +162,16 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int,
                 seed: str = "42", oov_alpha: float = 0.5) -> DataFrame:
     """weights + sample in one call: the DSIR paper's pipeline (estimate
     importance weights on the raw corpus, Gumbel-resample k documents).
-    Returns ``(id, n_words, log_weight, sample_key)`` for the selected k."""
+    Returns ``(id, n_words, log_weight, sample_key)`` for the selected k.
+
+    Documents with no words (empty/whitespace-only/NULL text) carry no
+    evidence either way; they enter the draw with the neutral weight 0
+    and ``n_words = 0`` rather than being silently unselectable."""
     w = dsir_weights(df, target, text_col, id_col, target_text_col,
                      top_v, oov_alpha)
+    w = (df.select(id_col).join(w, id_col, "left")
+         .withColumn("n_words",
+                     F.coalesce(F.col("n_words"), F.lit(0).cast("long")))
+         .withColumn("log_weight",
+                     F.coalesce(F.col("log_weight"), F.lit(0.0))))
     return importance_sample(w, k, "log_weight", id_col, temperature, seed)
