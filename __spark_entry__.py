@@ -168,6 +168,16 @@ def q_dedup_keep(spark, sf):
             .select("doc_id").orderBy("doc_id"))
 
 
+def q_dedup_best(spark, sf):
+    """exact_dedup keep-best: highest n_chars survives per
+    normalized-prefix group, ties to min doc_id (keep_by election,
+    validr_spark/operators/dedup.py exact_dedup)."""
+    df = _load(spark, sf, "documents").withColumn(
+        "text", F.substring("text", 1, 20))
+    return (dedup.exact_dedup(df, keep_by=F.col("n_chars"))
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_incremental_new(spark, sf):
     """Incremental dedup of a 'new batch' (doc_id % 3 == 0) against the
     'existing corpus' (the rest): bloom-prefiltered membership, exact
@@ -1079,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "dedup_prefix": q_dedup_prefix,
         "dedup_keep": q_dedup_keep,
+        "dedup_best": q_dedup_best,
         "incremental_new": q_incremental_new,
         "tokenized_stats": q_tokenized_stats,
         "para_dedup": q_para_dedup,
@@ -1668,6 +1679,15 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY md5(regexp_replace(lower(trim(substr(text, 1, 20))),
                                                 '\\s+', ' ', 'g'))
                 ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "dedup_best": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(substr(text, 1, 20))),
+                                                '\\s+', ' ', 'g'))
+                ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
               FROM documents)
             WHERE rn = 1 ORDER BY doc_id
         """,

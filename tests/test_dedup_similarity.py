@@ -217,3 +217,14 @@ def test_sample_frames_real_decoder_is_documented_stub(spark):
         frames.collect()
     with _pytest.raises(ValueError):
         multimodal.sample_frames(df, every_ms=0)
+
+
+def test_exact_dedup_keep_by_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", 10), (2, "same  TEXT ", 99), (3, "other", 1)],
+        "doc_id long, text string, quality int")
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]
+    kept_q = sorted(r["doc_id"] for r in dedup.exact_dedup(
+        df, keep_by=F.col("quality")).collect())
+    assert kept_q == [2, 3]

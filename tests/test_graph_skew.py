@@ -266,3 +266,29 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(df, df, "key", salt=0)
     with pytest.raises(ValueError):
         salted_join(df, df, "key", salt=2, how="right")
+
+
+def test_dedup_by_components_keep_by_quality(spark):
+    from validr_spark.operators.graph import dedup_by_components
+    df = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (9, 1)],
+        "doc_id long, quality int")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")   # {1,2,3} one component
+    # default: min id survives
+    kept = sorted(r["doc_id"] for r in
+                  dedup_by_components(df, pairs).collect())
+    assert kept == [1, 7, 9]
+    # keep_by: highest quality (doc 2) survives; isolated rows untouched
+    kept_q = sorted(r["doc_id"] for r in dedup_by_components(
+        df, pairs, keep_by=F.col("quality")).collect())
+    assert kept_q == [2, 7, 9]
+
+
+def test_dedup_by_components_keep_by_tie_breaks_to_min_id(spark):
+    from validr_spark.operators.graph import dedup_by_components
+    df = spark.createDataFrame([(5, 7), (6, 7)], "doc_id long, quality int")
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    kept = [r["doc_id"] for r in dedup_by_components(
+        df, pairs, keep_by=F.col("quality")).collect()]
+    assert kept == [5]

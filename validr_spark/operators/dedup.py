@@ -52,14 +52,20 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Keep one row per distinct normalized text (min id wins —
-    deterministic). Shuffles once on the fingerprint."""
+                id_col: str = "doc_id", keep_by=None) -> DataFrame:
+    """Keep one row per distinct normalized text.  Default survivor =
+    min id; pass ``keep_by`` (a Column, e.g. a quality score or
+    ``F.length("text")``) to keep the HIGHEST-scoring duplicate instead
+    (Dolma/FineWeb-style "keep the best copy", not the first one) — ties
+    still break to min id, so the election stays deterministic.
+    Shuffles once on the fingerprint either way."""
     fp = F.md5(normalize_text(F.col(text_col)))
+    order = ([F.desc_nulls_last(keep_by)] if keep_by is not None else []) \
+        + [F.col(id_col)]
     w_cols = list(df.columns)
     ranked = (df.withColumn("_fp", fp)
               .withColumn("_rk", F.row_number().over(
-                  Window.partitionBy("_fp").orderBy(id_col))))
+                  Window.partitionBy("_fp").orderBy(*order))))
     return ranked.filter(F.col("_rk") == 1).select(*w_cols)
 
 

@@ -192,17 +192,39 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
                         src: str = "id_a", dst: str = "id_b",
                         max_iter: int = 25,
-                        algorithm: str = "label") -> DataFrame:
-    """Keep one row per duplicate component (the min-id member), all
-    non-duplicate rows untouched.  ONE pass over the corpus: a single
-    left join against the (tiny) component map — broadcast under AQE
-    thresholds — keeping rows that are either absent from the map or are
-    their component's min member."""
+                        algorithm: str = "label",
+                        keep_by=None) -> DataFrame:
+    """Keep one row per duplicate component, all non-duplicate rows
+    untouched.
+
+    Default survivor = the min-id member: ONE pass over the corpus, a
+    single left join against the (tiny) component map — broadcast under
+    AQE thresholds — keeping rows that are either absent from the map or
+    are their component's min member.
+
+    ``keep_by`` (a Column, e.g. a quality score): keep the
+    HIGHEST-scoring member of each component instead (ties → min id).
+    This needs the score, so the component members (and only they —
+    never the non-duplicate majority) go through one extra window keyed
+    by component; component counts are near-dup cluster sizes, so the
+    window partitions are tiny."""
+    from pyspark.sql import Window
+
     _cc = (connected_components_star if algorithm == "star"
            else connected_components)
     cc = _cc(pairs, src, dst, max_iter=max_iter)
-    keep = cc.select(F.col("id").alias("_cc_id"),
-                     (F.col("id") == F.col("component")).alias("_keep"))
-    return (df.join(keep, df[id_col] == keep["_cc_id"], "left")
-            .filter(F.col("_keep").isNull() | F.col("_keep"))
-            .drop("_cc_id", "_keep"))
+    if keep_by is None:
+        keep = cc.select(F.col("id").alias("_cc_id"),
+                         (F.col("id") == F.col("component")).alias("_keep"))
+        return (df.join(keep, df[id_col] == keep["_cc_id"], "left")
+                .filter(F.col("_keep").isNull() | F.col("_keep"))
+                .drop("_cc_id", "_keep"))
+    comp = cc.select(F.col("id").alias("_cc_id"), "component")
+    joined = df.join(comp, df[id_col] == comp["_cc_id"], "left")
+    iso = joined.filter(F.col("component").isNull())
+    dup = joined.filter(F.col("component").isNotNull())
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last(keep_by), F.col(id_col))
+    survivors = (dup.withColumn("_rk", F.row_number().over(w))
+                 .filter(F.col("_rk") == 1).drop("_rk"))
+    return iso.unionByName(survivors).drop("_cc_id", "component")
