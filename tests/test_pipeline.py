@@ -77,3 +77,20 @@ def test_pipeline_len_col_passthrough(spark, docs):
     per_bin = (res.packed.groupBy("bin_id")
                .agg(F.sum("n_tok").alias("t")).collect())
     assert all(r["t"] <= 250 for r in per_bin)
+
+
+def test_pipeline_keep_by_elects_best_duplicate(spark):
+    from validr_spark.pipeline import prepare_training_data
+    # two exact duplicates with different lengths of padding noise in a
+    # quality column; keep_by elects the higher-quality copy
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again", 10),
+         (2, "the quick brown fox jumps over the lazy dog again", 90),
+         (3, "completely different text about distributed systems", 50)],
+        "doc_id long, text string, quality int")
+    res = prepare_training_data(df, near_dup=False, pack=False,
+                                keep_by=F.col("quality"),
+                                quality_kwargs={"min_words": 1},
+                                collect_stats=False)
+    kept = sorted(r["doc_id"] for r in res.kept.collect())
+    assert 2 in kept and 1 not in kept and 3 in kept

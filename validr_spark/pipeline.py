@@ -51,6 +51,7 @@ def prepare_training_data(
         id_col: str = "doc_id", text_col: str = "text",
         len_col: str | None = None, max_tokens: int = 2048,
         near_dup: bool = True, jaccard_threshold: float = 0.8,
+        keep_by=None,
         minhash_kwargs: dict | None = None,
         quality_kwargs: dict | None = None,
         pack: bool = True, collect_stats: bool = True,
@@ -63,7 +64,9 @@ def prepare_training_data(
     default derives a whitespace token count from ``text_col``.
     ``collect_stats=False`` keeps the whole pipeline a single lazy plan
     (no counting jobs) — the 100 TB default; stats then only record the
-    stage names.
+    stage names.  ``keep_by`` (a Column, e.g. a quality score) elects
+    the highest-scoring member as the dedup survivor in BOTH dedup
+    stages instead of the min-id member (ties → min id).
     """
     from validr_spark.operators.dedup import (exact_dedup, jaccard_verify,
                                               minhash_candidates)
@@ -92,7 +95,7 @@ def prepare_training_data(
         clean = (cur.join(bad, cur[id_col] == bad["_bad"], "left_anti"))
         cur = step("validate", df, clean)
 
-    deduped = exact_dedup(cur, text_col, id_col)
+    deduped = exact_dedup(cur, text_col, id_col, keep_by=keep_by)
     cur = step("exact_dedup", cur, deduped)
 
     if near_dup:
@@ -101,7 +104,8 @@ def prepare_training_data(
         verified = jaccard_verify(cur, cands, text_col, id_col,
                                   threshold=jaccard_threshold)
         pairs = verified.select("id_a", "id_b")
-        kept = dedup_by_components(cur, pairs, id_col=id_col)
+        kept = dedup_by_components(cur, pairs, id_col=id_col,
+                                   keep_by=keep_by)
         cur = step("near_dup", cur, kept)
 
     qk = dict(quality_kwargs or {})
