@@ -168,6 +168,13 @@ def semantic_dedup_pairs(df: DataFrame, centroids=None, k: int = 64,
     (no interpreted HOFs, PERF.md Finding 1); the join is co-partitioned
     on the cluster id.  For very hot cells, refit with larger k (the
     cluster-size histogram from `cluster_sizes` is the pre-flight).
+
+    Norms are precomputed ONCE per row before the join (like
+    similarity.all_pairs_above): computing them per PAIR is O(|cell|²·dim)
+    redundant work and, worse, the 3·dim-term post-join expression blows
+    Janino's 64 KB method limit at dim=64 — Spark silently falls back to
+    interpreted eval for the whole join stage.  Post-join it's dot/(na·nb),
+    dim terms, comfortably inside codegen.
     """
     from validr_spark.operators.similarity import (_dot_unrolled,
                                                    _norm_unrolled)
@@ -181,14 +188,16 @@ def semantic_dedup_pairs(df: DataFrame, centroids=None, k: int = 64,
         centroids, _ = kmeans_fit(df, k=k, iters=iters,
                                   id_col=id_col, emb_col=emb_col)
     celled = kmeans_assign(df, centroids, emb_col).select(
-        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"), "cluster")
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_e"),
+        _norm_unrolled(F.col(emb_col), dim).alias("_n"), "cluster")
     a = celled.select(F.col("_id").alias("id_a"),
-                      F.col("_e").alias("_ea"), "cluster")
+                      F.col("_e").alias("_ea"),
+                      F.col("_n").alias("_na"), "cluster")
     b = celled.select(F.col("_id").alias("id_b"),
-                      F.col("_e").alias("_eb"), "cluster")
+                      F.col("_e").alias("_eb"),
+                      F.col("_n").alias("_nb"), "cluster")
     cos = (_dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
-           / (_norm_unrolled(F.col("_ea"), dim)
-              * _norm_unrolled(F.col("_eb"), dim)))
+           / (F.col("_na") * F.col("_nb")))
     return (a.join(b, "cluster")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(cos, 9).alias("cosine"))
