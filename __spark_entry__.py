@@ -1044,6 +1044,76 @@ def q_heavy_keys(spark, sf):
             .withColumnRenamed("key", "user_id"))
 
 
+def q_encoding_audit(spark, sf):
+    """Encoding-hygiene report (operators/encoding.py) per source over
+    documents with deterministic decode artifacts injected per doc_id
+    residue class (the corpus itself is clean UTF-8 word soup): a U+FFFD
+    replacement char, a BEL control char, a Latin-1+cp1252 mojibake pair,
+    a zero-width space.  Pure codegen regexp_count, map-side scan + one
+    |sources|-row aggregate; the IDENTICAL pattern strings run in the
+    DuckDB oracle (Java ∩ RE2 dialect, \\x{hhhh} escapes)."""
+    from validr_spark.operators.encoding import encoding_report
+
+    doc = _load(spark, sf, "documents")
+    did = F.col("doc_id")
+
+    def seg(m, s):
+        return F.when(did % m == 0, F.lit(s)).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.col("text"),
+        seg(7, " lost � byte"),
+        seg(11, " bell \x07 char"),
+        seg(13, " moji Ã© and â€™ quote"),
+        seg(17, " zw ​ here"))
+    return encoding_report(doc.select(text.alias("text"), "source"),
+                           by="source")
+
+
+def q_robust_outliers(spark, sf):
+    """Robust MAD outlier flags (operators/stats.py mad_outliers) on
+    events.value per event_type, summarized per type.  exact=True so the
+    Spark `percentile` aggregate matches DuckDB quantile_cont bit-for-bit
+    at this scale; the default percentile_approx sketch is the 10^12-row
+    path (bounded-memory, mergeable).  Data rows reach the flags via two
+    broadcast joins — no row-shaped shuffle."""
+    from validr_spark.operators.stats import mad_outliers
+
+    ev = _load(spark, sf, "events")
+    out = mad_outliers(ev, "value", by="event_type", k=3.5, exact=True)
+    return (out.groupBy("event_type")
+            .agg(F.count("value").alias("n"),
+                 F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+                 F.round(F.max(F.abs(F.col("robust_z"))), 6)
+                 .alias("max_abs_z"))
+            .orderBy("event_type"))
+
+
+def q_embedding_audit(spark, sf):
+    """Embedding hygiene audit (operators/embedding.py embedding_hygiene)
+    with deterministic corruption injected per vec_id residue class — NaN
+    / +Inf / NULL element / truncated dim / all-zero / NULL vector; the
+    clean majority passes through.  One map-side projection + a one-row
+    aggregate; counts are exact integers on both sides."""
+    from validr_spark.operators.embedding import embedding_hygiene
+
+    df = _load(spark, sf, "embeddings")
+    e, vid = F.col("embedding"), F.col("vec_id")
+    fnan = F.lit(float("nan")).cast("float")
+    finf = F.lit(float("inf")).cast("float")
+    fnull = F.lit(None).cast("float")
+    corrupted = (
+        F.when(vid % 89 == 0, F.concat(F.array(fnan), F.slice(e, 2, 63)))
+        .when(vid % 97 == 0, F.concat(F.array(finf), F.slice(e, 2, 63)))
+        .when(vid % 101 == 0, F.concat(F.array(fnull), F.slice(e, 2, 63)))
+        .when(vid % 103 == 0, F.slice(e, 1, 63))
+        .when(vid % 107 == 0, F.array_repeat(F.lit(0.0).cast("float"), 64))
+        .when(vid % 109 == 0, F.lit(None).cast("array<float>"))
+        .otherwise(e))
+    return embedding_hygiene(
+        df.select(vid, corrupted.alias("embedding")), dim=64)
+
+
 def q_kmeans_clusters(spark, sf):
     """Distributed spherical k-means (operators/clustering.py) over the
     embeddings table: fit 8 centroids (3 Lloyd's iterations — broadcast
@@ -1138,6 +1208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "key_skew": q_key_skew,
         "heavy_keys": q_heavy_keys,
+        "encoding_audit": q_encoding_audit,
+        "robust_outliers": q_robust_outliers,
+        "embedding_audit": q_embedding_audit,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2086,6 +2159,15 @@ def _pipeline_oracles() -> dict[str, str]:
         "len(regexp_extract_all(text, '%s'))::INT AS n_%s"
         % (p.replace("'", "''"), n) for n, p in PII_PATTERNS.items())
     pii_tot = " + ".join(f"n_{n}" for n in PII_PATTERNS)
+
+    from validr_spark.operators.encoding import ENCODING_PATTERNS
+    enc_cnt = ", ".join(
+        "len(regexp_extract_all(text, '%s'))::INT AS c_%s"
+        % (p.replace("'", "''"), n) for n, p in ENCODING_PATTERNS.items())
+    enc_tot = " + ".join(f"c_{n}" for n in ENCODING_PATTERNS)
+    enc_docs = ", ".join(
+        "CAST(sum(CASE WHEN c_%s > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS docs_%s" % (n, n) for n in ENCODING_PATTERNS)
     uu = ("substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)"
           " || '-' || substr(h,17,4) || '-' || substr(h,21,12)")
 
@@ -2592,5 +2674,98 @@ def _pipeline_oracles() -> dict[str, str]:
                      'str.minlen(' || t_min || ').maxlen(' || t_max || ')'
                      FROM m
             ) ORDER BY "column"
+        """,
+        "encoding_audit": f"""
+            WITH e AS (
+              SELECT source,
+                text
+                || CASE WHEN doc_id % 7 = 0
+                     THEN ' lost ' || chr(65533) || ' byte' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                     THEN ' bell ' || chr(7) || ' char' ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                     THEN ' moji Ã© and â€™ quote'
+                     ELSE '' END
+                || CASE WHEN doc_id % 17 = 0
+                     THEN ' zw ' || chr(8203) || ' here' ELSE '' END AS text
+              FROM documents),
+            c AS (SELECT source, {enc_cnt} FROM e),
+            t AS (SELECT *, {enc_tot} AS tot FROM c)
+            SELECT source, count(*)::BIGINT AS n_docs, {enc_docs},
+                   CAST(sum(tot) AS BIGINT) AS total_bad_chars,
+                   round(avg(CASE WHEN tot = 0 THEN 1.0 ELSE 0.0 END), 6)
+                     AS clean_frac
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "robust_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - med.m), 0.5) AS mad
+              FROM events e JOIN med ON e.event_type = med.event_type
+              GROUP BY e.event_type),
+            z AS (
+              SELECT e.event_type, e.value,
+                CASE WHEN mad.mad > 0 THEN
+                  0.6744897501960817 * (e.value - med.m) / mad.mad
+                END AS rz
+              FROM events e
+              JOIN med ON e.event_type = med.event_type
+              JOIN mad ON e.event_type = mad.event_type)
+            SELECT event_type, count(value)::BIGINT AS n,
+                   CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   round(max(abs(rz)), 6) AS max_abs_z
+            FROM z GROUP BY event_type ORDER BY event_type
+        """,
+        "embedding_audit": """
+            WITH e AS (
+              SELECT vec_id,
+                CASE
+                  WHEN vec_id % 89 = 0
+                    THEN list_concat(['nan'::FLOAT], embedding[2:64])
+                  WHEN vec_id % 97 = 0
+                    THEN list_concat(['inf'::FLOAT], embedding[2:64])
+                  WHEN vec_id % 101 = 0
+                    THEN list_concat([NULL::FLOAT], embedding[2:64])
+                  WHEN vec_id % 103 = 0 THEN embedding[1:63]
+                  WHEN vec_id % 107 = 0
+                    THEN list_transform(generate_series(1, 64),
+                                        x -> 0.0::FLOAT)
+                  WHEN vec_id % 109 = 0 THEN NULL
+                  ELSE embedding END AS emb
+              FROM embeddings),
+            f AS (
+              SELECT
+                (emb IS NULL) AS null_vec,
+                (emb IS NOT NULL AND len(emb) != 64) AS wrong_dim,
+                (emb IS NOT NULL
+                 AND len(list_filter(emb, x -> x IS NULL)) > 0) AS null_elem,
+                coalesce(list_contains(emb, 'nan'::FLOAT), FALSE) AS has_nan,
+                coalesce(list_contains(emb, 'inf'::FLOAT)
+                         OR list_contains(emb, '-inf'::FLOAT), FALSE)
+                  AS has_inf,
+                (emb IS NOT NULL AND len(emb) > 0
+                 AND list_min(emb) = 0 AND list_max(emb) = 0) AS zero_vec
+              FROM e)
+            SELECT count(*)::BIGINT AS n_rows,
+              CAST(sum(CASE WHEN null_vec THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null_vec,
+              CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_wrong_dim,
+              CAST(sum(CASE WHEN null_elem THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null_elem,
+              CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nan,
+              CAST(sum(CASE WHEN has_inf THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_inf,
+              CAST(sum(CASE WHEN zero_vec THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_zero_vec,
+              CAST(sum(CASE WHEN NOT (null_vec OR wrong_dim OR null_elem
+                        OR has_nan OR has_inf OR zero_vec)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+            FROM f
         """,
     }

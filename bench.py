@@ -195,6 +195,7 @@ HEADLINE = [
     "events_diff", "dup_components", "psi_drift", "key_skew", "pack_stats",
     "pipeline_prep", "incremental_new", "tokenized_stats", "para_dedup",
     "emb_drift", "dup_spans", "doc_entropy", "dsir_select",
+    "encoding_audit", "robust_outliers", "embedding_audit",
 ]
 
 

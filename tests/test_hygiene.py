@@ -1,0 +1,207 @@
+"""Tests for the corpus-hygiene operators: encoding QC (operators/
+encoding.py), robust MAD outliers (operators/stats.py), embedding hygiene
+(operators/embedding.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.embedding import embedding_hygiene
+from validr_spark.operators.encoding import (ENCODING_PATTERNS,
+                                             encoding_report, encoding_scan)
+from validr_spark.operators.stats import (MAD_CONSISTENCY, mad_outliers,
+                                          robust_center_scale)
+
+# ---------------------------------------------------------------- encoding
+
+
+SAMPLES = [
+    (1, "clean text here", "a"),
+    (2, "lost �� bytes", "a"),
+    (3, "ctrl\x08here\x00and\x1f", "a"),
+    (4, "tab\tok\nnewline\rcr fine", "b"),
+    (5, "moji Ã© and â€™ quote", "b"),
+    (6, "zero​width‍ and bom ﻿", "b"),
+    (7, "normal élan café naïve €50", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def enc_df(spark):
+    return spark.createDataFrame(
+        SAMPLES, "doc_id long, text string, source string")
+
+
+def test_encoding_scan_counts(enc_df):
+    rows = {r["doc_id"]: r for r in encoding_scan(enc_df).collect()}
+    assert rows[1]["is_clean"] and rows[1]["n_bad_chars"] == 0
+    assert rows[2]["n_replacement"] == 2 and not rows[2]["is_clean"]
+    assert rows[3]["n_control"] == 3
+    assert rows[4]["is_clean"]          # \t \n \r are fine
+    assert rows[5]["n_mojibake"] == 2   # Ã© and â€
+    assert rows[6]["n_zero_width"] == 3
+    assert rows[7]["is_clean"]          # real accents + bare € are fine
+
+
+def test_encoding_report_by_source(enc_df):
+    rep = {r["source"]: r for r in
+           encoding_report(enc_df, by="source").collect()}
+    assert rep["a"]["n_docs"] == 3
+    assert rep["a"]["docs_replacement"] == 1
+    assert rep["a"]["docs_control"] == 1
+    assert rep["a"]["clean_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rep["b"]["docs_mojibake"] == 1
+    assert rep["b"]["docs_zero_width"] == 1
+    assert rep["b"]["clean_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_encoding_patterns_duckdb_parity(enc_df):
+    """The exact pattern strings must count identically in DuckDB (RE2) —
+    this is what makes the oracle query honest."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    spark_rows = {r["doc_id"]: r for r in encoding_scan(enc_df).collect()}
+    for doc_id, text, _ in SAMPLES:
+        for name, pat in ENCODING_PATTERNS.items():
+            n = len(con.execute(
+                "select regexp_extract_all(?, ?)", [text, pat]).fetchone()[0])
+            assert spark_rows[doc_id][f"n_{name}"] == n, (doc_id, name)
+
+
+def test_encoding_scan_is_map_side(enc_df):
+    plan = encoding_scan(enc_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ mad outliers
+
+
+@pytest.fixture(scope="module")
+def val_df(spark):
+    # group g: tight cluster around 10 plus two wild points;
+    # group h: all-identical values (MAD = 0)
+    rows = ([(i, "g", 10.0 + (i % 5) * 0.1) for i in range(20)]
+            + [(100, "g", 500.0), (101, "g", -480.0)]
+            + [(200 + i, "h", 7.0) for i in range(10)]
+            + [(300, "g", None)])
+    return spark.createDataFrame(rows, "id long, grp string, value double")
+
+
+def test_robust_center_scale(val_df):
+    stats = {r["grp"]: r for r in
+             robust_center_scale(val_df, "value", by="grp",
+                                 exact=True).collect()}
+    g = stats["g"]
+    assert g["n"] == 22                      # nulls excluded
+    assert 10.0 <= g["median"] <= 10.4
+    assert 0 < g["mad"] <= 0.3
+    h = stats["h"]
+    assert h["median"] == 7.0 and h["mad"] == 0.0
+
+
+def test_mad_outliers_flags(val_df):
+    out = mad_outliers(val_df, "value", by="grp", k=3.5,
+                       exact=True).collect()
+    flagged = {r["id"] for r in out if r["is_outlier"]}
+    assert flagged == {100, 101}
+    by_id = {r["id"]: r for r in out}
+    # identical group: MAD=0 -> no flags, null z
+    assert all(not by_id[200 + i]["is_outlier"] for i in range(10))
+    assert by_id[200]["robust_z"] is None
+    # null value passes through unflagged
+    assert not by_id[300]["is_outlier"] and by_id[300]["robust_z"] is None
+    # z sign and magnitude sanity on the wild points
+    assert by_id[100]["robust_z"] > 3.5 and by_id[101]["robust_z"] < -3.5
+
+
+def test_mad_outliers_hand_math(spark):
+    # values 1..9 plus 100: median 5.5, |dev| median = 2.5
+    rows = [(i, float(v)) for i, v in enumerate(list(range(1, 10)) + [100])]
+    df = spark.createDataFrame(rows, "id long, value double")
+    out = {r["id"]: r for r in
+           mad_outliers(df, "value", k=3.5, exact=True).collect()}
+    med, mad = 5.5, 2.5
+    z100 = MAD_CONSISTENCY * (100 - med) / mad
+    assert out[9]["robust_z"] == pytest.approx(z100, rel=1e-12)
+    assert out[9]["is_outlier"]
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+
+
+def test_mad_outliers_no_global_group(val_df):
+    # ungrouped: one global median/MAD over all values
+    out = mad_outliers(val_df, "value", k=3.5, exact=True)
+    assert out.count() == val_df.count()
+
+
+def test_mad_outliers_no_row_shuffle(val_df):
+    """Data rows must reach the flags via broadcast joins, never a
+    shuffle exchange on the full input."""
+    plan = (mad_outliers(val_df, "value", by="grp")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# -------------------------------------------------------- embedding hygiene
+
+
+def _emb_rows():
+    nan, inf = float("nan"), float("inf")
+    return [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [nan, 2.0, 3.0, 4.0]),
+        (3, [inf, 2.0, 3.0, 4.0]),
+        (4, [1.0, 2.0, 3.0, -inf]),
+        (5, [1.0, None, 3.0, 4.0]),
+        (6, [1.0, 2.0, 3.0]),          # wrong dim
+        (7, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+        (8, None),                      # null vector
+        (9, [4.0, 3.0, 2.0, 1.0]),
+    ]
+
+
+def test_embedding_hygiene_counts(spark):
+    df = spark.createDataFrame(_emb_rows(), "vec_id long, e array<float>")
+    row = embedding_hygiene(df, emb_col="e", dim=4).collect()[0]
+    assert row["n_rows"] == 9
+    assert row["n_null_vec"] == 1
+    assert row["n_wrong_dim"] == 1
+    assert row["n_null_elem"] == 1
+    assert row["n_nan"] == 1
+    assert row["n_inf"] == 2
+    assert row["n_zero_vec"] == 1
+    assert row["n_clean"] == 2
+
+
+def test_embedding_hygiene_infers_dim(spark):
+    df = spark.createDataFrame(_emb_rows(), "vec_id long, e array<float>")
+    row = embedding_hygiene(df, emb_col="e").collect()[0]
+    assert row["n_wrong_dim"] == 1    # dim inferred from first non-null = 4
+
+
+def test_embedding_hygiene_all_null_raises(spark):
+    df = spark.createDataFrame([(1, None)], "vec_id long, e array<float>")
+    with pytest.raises(ValueError):
+        embedding_hygiene(df, emb_col="e")
+    row = embedding_hygiene(df, emb_col="e", dim=4).collect()[0]
+    assert row["n_null_vec"] == 1 and row["n_clean"] == 0
+
+
+def test_embedding_hygiene_grouped(spark):
+    rows = [(i, "s" if i % 2 else "t", v) for i, v in
+            [(r[0], r[1]) for r in _emb_rows()]]
+    df = spark.createDataFrame(rows, "vec_id long, src string, e array<float>")
+    out = embedding_hygiene(df, emb_col="e", dim=4, by="src").collect()
+    assert {r["src"] for r in out} == {"s", "t"}
+    assert sum(r["n_rows"] for r in out) == 9
+
+
+def test_embedding_hygiene_math_is_nan_proof(spark):
+    """NaN in one vector must not leak into any other row's flags and the
+    double-typed column path works too."""
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]), (2, [1.0, 2.0])],
+        "vec_id long, e array<double>")
+    row = embedding_hygiene(df, emb_col="e", dim=2).collect()[0]
+    assert row["n_nan"] == 1 and row["n_clean"] == 1

@@ -14,7 +14,8 @@ from .diff import diff_summary, table_diff
 from .drift import (chi_square_counts, ks_approx, ks_exact, psi,
                     value_entropy)
 from .dsir import dsir_select, dsir_weights, importance_sample
-from .embedding import dim_moments, embedding_drift
+from .embedding import dim_moments, embedding_drift, embedding_hygiene
+from .encoding import encoding_report, encoding_scan
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
 from .incremental import (build_fingerprint_bloom, incremental_dedup,
@@ -23,12 +24,15 @@ from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
 from .skew import (heavy_hitters, key_skew_report, salted_join,
                    suggest_salt)
-from .stats import column_profile, null_rates
+from .stats import (column_profile, mad_outliers, null_rates,
+                    robust_center_scale)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
 from .uniqueness import duplicate_keys, duplication_report
 
 __all__ = [
-    "column_profile", "null_rates",
+    "column_profile", "null_rates", "robust_center_scale", "mad_outliers",
+    "encoding_scan", "encoding_report",
+    "embedding_hygiene",
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
     "check_invariants",

@@ -94,3 +94,74 @@ def length_distribution(df: DataFrame, column: str,
     fn = (f"percentile(x, {probs})" if exact
           else f"percentile_approx(x, {probs}, {int(1.0 / relative_error)})")
     return df.select(c.alias("x")).agg(F.expr(fn).alias("quantiles"))
+
+
+# Φ⁻¹(0.75): scales MAD to a normal-consistent sigma estimate, so
+# robust_z is comparable to a classic z-score cutoff (|z| > 3.5 etc.).
+MAD_CONSISTENCY = 0.6744897501960817
+
+
+def robust_center_scale(df: DataFrame, column: str,
+                        by: str | None = None, *,
+                        exact: bool = False,
+                        relative_error: float = 1e-4) -> DataFrame:
+    """Per-group median and MAD (median absolute deviation) of ``column``.
+
+    Returns (``by``?, n, median, mad).  MAD is not an algebraic aggregate
+    (it needs the median first), so this is necessarily TWO full scans —
+    but each one is a map-side-partial aggregate whose shuffle carries
+    |groups| rows, and the median table joins back via broadcast: no data
+    row ever shuffles.  Default backend is the mergeable
+    ``percentile_approx`` sketch (the 10^12-row path); ``exact=True``
+    switches to the exact ``percentile`` aggregate (linear interpolation,
+    matches DuckDB ``quantile_cont``) for oracle comparison — exact
+    percentile buffers each group's values on the reducer, so keep it to
+    test scale.
+    """
+    acc = int(1.0 / relative_error)
+    med_fn = ("percentile({0}, 0.5)" if exact
+              else f"percentile_approx({{0}}, 0.5, {acc})")
+    keys = [by] if by else []
+    g1 = df.groupBy(*keys) if keys else df.groupBy()
+    med = g1.agg(F.expr(med_fn.format(column)).cast("double").alias("median"),
+                 F.count(column).alias("n"))
+    joined = (df.join(F.broadcast(med), on=keys) if keys
+              else df.crossJoin(F.broadcast(med)))
+    dev = F.abs(F.col(column).cast("double") - F.col("median"))
+    g2 = (joined.select(*keys, dev.alias("_dev"))
+          .groupBy(*keys) if keys
+          else joined.select(dev.alias("_dev")).groupBy())
+    mad = g2.agg(F.expr(med_fn.format("_dev")).cast("double").alias("mad"))
+    out = med.join(F.broadcast(mad), on=keys) if keys else med.crossJoin(mad)
+    return out.select(*keys, "n", "median", "mad")
+
+
+def mad_outliers(df: DataFrame, column: str, by: str | None = None, *,
+                 k: float = 3.5, exact: bool = False,
+                 relative_error: float = 1e-4) -> DataFrame:
+    """Flag robust outliers: |0.6745 · (x − median) / MAD| > ``k``
+    (Iglewicz–Hoaglin modified z-score), optionally per ``by`` group.
+
+    Median/MAD resist the very contamination being hunted (a classic
+    mean/stddev z-score is dragged by the outliers themselves).  Input
+    columns pass through plus ``robust_z`` and ``is_outlier``; rows with
+    NULL value — or in a group with MAD = 0 (> half the group identical;
+    any deviation divides by zero) — get NULL robust_z / false.  Cost:
+    the two stats scans of `robust_center_scale` + one broadcast join;
+    data rows never shuffle.
+    """
+    stats = robust_center_scale(df, column, by, exact=exact,
+                                relative_error=relative_error)
+    keys = [by] if by else []
+    joined = (df.join(F.broadcast(stats), on=keys) if keys
+              else df.crossJoin(F.broadcast(stats)))
+    z = F.when(
+        F.col(column).isNotNull() & (F.col("mad") > 0),
+        F.lit(MAD_CONSISTENCY) * (F.col(column).cast("double")
+                                  - F.col("median")) / F.col("mad"))
+    return (joined
+            .withColumn("robust_z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("robust_z")) > k,
+                                   F.lit(False)))
+            .drop("n", "median", "mad"))
