@@ -106,3 +106,48 @@ def test_single_pass_plan(spark, df):
 def test_duplicate_check_ids_rejected(spark):
     with pytest.raises(ValueError, match="duplicate check_id"):
         CheckSuite("d", [Check.row_count(min=1), Check.row_count(max=2)])
+
+
+def test_encoding_clean_ratio_check(spark):
+    from validr_spark.operators.checks import Check, CheckSuite
+
+    df = spark.createDataFrame(
+        [("clean text",), ("lost � char",), ("moji Ã© here",), (None,)],
+        "text string")
+    suite = CheckSuite("enc", [Check.encoding_clean_ratio("text",
+                                                          min_ratio=0.9)])
+    rep = suite.run(df).collect()[0]
+    # "clean text" is the only clean row of the 3 non-null ones
+    assert rep["observed"] == pytest.approx(1 / 3, abs=1e-6)
+    assert not rep["passed"]
+    ok = CheckSuite("enc2", [Check.encoding_clean_ratio("text",
+                                                        min_ratio=0.3)])
+    assert CheckSuite.verdict(ok.run(df))
+
+
+def test_array_finite_ratio_check(spark):
+    from validr_spark.operators.checks import Check, CheckSuite
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [nan, 1.0]), (3, [inf, 1.0]),
+         (4, [1.0, None]), (5, None), (6, [-1.0, 0.5])],
+        "id long, e array<float>")
+    suite = CheckSuite("fin", [Check.array_finite_ratio("e", min_ratio=0.9)])
+    rep = suite.run(df).collect()[0]
+    assert rep["observed"] == pytest.approx(2 / 5, abs=1e-6)
+    assert not rep["passed"]
+
+
+def test_new_checks_stay_single_pass(spark):
+    from validr_spark.operators.checks import Check, CheckSuite
+
+    df = spark.createDataFrame([("x", [1.0])], "text string, e array<float>")
+    suite = CheckSuite("mix", [
+        Check.row_count(min=1),
+        Check.encoding_clean_ratio("text"),
+        Check.array_finite_ratio("e"),
+    ])
+    plan = suite.run(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2
+    assert "Join" not in plan

@@ -133,6 +133,43 @@ class Check:
         return Check(name or f"satisfies({predicate_sql})", None, m,
                      lo=min_ratio)
 
+    @staticmethod
+    def encoding_clean_ratio(column: str, min_ratio: float = 1.0) -> "Check":
+        """Fraction of non-null strings free of encoding damage
+        (operators/encoding.py classes: replacement char, stray control,
+        mojibake, zero-width).  Same codegen regex pass, folded into the
+        suite's single scan."""
+        from validr_spark.operators.encoding import encoding_counts
+
+        c = F.col(column)
+        e = encoding_counts(c)
+        total = None
+        for fld in e["replacement"], e["control"], e["mojibake"], e["zero_width"]:
+            total = fld if total is None else total + fld
+        clean = c.isNotNull() & (total == 0)
+        m = F.sum(clean.cast("long")) / F.sum(c.isNotNull().cast("long"))
+        return Check(f"encoding_clean_ratio({column})", column, m,
+                     lo=min_ratio)
+
+    @staticmethod
+    def array_finite_ratio(column: str, min_ratio: float = 1.0) -> "Check":
+        """Fraction of non-null float-array rows containing no NaN/±Inf
+        and no NULL elements (operators/embedding.py hygiene semantics:
+        `array_contains` against the special-value literals, NULL-element
+        via the array_compact size drop).  Algebraic — one scan."""
+        c = F.col(column)
+        nan = F.lit(float("nan"))
+        pinf = F.lit(float("inf"))
+        ninf = F.lit(float("-inf"))
+        bad = (F.coalesce(F.array_contains(c, nan), F.lit(False))
+               | F.coalesce(F.array_contains(c, pinf), F.lit(False))
+               | F.coalesce(F.array_contains(c, ninf), F.lit(False))
+               | (F.size(F.array_compact(c)) < F.size(c)))
+        ok = c.isNotNull() & ~bad
+        m = F.sum(ok.cast("long")) / F.sum(c.isNotNull().cast("long"))
+        return Check(f"array_finite_ratio({column})", column, m,
+                     lo=min_ratio)
+
 
 class CheckSuite:
     """A named bag of Checks evaluated in one scan.
