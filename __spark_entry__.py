@@ -1044,6 +1044,37 @@ def q_heavy_keys(spark, sf):
             .withColumnRenamed("key", "user_id"))
 
 
+def q_fd_check(spark, sf):
+    """Functional-dependency check (operators/consistency.py
+    fd_violations): does doc_id % 100 determine lang?  (It doesn't — the
+    violating buckets and a bounded sorted sample of their conflicting
+    langs come back.)  Dedup agg + per-key window over deduped pairs;
+    group state bounded by sample_values."""
+    from validr_spark.operators.consistency import fd_violations
+
+    doc = (_load(spark, sf, "documents")
+           .withColumn("k", F.col("doc_id") % 100))
+    return fd_violations(doc, "k", "lang", sample_values=3).orderBy("k")
+
+
+def q_ordering_check(spark, sf):
+    """Per-key monotonicity check (operators/consistency.py
+    ordering_violations): event ts must not regress per user in event_id
+    (arrival) order.  The synthetic events are already monotone, so a
+    deterministic 6-hour clock rollback is injected at event_id % 31 —
+    the check must recover exactly those regressions.  One window shuffle
+    on user_id; O(1) lag state."""
+    from validr_spark.operators.consistency import ordering_violations
+
+    ev = _load(spark, sf, "events")
+    shifted = ev.withColumn(
+        "ts", F.when(F.col("event_id") % 31 == 0,
+                     F.col("ts") - F.expr("INTERVAL 6 HOURS"))
+        .otherwise(F.col("ts")))
+    return (ordering_violations(shifted, "user_id", "ts", "event_id")
+            .orderBy("user_id", "event_id").limit(500))
+
+
 def q_encoding_audit(spark, sf):
     """Encoding-hygiene report (operators/encoding.py) per source over
     documents with deterministic decode artifacts injected per doc_id
@@ -1209,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "heavy_keys": q_heavy_keys,
         "encoding_audit": q_encoding_audit,
+        "fd_check": q_fd_check,
+        "ordering_check": q_ordering_check,
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
         # rows-only (no SQL oracle)
@@ -2767,5 +2800,34 @@ def _pipeline_oracles() -> dict[str, str]:
                         OR has_nan OR has_inf OR zero_vec)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
             FROM f
+        """,
+        "fd_check": """
+            WITH pre AS (
+              SELECT DISTINCT doc_id % 100 AS k, lang AS v
+              FROM documents WHERE lang IS NOT NULL),
+            r AS (
+              SELECT k, v,
+                row_number() OVER (PARTITION BY k ORDER BY v) AS rk,
+                count(*) OVER (PARTITION BY k) AS nv
+              FROM pre)
+            SELECT k, nv::BIGINT AS n_values,
+                   list(v ORDER BY v) AS "values"
+            FROM r WHERE nv > 1 AND rk <= 3
+            GROUP BY k, nv ORDER BY k
+        """,
+        "ordering_check": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                ts - CASE WHEN event_id % 31 = 0 THEN INTERVAL 6 HOUR
+                          ELSE INTERVAL 0 HOUR END AS ts
+              FROM events),
+            r AS (
+              SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS prev_ts
+              FROM e)
+            SELECT user_id, event_id, ts, prev_ts
+            FROM r WHERE ts < prev_ts
+            ORDER BY user_id, event_id LIMIT 500
         """,
     }

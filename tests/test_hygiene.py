@@ -205,3 +205,61 @@ def test_embedding_hygiene_math_is_nan_proof(spark):
         "vec_id long, e array<double>")
     row = embedding_hygiene(df, emb_col="e", dim=2).collect()[0]
     assert row["n_nan"] == 1 and row["n_clean"] == 1
+
+
+# ------------------------------------------------- fd / ordering violations
+
+
+def test_fd_violations_basic(spark):
+    from validr_spark.operators.consistency import fd_violations
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "z"),
+         ("c", None), ("c", "w"), ("d", None)],
+        "k string, v string")
+    out = {r["k"]: r for r in fd_violations(df, "k", "v").collect()}
+    # only b maps to >1 non-null value; nulls never count as a value
+    assert set(out) == {"b"}
+    assert out["b"]["n_values"] == 3
+    assert out["b"]["values"] == ["x", "y", "z"]
+
+
+def test_fd_violations_sample_bound(spark):
+    from validr_spark.operators.consistency import fd_violations
+
+    rows = [("hot", f"v{i:03d}") for i in range(50)] + [("ok", "only")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = fd_violations(df, "k", "v", sample_values=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_values"] == 50
+    assert r["values"] == ["v000", "v001", "v002", "v003"]
+
+
+def test_fd_violations_composite_determinant(spark):
+    from validr_spark.operators.consistency import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "p", 10), (1, "p", 11), (1, "q", 10), (2, "p", 10)],
+        "a long, b string, c long")
+    out = fd_violations(df, ["a", "b"], "c").collect()
+    assert len(out) == 1
+    assert (out[0]["a"], out[0]["b"]) == (1, "p")
+    assert out[0]["values"] == ["10", "11"]
+
+
+def test_ordering_violations(spark):
+    from validr_spark.operators.consistency import ordering_violations
+
+    # per-user event stream in arrival order (id); ts should not regress
+    df = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 20), (3, "u1", 15),   # regression at id 3
+         (4, "u2", 5), (5, "u2", 5), (6, "u2", 7),      # tie at id 5
+         (7, "u3", 1)],
+        "id long, user string, ts long")
+    out = ordering_violations(df, "user", "ts", "id", id_cols="id").collect()
+    assert [r["id"] for r in out] == [3]            # ties are fine
+    assert out[0]["prev_ts"] == 20 and out[0]["ts"] == 15
+    strict = ordering_violations(df, "user", "ts", "id", id_cols="id",
+                                 strict=True).collect()
+    assert sorted(r["id"] for r in strict) == [3, 5]

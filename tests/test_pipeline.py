@@ -94,3 +94,22 @@ def test_pipeline_keep_by_elects_best_duplicate(spark):
                                 collect_stats=False)
     kept = sorted(r["doc_id"] for r in res.kept.collect())
     assert 2 in kept and 1 not in kept and 3 in kept
+
+
+def test_pipeline_encoding_gate(spark, docs):
+    # doc 104 is valid, unique, good quality — but mojibake-damaged
+    bad = docs.sparkSession.createDataFrame(
+        [(104, _doc_text(9).replace(" ", " Ã© ", 1), "en")],
+        "doc_id long, text string, lang string")
+    res = prepare_training_data(
+        docs.unionByName(bad), _schema(), max_tokens=256,
+        drop_bad_encoding=True, near_dup=False, pack=False)
+    by = {s["stage"]: (s["rows_in"], s["rows_out"]) for s in res.stats}
+    assert by["encoding"] == (24, 23)          # only doc 104 gated
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    assert 104 not in kept_ids and 9 in kept_ids
+    # default off: stage absent, doc 104 survives
+    res2 = prepare_training_data(
+        docs.unionByName(bad), _schema(), near_dup=False, pack=False)
+    assert "encoding" not in {s["stage"] for s in res2.stats}
+    assert 104 in {r["doc_id"] for r in res2.kept.select("doc_id").collect()}

@@ -150,6 +150,7 @@ def cmd_prep(args) -> int:
         df, schema, id_col=args.id_col, text_col=args.text_col,
         max_tokens=args.max_tokens, near_dup=not args.no_near_dup,
         jaccard_threshold=args.jaccard_threshold,
+        drop_bad_encoding=args.drop_bad_encoding,
         pack=args.packed_output is not None,
         collect_stats=args.stats)
     res.kept.write.mode("overwrite").parquet(args.output)
@@ -246,6 +247,9 @@ def main(argv=None) -> int:
     pr.add_argument("--max-tokens", type=int, default=2048)
     pr.add_argument("--no-near-dup", action="store_true")
     pr.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pr.add_argument("--drop-bad-encoding", action="store_true",
+                    help="gate on encoding hygiene before dedup "
+                         "(zero-shuffle filter)")
     pr.add_argument("--stats", action="store_true",
                     help="count rows per stage (extra jobs)")
     pr.add_argument("--master", default=None)

@@ -9,7 +9,8 @@ broadcast-able joins, and no driver-side row loops.  Heavier modules
 than here so `import validr_spark` stays cheap.
 """
 
-from .consistency import check_invariants
+from .consistency import (check_invariants, fd_violations,
+                          ordering_violations)
 from .diff import diff_summary, table_diff
 from .drift import (chi_square_counts, ks_approx, ks_exact, psi,
                     value_entropy)
@@ -35,7 +36,7 @@ __all__ = [
     "embedding_hygiene",
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
-    "check_invariants",
+    "check_invariants", "fd_violations", "ordering_violations",
     "ks_exact", "ks_approx", "chi_square_counts", "psi", "value_entropy",
     "dim_moments", "embedding_drift",
     "table_diff", "diff_summary",

@@ -51,7 +51,7 @@ def prepare_training_data(
         id_col: str = "doc_id", text_col: str = "text",
         len_col: str | None = None, max_tokens: int = 2048,
         near_dup: bool = True, jaccard_threshold: float = 0.8,
-        keep_by=None,
+        keep_by=None, drop_bad_encoding: bool = False,
         minhash_kwargs: dict | None = None,
         quality_kwargs: dict | None = None,
         pack: bool = True, collect_stats: bool = True,
@@ -67,6 +67,9 @@ def prepare_training_data(
     stage names.  ``keep_by`` (a Column, e.g. a quality score) elects
     the highest-scoring member as the dedup survivor in BOTH dedup
     stages instead of the min-id member (ties → min id).
+    ``drop_bad_encoding=True`` inserts a zero-shuffle encoding gate
+    (operators/encoding.py) right after validation, before any dedup
+    work is spent on mojibake rows.
     """
     from validr_spark.operators.dedup import (exact_dedup, jaccard_verify,
                                               minhash_candidates)
@@ -94,6 +97,15 @@ def prepare_training_data(
         bad = res.violations().select(F.col("_pid").alias("_bad")).distinct()
         clean = (cur.join(bad, cur[id_col] == bad["_bad"], "left_anti"))
         cur = step("validate", df, clean)
+
+    if drop_bad_encoding:
+        from validr_spark.operators.encoding import ENCODING_PATTERNS
+        from validr_spark.operators.encoding import encoding_counts
+        e = encoding_counts(F.col(text_col))
+        tot = None
+        for n in ENCODING_PATTERNS:
+            tot = e[n] if tot is None else tot + e[n]
+        cur = step("encoding", cur, cur.filter(tot == 0))
 
     deduped = exact_dedup(cur, text_col, id_col, keep_by=keep_by)
     cur = step("exact_dedup", cur, deduped)
