@@ -1044,6 +1044,24 @@ def q_heavy_keys(spark, sf):
             .withColumnRenamed("key", "user_id"))
 
 
+def q_json_props_validate(spark, sf):
+    """Semi-structured validation parity: events.props is a JSON string;
+    parse it with an all-string-leaf read schema (the validr-faithful
+    ingestion convention — sources/tables.validr_read_schema) and let the
+    compiled plan do the typed coercion, so JSON ``69`` and ``"69"``
+    validate identically (str-accept semantics, reference pyx:763-785).
+    Map-side from_json + the usual one-projection validate."""
+    ev = _load(spark, sf, "events")
+    df = (ev.select("event_id",
+                    F.from_json("props", "k string").alias("_p"))
+          .select(F.col("event_id").alias("_id"),
+                  F.col("_p.k").alias("k")))
+    plan = SparkCompiler().compile(T.dict(k=T.int.min(10).max(80)))
+    v = plan.apply(df, id_cols=["_id"]).violations()
+    return (v.select(F.col("_id").alias("event_id"), "rule_id", "value")
+            .orderBy("event_id", "rule_id"))
+
+
 def q_fd_check(spark, sf):
     """Functional-dependency check (operators/consistency.py
     fd_violations): does doc_id % 100 determine lang?  (It doesn't — the
@@ -1242,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_audit": q_encoding_audit,
         "fd_check": q_fd_check,
         "ordering_check": q_ordering_check,
+        "json_props_validate": q_json_props_validate,
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
         # rows-only (no SQL oracle)
@@ -2829,5 +2848,20 @@ def _pipeline_oracles() -> dict[str, str]:
             SELECT user_id, event_id, ts, prev_ts
             FROM r WHERE ts < prev_ts
             ORDER BY user_id, event_id LIMIT 500
+        """,
+        "json_props_validate": """
+            WITH p AS (
+              SELECT event_id,
+                     json_extract_string(props, '$.k') AS ks,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events),
+            v AS (
+              SELECT event_id, 'k.min' AS rule_id,
+                     chr(39) || ks || chr(39) AS value FROM p WHERE k < 10
+              UNION ALL
+              SELECT event_id, 'k.max',
+                     chr(39) || ks || chr(39) FROM p WHERE k > 80)
+            SELECT event_id, rule_id, value FROM v
+            ORDER BY event_id, rule_id
         """,
     }
