@@ -1044,6 +1044,21 @@ def q_heavy_keys(spark, sf):
             .withColumnRenamed("key", "user_id"))
 
 
+def q_jsd_drift(spark, sf):
+    """Jensen–Shannon divergence (operators/drift.py jsd) between the
+    event_type distributions of even vs odd event_ids.  Two category
+    aggs + a category-sized join; completes the chi²/PSI/KS drift family
+    with the bounded symmetric measure."""
+    from validr_spark.operators.drift import jsd
+
+    ev = _load(spark, sf, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return (jsd(a, b, "event_type")
+            .select(F.round("jsd", 6).alias("jsd"), "n_categories",
+                    "n_ref", "n_new"))
+
+
 def q_json_props_validate(spark, sf):
     """Semi-structured validation parity: events.props is a JSON string;
     parse it with an all-string-leaf read schema (the validr-faithful
@@ -1261,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "ordering_check": q_ordering_check,
         "json_props_validate": q_json_props_validate,
+        "jsd_drift": q_jsd_drift,
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
         # rows-only (no SQL oracle)
@@ -2863,5 +2879,25 @@ def _pipeline_oracles() -> dict[str, str]:
                      chr(39) || ks || chr(39) FROM p WHERE k > 80)
             SELECT event_id, rule_id, value FROM v
             ORDER BY event_id, rule_id
+        """,
+        "jsd_drift": """
+            WITH a AS (SELECT event_type AS cat, count(*) AS na
+                       FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            b AS (SELECT event_type AS cat, count(*) AS nb
+                  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+            j AS (SELECT coalesce(a.na, 0) AS na, coalesce(b.nb, 0) AS nb
+                  FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb,
+                         count(*) AS nc FROM j),
+            w AS (SELECT na / ta::DOUBLE AS p, nb / tb::DOUBLE AS q,
+                         nc, ta, tb FROM j, t)
+            SELECT round(sum(
+                     (CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2))
+                           ELSE 0 END
+                      + CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2))
+                             ELSE 0 END) / 2), 6) AS jsd,
+                   nc::BIGINT AS n_categories,
+                   ta::BIGINT AS n_ref, tb::BIGINT AS n_new
+            FROM w GROUP BY nc, ta, tb
         """,
     }

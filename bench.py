@@ -196,7 +196,7 @@ HEADLINE = [
     "pipeline_prep", "incremental_new", "tokenized_stats", "para_dedup",
     "emb_drift", "dup_spans", "doc_entropy", "dsir_select",
     "encoding_audit", "robust_outliers", "embedding_audit",
-    "fd_check", "ordering_check", "json_props_validate",
+    "fd_check", "ordering_check", "json_props_validate", "jsd_drift",
 ]
 
 

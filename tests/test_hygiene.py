@@ -263,3 +263,124 @@ def test_ordering_violations(spark):
     strict = ordering_violations(df, "user", "ts", "id", id_cols="id",
                                  strict=True).collect()
     assert sorted(r["id"] for r in strict) == [3, 5]
+
+
+# ---------------------------------------------------- jsd / robust_clip
+
+
+def test_jsd_hand_math(spark):
+    from validr_spark.operators.drift import jsd
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "c string")
+    b = spark.createDataFrame([("x",)] * 1 + [("y",)] * 3, "c string")
+    row = jsd(a, b, "c").collect()[0]
+    p, q = [0.75, 0.25], [0.25, 0.75]
+    m = [(pi + qi) / 2 for pi, qi in zip(p, q)]
+    expect = 0.5 * sum(pi * math.log2(pi / mi) for pi, mi in zip(p, m)) \
+        + 0.5 * sum(qi * math.log2(qi / mi) for qi, mi in zip(q, m))
+    assert row["jsd"] == pytest.approx(expect, abs=1e-9)
+    assert row["n_categories"] == 2
+    assert row["n_ref"] == 4 and row["n_new"] == 4
+
+
+def test_jsd_bounds_and_disjoint(spark):
+    from validr_spark.operators.drift import jsd
+
+    a = spark.createDataFrame([("x",)] * 5, "c string")
+    same = jsd(a, a, "c").collect()[0]
+    assert same["jsd"] == pytest.approx(0.0, abs=1e-12)
+    b = spark.createDataFrame([("y",)] * 5, "c string")
+    disjoint = jsd(a, b, "c").collect()[0]
+    assert disjoint["jsd"] == pytest.approx(1.0, abs=1e-9)  # log2 bound
+
+
+def test_robust_clip(val_df):
+    from validr_spark.operators.stats import robust_clip
+
+    out = {r["id"]: r for r in
+           robust_clip(val_df, "value", by="grp", k=3.5,
+                       exact=True).collect()}
+    # wild points clipped into the acceptance interval, inliers untouched
+    assert out[100]["value"] < 500.0 and out[100]["value"] > 10.0
+    assert out[101]["value"] > -480.0 and out[101]["value"] < 10.5
+    assert out[0]["value"] == 10.0
+    # MAD=0 group passes through unclipped; nulls stay null
+    assert out[200]["value"] == 7.0
+    assert out[300]["value"] is None
+
+
+def test_robust_clip_matches_outlier_boundary(spark):
+    from validr_spark.operators.stats import (MAD_CONSISTENCY, mad_outliers,
+                                              robust_clip)
+
+    rows = [(i, float(v)) for i, v in enumerate(list(range(1, 10)) + [100])]
+    df = spark.createDataFrame(rows, "id long, value double")
+    clipped = {r["id"]: r["value"] for r in
+               robust_clip(df, "value", k=3.5, exact=True).collect()}
+    med, mad = 5.5, 2.5
+    hi = med + 3.5 * mad / MAD_CONSISTENCY
+    assert clipped[9] == pytest.approx(hi, rel=1e-12)
+    # after clipping, nothing is an outlier anymore
+    df2 = robust_clip(df, "value", k=3.5, exact=True)
+    flags = mad_outliers(df2, "value", k=3.5, exact=True)
+    # note: clipping changes the median/MAD slightly; boundary values may
+    # sit exactly AT the threshold, which is not > k -> not flagged
+    assert flags.filter("is_outlier").count() == 0
+
+
+# ------------------------------------------- streaming encoding quality
+
+
+def test_windowed_encoding_quality_batch(spark):
+    import datetime
+
+    from validr_spark.streaming.quality import windowed_encoding_quality
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [(ts(0), "clean one"), (ts(1), "lost � byte"),
+            (ts(2), "also clean"),
+            (ts(11), "moji Ã© here"), (ts(12), "fine")]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    out = {r["window_start"]: r for r in
+           windowed_encoding_quality(df, "ts", window="10 minutes").collect()}
+    w1, w2 = out[ts(0)], out[ts(10)]
+    assert w1["n_docs"] == 3 and w1["docs_replacement"] == 1
+    assert w1["clean_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert w2["n_docs"] == 2 and w2["docs_mojibake"] == 1
+    assert w2["clean_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_windowed_encoding_quality_stream(spark, tmp_path):
+    import datetime
+
+    from validr_spark.streaming.quality import windowed_encoding_quality
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = ([(ts(i % 5), "ok doc") for i in range(4)]
+            + [(ts(3), "bad \x00 ctrl")]
+            # far-future row closes the first window past the watermark
+            + [(ts(60), "tail")])
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    data = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(data)
+    sdf = spark.readStream.schema(df.schema).parquet(data)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (windowed_encoding_quality(sdf, "ts", window="10 minutes",
+                                   watermark="1 minute")
+         .writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1                      # only the closed window
+    r = got[0]
+    assert r["n_docs"] == 5 and r["docs_control"] == 1
+    assert r["clean_frac"] == pytest.approx(0.8, abs=1e-6)

@@ -12,7 +12,7 @@ than here so `import validr_spark` stays cheap.
 from .consistency import (check_invariants, fd_violations,
                           ordering_violations)
 from .diff import diff_summary, table_diff
-from .drift import (chi_square_counts, ks_approx, ks_exact, psi,
+from .drift import (chi_square_counts, jsd, ks_approx, ks_exact, psi,
                     value_entropy)
 from .dsir import dsir_select, dsir_weights, importance_sample
 from .embedding import dim_moments, embedding_drift, embedding_hygiene
@@ -26,7 +26,7 @@ from .referential import orphan_count, orphans
 from .skew import (heavy_hitters, key_skew_report, salted_join,
                    suggest_salt)
 from .stats import (column_profile, mad_outliers, null_rates,
-                    robust_center_scale)
+                    robust_center_scale, robust_clip)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
 from .uniqueness import duplicate_keys, duplication_report
 
@@ -37,7 +37,8 @@ __all__ = [
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
     "check_invariants", "fd_violations", "ordering_violations",
-    "ks_exact", "ks_approx", "chi_square_counts", "psi", "value_entropy",
+    "ks_exact", "ks_approx", "chi_square_counts", "psi", "jsd",
+    "value_entropy", "robust_clip",
     "dim_moments", "embedding_drift",
     "table_diff", "diff_summary",
     "connected_components", "connected_components_star",

@@ -177,3 +177,38 @@ def psi(df_ref: DataFrame, df_new: DataFrame, col: str,
     return (j.crossJoin(F.broadcast(tot))
             .agg(F.sum((p - q) * F.log(p / q)).alias("psi"),
                  F.count(F.lit(1)).alias("n_bins")))
+
+
+def jsd(df_ref: DataFrame, df_new: DataFrame, col: str) -> DataFrame:
+    """Jensen–Shannon divergence between two categorical distributions
+    (log2 — bounded [0, 1]; symmetric, defined even where KL blows up).
+
+    Completes the drift family's categorical corner: chi² is count-scale
+    sensitive, PSI needs eps floors on empty bins; JSD handles disjoint
+    supports natively (a category absent from one side contributes its
+    full share·log2(2) through the mixture, never a division by zero).
+
+    Scale shape: one hash-agg per side (shuffle ≤ distinct categories),
+    full-outer join of two category-sized tables, one-row summary.
+    Returns (jsd, n_categories, n_ref, n_new).
+    """
+    a = df_ref.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("na"))
+    b = df_new.groupBy(F.col(col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("nb"))
+    j = (a.join(b, "cat", "full_outer")
+         .select(F.coalesce("na", F.lit(0)).alias("na"),
+                 F.coalesce("nb", F.lit(0)).alias("nb")))
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+                F.count(F.lit(1)).alias("n_categories"))
+    w = j.crossJoin(F.broadcast(tot))
+    p = F.col("na") / F.col("ta")
+    q = F.col("nb") / F.col("tb")
+    m = (p + q) / 2
+    term = (F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0)) +
+            F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))) / 2
+    return (w.select(term.alias("t"), "n_categories", "ta", "tb")
+            .groupBy("n_categories", "ta", "tb")
+            .agg(F.sum("t").alias("jsd"))
+            .select(F.round("jsd", 9).alias("jsd"), "n_categories",
+                    F.col("ta").alias("n_ref"), F.col("tb").alias("n_new")))

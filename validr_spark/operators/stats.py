@@ -165,3 +165,26 @@ def mad_outliers(df: DataFrame, column: str, by: str | None = None, *,
                         F.coalesce(F.abs(F.col("robust_z")) > k,
                                    F.lit(False)))
             .drop("n", "median", "mad"))
+
+
+def robust_clip(df: DataFrame, column: str, by: str | None = None, *,
+                k: float = 3.5, exact: bool = False,
+                relative_error: float = 1e-4,
+                out_col: str | None = None) -> DataFrame:
+    """Winsorize: clip ``column`` into the interval where `mad_outliers`
+    would NOT flag it — median ± k·MAD/0.6745 per group.  The repair twin
+    of the flagging operator: same two stats scans + broadcast join, then
+    a pure map-side least/greatest.  Groups with MAD = 0 pass through
+    unclipped (no scale estimate to clip against)."""
+    stats = robust_center_scale(df, column, by, exact=exact,
+                                relative_error=relative_error)
+    keys = [by] if by else []
+    joined = (df.join(F.broadcast(stats), on=keys) if keys
+              else df.crossJoin(F.broadcast(stats)))
+    half = F.lit(k) * F.col("mad") / F.lit(MAD_CONSISTENCY)
+    lo, hi = F.col("median") - half, F.col("median") + half
+    c = F.col(column)
+    clipped = F.when(c.isNull() | (F.col("mad") <= 0), c) \
+        .otherwise(F.least(F.greatest(c.cast("double"), lo), hi))
+    return (joined.withColumn(out_col or column, clipped)
+            .drop("n", "median", "mad"))

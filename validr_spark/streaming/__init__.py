@@ -1,5 +1,6 @@
 """Structured Streaming validation: same compiled plans over streams."""
 
+from .quality import windowed_encoding_quality
 from .referential import stream_orphans, windowed_orphan_counts
 from .sessions import streaming_sessions
 from .stateful import running_verdicts
@@ -8,4 +9,5 @@ from .validate import (stream_violations, validate_stream, windowed_verdicts,
 
 __all__ = ["validate_stream", "stream_violations", "windowed_verdicts",
            "write_violations_stream", "running_verdicts",
-           "streaming_sessions", "stream_orphans", "windowed_orphan_counts"]
+           "streaming_sessions", "stream_orphans", "windowed_orphan_counts",
+           "windowed_encoding_quality"]
