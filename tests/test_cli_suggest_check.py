@@ -90,3 +90,18 @@ def test_cli_prep_pipeline(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert sorted(r.doc_id for r in kept.collect()) == list(range(8))
     assert spark.read.parquet(packed).count() == 8
+
+
+def test_cli_report_data_card(spark, table, capsys):
+    from validr_spark.cli import main
+
+    assert main(["report", "--input", table, "--id-col", "doc_id",
+                 "--text-col", "text", "--by", "grp"]) == 0
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_columns"] == 4
+    cols = {c["column"]: c for c in card["columns"]}
+    assert cols["doc_id"]["n_rows"] == 60 and cols["doc_id"]["n_nulls"] == 0
+    assert card["uniqueness"]["n_dup_keys"] == 0
+    assert {r["grp"] for r in card["encoding"]} == {"a", "b"}
+    assert all(r["clean_frac"] == 1.0 for r in card["encoding"])
+    assert card["text"]["total_tokens"] == sum(2 + i % 5 for i in range(60))

@@ -192,6 +192,51 @@ def cmd_manifest(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """One-stop dataset card: column profile, uniqueness, encoding
+    hygiene, quality/token summary — printed as one JSON document.
+
+    Every section is an AGGREGATED result (profile rows, per-source
+    report rows, one-row summaries); nothing row-shaped is ever
+    collected, so the command is safe to point at the full corpus."""
+    from .operators.encoding import encoding_report
+    from .operators.stats import column_profile
+    from .operators.textstats import quality_score, token_count, words_of
+    from .operators.uniqueness import duplication_report
+    from .sources import TableSource
+    from pyspark.sql import functions as F
+
+    spark = _build_session(args.master, args.shuffle_partitions)
+    df = TableSource(args.input, fmt=args.format).load(spark)
+    card: dict = {"input": args.input, "n_columns": len(df.columns)}
+
+    card["columns"] = [r.asDict() for r in column_profile(df).collect()]
+
+    if args.id_col in df.columns:
+        dup = duplication_report(df, args.id_col).first()
+        card["uniqueness"] = dup.asDict() if dup is not None else None
+
+    if args.text_col in df.columns:
+        by = args.by if args.by and args.by in df.columns else None
+        card["encoding"] = [r.asDict() for r in
+                            encoding_report(df, args.text_col,
+                                            by=by).collect()]
+        w = words_of(F.col(args.text_col))
+        tq = df.select(
+            token_count(F.col(args.text_col)).alias("_nt"),
+            quality_score(F.col(args.text_col), w).alias("_q"))
+        row = tq.agg(
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+            F.round(F.avg((F.col("_q") >= 0.5).cast("double")), 4)
+            .alias("quality_keep_rate")).first()
+        card["text"] = row.asDict()
+
+    print(json.dumps(card, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="validr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -261,6 +306,18 @@ def main(argv=None) -> int:
     d.add_argument("old", help="old isomorph-JSON schema file")
     d.add_argument("new", help="new isomorph-JSON schema file")
     d.set_defaults(fn=cmd_diff)
+
+    rp = sub.add_parser("report", help="dataset card: profile, uniqueness, "
+                                       "encoding hygiene, quality (JSON)")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--format", default="auto")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--by", default="source",
+                    help="group column for the encoding section")
+    rp.add_argument("--master", default=None)
+    rp.add_argument("--shuffle-partitions", type=int, default=None)
+    rp.set_defaults(fn=cmd_report)
 
     m = sub.add_parser("manifest", help="dump a manifest table")
     m.add_argument("--manifest", required=True)
