@@ -34,8 +34,6 @@ style follows the reference's "expect … , but …" convention
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
