@@ -384,3 +384,74 @@ def test_windowed_encoding_quality_stream(spark, tmp_path):
     r = got[0]
     assert r["n_docs"] == 5 and r["docs_control"] == 1
     assert r["clean_frac"] == pytest.approx(0.8, abs=1e-6)
+
+
+# ------------------------------------------ seeded differentials (numpy/re)
+
+
+def test_encoding_counts_python_re_differential(spark):
+    """Independent third implementation: translate the Java/RE2 \\x{hhhh}
+    escapes to Python re and compare counts on seeded random dirty text."""
+    import random
+    import re as pyre
+
+    rng = random.Random(42)
+    alphabet = (list("abc XYZ .!?\t\n\r") + ["�", "\x00", "\x07", "\x1f",
+                "Ã", "©", "â", "€", "™", "Â", "\u200b", "\ufeff", "é", "ü"])
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 60))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_scan(df).collect()}
+
+    def topy(p):
+        return pyre.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                        lambda m: chr(int(m.group(1), 16)), p)
+
+    pypats = {n: pyre.compile(topy(p)) for n, p in ENCODING_PATTERNS.items()}
+    for i, text in rows:
+        for n, rx in pypats.items():
+            assert got[i][f"n_{n}"] == len(rx.findall(text)), (i, n, text)
+
+
+def test_mad_outliers_numpy_differential(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(50, 10, 400), 6)
+    vals[::37] += 300            # seeded outliers
+    rows = [(int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    got = {r["id"]: r for r in
+           mad_outliers(df, "value", k=3.5, exact=True).collect()}
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(vals - med)))
+    z = MAD_CONSISTENCY * (vals - med) / mad
+    for i, zi in enumerate(z):
+        assert got[i]["is_outlier"] == (abs(zi) > 3.5), i
+        assert got[i]["robust_z"] == pytest.approx(zi, rel=1e-9, abs=1e-12)
+
+
+def test_jsd_numpy_differential(spark):
+    import numpy as np
+
+    from validr_spark.operators.drift import jsd
+
+    rng = np.random.default_rng(11)
+    cats = list("abcdefgh")
+    xa = [cats[i] for i in rng.integers(0, 6, 500)]     # never g/h
+    xb = [cats[i] for i in rng.integers(2, 8, 400)]     # never a/b
+    a = spark.createDataFrame([(c,) for c in xa], "c string")
+    b = spark.createDataFrame([(c,) for c in xb], "c string")
+    got = jsd(a, b, "c").collect()[0]
+
+    union = sorted(set(xa) | set(xb))
+    p = np.array([xa.count(c) for c in union], dtype=float)
+    q = np.array([xb.count(c) for c in union], dtype=float)
+    p, q = p / p.sum(), q / q.sum()
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ref = 0.5 * np.nansum(np.where(p > 0, p * np.log2(p / m), 0)) \
+            + 0.5 * np.nansum(np.where(q > 0, q * np.log2(q / m), 0))
+    assert got["jsd"] == pytest.approx(float(ref), abs=1e-9)
+    assert got["n_categories"] == len(union)
