@@ -1647,12 +1647,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE d.w <> ''),
             wts AS (
               SELECT doc_id, count(*)::BIGINT AS n_words,
-                     round(avg(CASE
-                       WHEN c_t IS NULL AND c_r IS NULL THEN 0.0
-                       ELSE log2((coalesce(c_t, 0) + 0.5)
-                                 / (n_t + 0.5 * v))
-                          - log2((coalesce(c_r, 0) + 0.5)
-                                 / (n_r + 0.5 * v)) END), 6)
+                     round(avg(log2((coalesce(c_t, 0) + 0.5)
+                                    / (n_t + 0.5 * v))
+                               - log2((coalesce(c_r, 1) + 0.5)
+                                      / (n_r + 0.5 * v))), 6)
                        AS log_weight
               FROM scored GROUP BY doc_id),
             keyed AS (

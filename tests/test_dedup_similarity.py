@@ -34,11 +34,27 @@ def test_minhash_codegen_equals_hof(spark, docs):
                                     k, seed)
     h = {r["doc"]: r["sig"] for r in hof.collect()}
     f = {r["doc"]: r["sig"] for r in fast.collect()}
-    # HOF path emits a (null-sig) row for null text; fast path omits it —
-    # both produce zero band rows downstream, so compare non-null only.
+    # HOF path emits a (null-sig) row for null text; the fast path
+    # filters null/empty-normalized rows out entirely (see
+    # test_minhash_null_and_empty_text_excluded) — compare non-null only.
     h = {d: s for d, s in h.items() if s is not None}
     assert len(f) == len(h) > 0
     assert f == h
+
+
+def test_minhash_null_and_empty_text_excluded(spark):
+    """NULL / empty-normalized texts must be absent from signatures and
+    candidates: each would otherwise hash the same degenerate 'shingle
+    of nothing' and m such rows become m(m-1)/2 full-band candidate
+    pairs — a quadratic self-join blowup on junk rows."""
+    rows = [("n1", None), ("n2", None), ("e1", "   "), ("e2", ""),
+            ("a", "the quick brown fox jumps over the lazy dog " * 4),
+            ("b", "the quick brown fox jumps over the lazy dog " * 4)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=32)
+    assert {r["doc"] for r in sigs.collect()} == {"a", "b"}
+    pairs = dedup.minhash_candidates(df, num_hashes=32, bands=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
 
 
 def test_minhash_candidates_find_exact_dups(spark):

@@ -106,6 +106,16 @@ def test_utilization_reasonable(spark, docs):
     assert row["utilization"] > 0.7
 
 
+def test_utilization_zero_when_all_truncated(spark):
+    """All-truncated corpus: utilization must be 0.0, not NULL (the
+    0-denominator division would surface as a null dataset-card metric)."""
+    df = spark.createDataFrame([(f"d{i}", 5000) for i in range(4)],
+                               "doc_id string, n_tok long")
+    row = packing_stats(pack_greedy(df, max_tokens=1024), 1024).first()
+    assert row["n_truncated"] == 4
+    assert row["utilization"] == 0.0
+
+
 # --- token-balanced shards (repartition_by_tokens) --------------------------
 
 def test_repartition_by_tokens_bounds_outlier(spark):
@@ -230,6 +240,31 @@ def test_take_grouped_budgets_matches_per_group_cut(spark):
     sums = {r["source"]: r["t"] for r in
             got.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
     assert all(sums[s] <= budgets[s] for s in sums)
+
+
+def test_take_grouped_budgets_nonstring_group_column(spark):
+    """Offset-map keys must use SPARK's string rendering: a boolean
+    group column ('true'/'false') used to key the driver map with
+    Python's str() ('True') and silently return zero rows."""
+    from validr_spark.operators.packing import take_grouped_budgets
+    rows = [(i, i % 2 == 0, 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, flag boolean, n_tok int")
+    got = take_grouped_budgets(df, {"true": 50, "false": 30},
+                               F.col("n_tok"), group_col="flag")
+    by = {}
+    for r in got.collect():
+        by.setdefault(r["flag"], []).append(r["doc_id"])
+    assert len(by.get(True, [])) == 5      # 50 tokens / 10 per row
+    assert len(by.get(False, [])) == 3
+
+
+def test_take_grouped_budgets_null_group_distinct_from_literal(spark):
+    """NULL group values must not collide with any real string key."""
+    from validr_spark.operators.packing import take_grouped_budgets
+    rows = [(1, None, 10), (2, "x", 10), (3, "x", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = take_grouped_budgets(df, {"x": 20}, F.col("n_tok"))
+    assert {r["doc_id"] for r in got.collect()} == {2, 3}
 
 
 def test_take_grouped_budgets_empty_budgets_raises(spark):

@@ -61,21 +61,27 @@ def test_weights_rank_target_like_docs_higher(spark, corpora):
     assert min(prose) > max(code)
 
 
-def test_both_oov_is_neutral_in_head_mode(spark):
-    """A word outside BOTH truncated heads contributes exactly 0."""
+def test_out_of_both_heads_gets_singleton_penalty(spark):
+    """A word outside BOTH truncated heads is scored as a raw singleton
+    at the target smoothing floor (c_t=0, c_r=1) — NOT a neutral 0,
+    which would let rare-vocabulary junk score like an average doc.
+    Here y really is a raw singleton, so head mode == exact mode."""
     raw = spark.createDataFrame(
         [Row(doc_id=1, text="x x x x y"),      # y = tail word
          Row(doc_id=2, text="x x x x")])
     target = spark.createDataFrame([Row(doc_id=9, text="x x x z")])
     w = {r["doc_id"]: r["log_weight"]
          for r in dsir_weights(raw, target, top_v=1).collect()}
-    # head models are both just {x}; y is OOV in both => contributes 0,
-    # so doc 1 (4*w_x + 0)/5 and doc 2 w_x differ only by the dilution
+
     def lp(c, n, v=3):
         return math.log2((c + 0.5) / (n + 0.5 * v))
     w_x = lp(3, 4) - lp(8, 9)
-    assert w[2] == pytest.approx(w_x, abs=1e-6)
-    assert w[1] == pytest.approx(4 * w_x / 5, abs=1e-6)
+    w_y = lp(0, 4) - lp(1, 9)
+    assert w[2] == pytest.approx(round(w_x, 6), abs=1e-6)
+    assert w[1] == pytest.approx(round((4 * w_x + w_y) / 5, 6), abs=2e-6)
+    exact = {r["doc_id"]: r["log_weight"]
+             for r in dsir_weights(raw, target).collect()}
+    assert w == exact
 
 
 def test_head_mode_matches_exact_when_v_covers_vocab(spark, corpora):

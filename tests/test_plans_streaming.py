@@ -59,6 +59,31 @@ def test_resumable_run_and_skip(spark, seq_df, tmp_path):
     assert spark.read.parquet(str(tmp_path / "violations")).count() == 6
 
 
+def test_pre_provenance_violation_files_do_not_false_pass(
+        spark, seq_df, tmp_path):
+    """A violations sink holding files written before provenance tagging
+    (no _lineage/_run_id columns) must neither crash the read-back nor —
+    worse — get swallowed into n_violations=0/verdict=pass for
+    partitions that really had violations."""
+    vio = str(tmp_path / "violations")
+    legacy = (spark.createDataFrame(
+        [("legacy-1", "n_tok.max", "999")],
+        "doc_id string, rule_id string, value string")
+        .withColumn("_part", F.lit("z")))
+    legacy.write.partitionBy("_part").parquet(vio)
+
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=vio, batch_parts=8)
+    rv.run(spark, seq_df, id_cols=["doc_id"])
+    by = {r["part"]: r for r in
+          ManifestStore(spark, str(tmp_path / "m")).read().collect()}
+    assert set(by) == {"a", "b", "c"}
+    assert all(by[p]["n_violations"] == 2 and by[p]["verdict"] == "fail"
+               for p in "abc")
+
+
 def test_resume_picks_up_new_partition_only(spark, seq_df, tmp_path):
     plan = SparkCompiler().compile(
         T.dict(doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(100),

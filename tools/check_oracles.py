@@ -5,10 +5,18 @@ column names, and order-insensitive values (rounded)."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+# Python-UDF workers don't inherit the driver's sys.path — they need the
+# package importable via PYTHONPATH (set BEFORE the JVM starts so the
+# worker daemons inherit it).  Without this, running the check from a
+# scratch cwd fails only the UDF-bearing queries with ModuleNotFoundError.
+os.environ["PYTHONPATH"] = "/root/repo" + (
+    os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else "")
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None

@@ -75,7 +75,11 @@ def contamination_scan(corpus: DataFrame, benchmark: DataFrame,
     Shuffle budget at 10^12 docs: ZERO corpus-wide shuffles — totals are
     a narrow scan, the gram probe is a broadcast inner join (only HITS
     survive it, and only hits are deduplicated/aggregated), and the final
-    attach broadcasts the tiny hit table back onto the corpus."""
+    attach joins the hit table back onto the corpus with a plain
+    equi-join — AQE picks broadcast when the hit table is genuinely
+    small, but a heavily contaminated corpus (boilerplate benchmark
+    grams) can make it arbitrarily large, so forcing broadcast here
+    would OOM exactly when contamination is worst."""
     bench_text = bench_text_col or text_col
     # the benchmark needs no id here — only its gram set survives
     bench_src = benchmark.select(F.lit(0).alias("_bid"),
@@ -95,7 +99,7 @@ def contamination_scan(corpus: DataFrame, benchmark: DataFrame,
             .distinct()
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))
-    per_doc = totals.join(F.broadcast(hits), on=id_col, how="left")
+    per_doc = totals.join(hits, on=id_col, how="left")
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
     return per_doc.select(
         id_col, "n_grams", n_hits.alias("n_hits"),

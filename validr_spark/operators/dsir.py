@@ -74,14 +74,19 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     makes the two floors comparable — with naive per-model floors a
     small target corpus makes "unseen in target" (``α/N_t``) MORE
     likely than a singleton in a big raw corpus (``1/N_r``), so
-    rare-vocabulary junk gets boosted instead of penalized.  Words
-    absent from BOTH models contribute 0 (neutral): smoothing alone
-    would give them the constant ``log((N_r+αV)/(N_t+αV))``, which is
-    evidence of corpus size, not of similarity.
+    rare-vocabulary junk gets boosted instead of penalized.
 
     ``top_v``: truncate BOTH models to their V most frequent words and
-    broadcast (the 10^12-doc path; tail words fall to the smoothing
-    floor); ``None`` = exact join mode.
+    broadcast (the 10^12-doc path); ``None`` = exact join mode.  Every
+    scored word comes from the raw corpus, so its true raw count is
+    ≥ 1; in head mode a word missing from the raw head is therefore
+    treated as a raw SINGLETON (count 1), and a word missing from the
+    target head falls to the smoothing floor (count 0) — the same
+    values exact mode assigns to a tail singleton, so head mode only
+    approximates the counts of truncated NON-singleton tail words.
+    (Coalescing the raw count to 0 instead would hand out-of-both-heads
+    junk a near-neutral weight — the exact boost the shared-``V``
+    design exists to prevent.)
     """
     tcol = target_text_col or text_col
     t_counts, t_total = _unigram_counts(target, tcol)
@@ -110,15 +115,16 @@ def dsir_weights(df: DataFrame, target: DataFrame,
                   F.col("_n").alias("_n_r"))))
               .crossJoin(F.broadcast(vocab)))
     a = F.lit(float(oov_alpha))
+    # raw words truncated out of the head are singletons w.h.p. → 1;
+    # in exact mode _c_r is never NULL (the word came from the raw
+    # corpus), so the coalesce is inert there.
     lp_t = F.log2((F.coalesce(F.col("_c_t"), F.lit(0)) + a)
                   / (F.col("_n_t") + a * F.col("_v")))
-    lp_r = F.log2((F.coalesce(F.col("_c_r"), F.lit(0)) + a)
+    lp_r = F.log2((F.coalesce(F.col("_c_r"), F.lit(1)) + a)
                   / (F.col("_n_r") + a * F.col("_v")))
-    contrib = F.when(F.col("_c_t").isNull() & F.col("_c_r").isNull(),
-                     F.lit(0.0)).otherwise(lp_t - lp_r)
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.round(F.avg(contrib), 6).alias("log_weight")))
+                 F.round(F.avg(lp_t - lp_r), 6).alias("log_weight")))
 
 
 def importance_sample(weights: DataFrame, k: int,

@@ -178,13 +178,22 @@ def dedup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
     """Duplicate groups from a near-dup pair list: (component, n_members,
     member_ids ≤16 sample).  Only nodes that appear in some pair are
     returned (isolated docs are by definition not duplicates)."""
+    from pyspark.sql import Window
+
     _cc = (connected_components_star if algorithm == "star"
            else connected_components)
     cc = _cc(pairs, src, dst, max_iter=max_iter)
-    return (cc.groupBy("component")
+    # bound the sample BEFORE aggregating: a hot component (boilerplate /
+    # empty docs — exactly what dedup finds) would otherwise collect its
+    # entire id set into one reducer buffer before the slice (same fix
+    # as exact_duplicates in operators/dedup.py).
+    w = Window.partitionBy("component").orderBy("id")
+    ranked = cc.withColumn("_rn", F.row_number().over(w))
+    return (ranked.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.sort_array(F.slice(F.sort_array(
-                     F.collect_set("id")), 1, 16)).alias("member_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= 16, F.col("id"))))
+                 .alias("member_ids"))
             .filter(F.col("n_members") > 1))
 
 

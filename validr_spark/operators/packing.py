@@ -60,10 +60,24 @@ def _coarse_running_sum(tmp, g_col: str, order_cols,
     from pyspark.sql import Window
 
     sep = "\x00"
+    null_tag = "\x01NULL"
     part = ([group_col] if group_col else []) + [g_col]
+    # The offset-map keys must be rendered by SPARK's string cast, not
+    # Python's str(): they disagree for booleans ('true' vs 'True'),
+    # floats, decimals... — a mismatch makes element_at return NULL and
+    # the caller's budget filter silently drop every row.  So the group
+    # key is cast (NULL-coalesced) inside the aggregate itself and the
+    # driver never re-renders it.
+    if group_col:
+        gexpr = F.coalesce(F.col(group_col).cast("string"),
+                           F.lit(null_tag))
+        agg_keys = [gexpr.alias("_grpkey"), F.col(g_col)]
+    else:
+        gexpr = F.lit("")
+        agg_keys = [F.col(g_col)]
     totals: dict = {}
-    for r in tmp.groupBy(*part).agg(F.sum("_wt").alias("t")).collect():
-        grp = str(r[group_col]) if group_col else ""
+    for r in tmp.groupBy(*agg_keys).agg(F.sum("_wt").alias("t")).collect():
+        grp = r["_grpkey"] if group_col else ""
         totals.setdefault(grp, {})[r[g_col]] = r["t"] or 0
     off_pairs, grand = [], 0
     for grp in sorted(totals):
@@ -74,7 +88,6 @@ def _coarse_running_sum(tmp, g_col: str, order_cols,
             run += by_g[gk]
         grand += run
     off_map = F.create_map(*off_pairs) if off_pairs else F.create_map()
-    gexpr = (F.col(group_col).cast("string") if group_col else F.lit(""))
     key = F.concat_ws(sep, gexpr, F.col(g_col).cast("string"))
     w = (Window.partitionBy(*part).orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -316,7 +329,12 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("tok").alias("total_tokens"),
-        F.round(F.sum(F.when(F.col("trunc") == 0, F.col("tok")))
-                / (F.sum((F.col("trunc") == 0).cast("long"))
-                   * F.lit(max_tokens)), 6).alias("utilization"),
+        # 0.0 (not NULL) when every bin is truncated: the 0-denominator
+        # division would otherwise surface as a null metric in the
+        # dataset card.
+        F.coalesce(
+            F.round(F.sum(F.when(F.col("trunc") == 0, F.col("tok")))
+                    / (F.sum((F.col("trunc") == 0).cast("long"))
+                       * F.lit(max_tokens)), 6),
+            F.lit(0.0)).alias("utilization"),
         F.sum("trunc").cast("long").alias("n_truncated"))

@@ -5,6 +5,8 @@ regex/array ops inside whole-stage codegen, zero Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,8 +45,13 @@ def _hit_count(col, sw: list) -> Column:
     """Occurrence count of any (whitespace-delimited, lowercased) stopword
     — ONE regexp_count pass, no lambda HOF (interpreted, PERF.md Finding
     1) and no per-stopword array allocations.  `(?:^|\\s)tok(?=\\s|$)`
-    matches exactly the split-on-whitespace membership semantics."""
-    alt = "|".join(sw)
+    matches exactly the split-on-whitespace membership semantics.
+
+    Tokens are regex-escaped: STOPWORDS is documented as extendable
+    per-deployment, and an unescaped metacharacter ('c++', 'etc.')
+    would either throw at execution time or silently change the match
+    semantics of the whole alternation."""
+    alt = "|".join(re.escape(t) for t in sw)
     return F.regexp_count(F.lower(F.trim(col)),
                           F.lit(r"(?:^|\s)(?:%s)(?=\s|$)" % alt))
 
@@ -148,7 +155,7 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
     pre = df.select(F.col(id_col), c.alias("_t"), w_once.alias("_w"))
     q = quality_features(F.col("_t"), F.col("_w"))
-    r = repetition_features(F.col("_t"))
+    r = repetition_features(F.col("_t"), F.col("_w"))
 
     def flag(cond, name):
         return F.when(cond, F.lit(name))
@@ -203,7 +210,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
     )
 
 
-def repetition_features(col) -> Column:
+def repetition_features(col, w: Column | None = None) -> Column:
     """struct of Gopher-style repetition signals computable without a
     shuffle: duplicate-line fraction and duplicate-word fraction.
 
@@ -211,12 +218,17 @@ def repetition_features(col) -> Column:
     lambda HOFs — PERF.md Finding 1), so this stays a map-side projection.
     For the n-gram repetition signal (needs a per-doc mode) see
     :func:`top_ngram_stats` — that one is irreducibly a grouped aggregate.
+
+    Pass a pre-materialized words column `w` to avoid re-running the
+    split regex when the caller already materialized it (text_profile /
+    quality_filter barrier pattern).
     """
     col = F.col(col) if isinstance(col, str) else col
     # collapse blank lines, trim outer whitespace → no empty entries
     lines = F.split(F.regexp_replace(F.trim(col), r"\s*\n\s*", "\n"), "\n")
     n_lines = F.size(lines)
-    w = words_of(col)
+    if w is None:
+        w = words_of(col)
     n_words = F.size(w)
     return F.struct(
         n_lines.alias("n_lines"),

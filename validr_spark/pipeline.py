@@ -95,7 +95,11 @@ def prepare_training_data(
         res = plan.apply(cur.withColumn("_pid", F.col(id_col)),
                          id_cols=["_pid"])
         bad = res.violations().select(F.col("_pid").alias("_bad")).distinct()
-        clean = (cur.join(bad, cur[id_col] == bad["_bad"], "left_anti"))
+        # eqNullSafe: a violating row with a NULL id must still be
+        # dropped — plain == is NULL for NULL ids and the anti-join
+        # would wave the invalid row through.
+        clean = (cur.join(bad, cur[id_col].eqNullSafe(bad["_bad"]),
+                          "left_anti"))
         cur = step("validate", df, clean)
 
     if drop_bad_encoding:

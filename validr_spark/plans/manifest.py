@@ -225,22 +225,43 @@ class ResumableValidation:
         #    thanks to column pruning) + the small violations we just wrote.
         counts = (batch_df.groupBy("_part")
                   .agg(F.count(F.lit(1)).alias("n_rows")))
+        # Only a genuinely-absent/empty sink may fall back to "zero
+        # violations"; any OTHER read failure must propagate — swallowing
+        # it would record verdict=pass for partitions that really had
+        # violations, and the manifest commit would then never re-validate
+        # them.  mergeSchema covers sinks with pre-provenance files whose
+        # sampled footer lacks the _lineage/_run_id columns.
+        from pyspark.errors import AnalysisException
+
+        written = None
         try:
-            written = (spark.read.parquet(self.violations_path)
-                       .filter(F.col("_part").isin(parts)
-                               & (F.col("_lineage") == self.lineage)
-                               & (F.col("_run_id") == run_id)))
+            written = (spark.read.option("mergeSchema", "true")
+                       .parquet(self.violations_path))
+        except AnalysisException as e:
+            s = str(e)
+            if not ("PATH_NOT_FOUND" in s
+                    or "UNABLE_TO_INFER_SCHEMA" in s):
+                raise
+        if written is None:
+            # zero violations anywhere yet → sink dir has no partitions
+            merged = {r["_part"]: {"n_rows": r["n_rows"], "n_violations": 0,
+                                   "n_bad_rows": 0}
+                      for r in counts.collect()}
+        else:
+            for c in ("_lineage", "_run_id"):
+                if c not in written.columns:
+                    written = written.withColumn(
+                        c, F.lit(None).cast("string"))
+            written = written.filter(
+                F.col("_part").isin(parts)
+                & (F.col("_lineage") == self.lineage)
+                & (F.col("_run_id") == run_id))
             vstats = (written.groupBy("_part")
                       .agg(F.count(F.lit(1)).alias("n_violations"),
                            F.countDistinct(*(id_cols or ["rule_id"]))
                             .alias("n_bad_rows")))
             merged = {r["_part"]: r for r in
                       counts.join(vstats, "_part", "left").collect()}
-        except Exception:
-            # zero violations anywhere yet → sink dir has no partitions
-            merged = {r["_part"]: {"n_rows": r["n_rows"], "n_violations": 0,
-                                   "n_bad_rows": 0}
-                      for r in counts.collect()}
 
         now = time.time()
         rows = []
