@@ -1210,6 +1210,39 @@ def q_semantic_dups(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_frame_check(spark, sf):
+    """Token-frame integrity (operators/sequences.frame_violations) —
+    BOS/EOS placement, trailing-only padding — over synthetic sequences
+    derived deterministically from documents (BOS=1, EOS=2, PAD=0;
+    defects injected by doc_id arithmetic: %11 drops BOS, %7 drops EOS,
+    %13 plants an interior pad, %3 varies the trailing pad run).  The
+    DuckDB twin re-derives the same arrays with list concatenation and
+    re-implements the framing algebra over the same comma-string
+    rendering (same RE2-safe anchored regex)."""
+    from validr_spark.operators.sequences import frame_violations
+
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+
+    def arr(*xs):
+        return F.array(*[F.lit(x).cast("int") for x in xs])
+
+    empty = F.array().cast("array<int>")
+    d = F.col("doc_id")
+    b1 = (d % 97 + 10).cast("int")
+    b2 = (F.col("n_chars") % 89 + 10).cast("int")
+    toks = F.concat(
+        F.when(d % 11 == 0, empty).otherwise(arr(1)),
+        F.array(b1),
+        F.when(d % 13 == 0, arr(0)).otherwise(empty),
+        F.array(b2),
+        F.when(d % 7 == 0, empty).otherwise(arr(2)),
+        F.when(d % 3 == 1, arr(0)).when(d % 3 == 2, arr(0, 0))
+         .otherwise(empty))
+    seq = df.select("doc_id", toks.alias("tokens"))
+    return frame_violations(seq, bos=1, eos=2, pad=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1279,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": q_jsd_drift,
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
+        "frame_check": q_frame_check,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1308,6 +1342,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    round(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS null_rate
             FROM documents
+        """,
+        "frame_check": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(doc_id % 97 + 10 AS INT) AS b1,
+                     CAST(n_chars % 89 + 10 AS INT) AS b2
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            toks AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 11 = 0 THEN CAST([] AS INT[])
+                      ELSE [CAST(1 AS INT)] END
+                 || [b1]
+                 || CASE WHEN doc_id % 13 = 0 THEN [CAST(0 AS INT)]
+                         ELSE CAST([] AS INT[]) END
+                 || [b2]
+                 || CASE WHEN doc_id % 7 = 0 THEN CAST([] AS INT[])
+                         ELSE [CAST(2 AS INT)] END
+                 || CASE WHEN doc_id % 3 = 1 THEN [CAST(0 AS INT)]
+                         WHEN doc_id % 3 = 2
+                           THEN [CAST(0 AS INT), CAST(0 AS INT)]
+                         ELSE CAST([] AS INT[]) END) AS tokens
+              FROM base),
+            strip AS (
+              SELECT doc_id, tokens,
+                     ',' || array_to_string(tokens, ',') || ',' AS s,
+                     regexp_replace(
+                       ',' || array_to_string(tokens, ',') || ',',
+                       ',(?:0,)+$', ',') AS stripped
+              FROM toks),
+            feats AS (
+              SELECT doc_id, tokens, s, stripped,
+                     regexp_extract(stripped, ',([^,]+),$', 1) AS last_tok,
+                     tokens[1] AS first_tok,
+                     CAST((length(s) - length(stripped)) // 2 AS BIGINT)
+                       AS n_trail
+              FROM strip)
+            SELECT doc_id, 'tokens.bos' AS rule_id, 'tokens[0]' AS position,
+                   'first token must be 1' AS message,
+                   CAST(first_tok AS VARCHAR) AS value
+            FROM feats
+            WHERE length(last_tok) > 0
+              AND (first_tok IS NULL OR first_tok <> 1)
+            UNION ALL
+            SELECT doc_id, 'tokens.eos',
+                   'tokens[' || CAST(len(tokens) - n_trail - 1 AS VARCHAR)
+                     || ']',
+                   'last non-pad token must be 2', last_tok
+            FROM feats WHERE length(last_tok) > 0 AND last_tok <> '2'
+            UNION ALL
+            SELECT doc_id, 'tokens.pad', 'tokens',
+                   'pad tokens must be trailing only', '0'
+            FROM feats WHERE contains(stripped, ',0,')
+            UNION ALL
+            SELECT doc_id, 'tokens.content', 'tokens',
+                   'sequence has no content tokens',
+                   CAST(len(tokens) AS VARCHAR)
+            FROM feats WHERE length(last_tok) = 0
         """,
         "doc_length_stats": """
             SELECT lang, count(*)::BIGINT AS n_docs,

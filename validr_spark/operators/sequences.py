@@ -219,3 +219,101 @@ def sequence_report(df: DataFrame, dim: DataFrame, **kw) -> dict:
     Returns {"per_source": [...rows...], "dup_keys": int, "n_keys": int}.
     """
     return collect_report(build_report_queries(df, dim, **kw))
+
+
+def frame_violations(df: DataFrame, *, id_col: str = "doc_id",
+                     tokens_col: str = "tokens",
+                     bos: int | None = None, eos: int | None = None,
+                     pad: int | None = None) -> DataFrame:
+    """Token-frame integrity checks for pre-tokenized sequences: BOS/EOS
+    placement, trailing-only padding, and non-empty content — the framing
+    invariants a tokenizer + packer must leave behind, which plain
+    range/length rules (rowlevel_schema / token_range_violations) cannot
+    see.
+
+    Checks (each emitted as one violation row, engine formatting —
+    ``(id, rule_id, position, message, value)``):
+
+    * ``tokens.bos``  — first token is not ``bos`` (when ``bos`` given);
+    * ``tokens.eos``  — last NON-PAD token is not ``eos`` (when ``eos``
+      given; with ``pad=None`` the literal last token);
+    * ``tokens.pad``  — a pad token occurs before a non-pad token (only
+      trailing padding is legal; when ``pad`` given);
+    * ``tokens.content`` — no non-pad tokens at all (empty array or
+      all-pad).
+
+    Scale shape: one map-side projection per row — the token array is
+    rendered ONCE to a comma string (codegen ``concat_ws``), the trailing
+    pad run is stripped with a single anchored regex, and every check is
+    a string/length expression on that result.  No lambda HOF (those run
+    interpreted — PERF.md Finding 1), no shuffle, no Python.
+
+    Null ELEMENTS are skipped by ``concat_ws`` and therefore invisible to
+    the framing checks — run this alongside ``token_range_violations``,
+    which reports them as ``tokens[].required``.  Rows with a NULL array
+    are skipped entirely (that is the schema's ``required`` rule).
+    """
+    t = F.col(tokens_col)
+    # ",t0,t1,...," — outer commas make every token delimiter-bounded so
+    # substring probes can't false-match inside multi-digit ids
+    s = F.concat(F.lit(","), F.concat_ws(",", t), F.lit(","))
+    if pad is not None:
+        # one greedy anchored match strips the whole trailing pad run.
+        # The run must START at a delimiter — a bare "(?:0,)+$" would eat
+        # the tail of a multi-digit token ("100," ends with "0,").  The
+        # leading comma is consumed and re-emitted (no lookbehind: the
+        # DuckDB oracle twin runs RE2, which has none).
+        stripped = F.regexp_replace(s, r",(?:%d,)+$" % pad, ",")
+    else:
+        stripped = s
+    # try_element_at: plain element_at throws under ANSI on empty arrays
+    first_tok = F.try_element_at(t, F.lit(1))
+    last_tok = F.regexp_extract(stripped, r",([^,]+),$", 1)
+    # content = the sequence minus trailing padding; an empty array
+    # renders as ",," and all-pad strips to "," — both extract "" above
+    has_content = F.char_length(last_tok) > 0
+    # index of the last non-pad token: pad renders at fixed width, so the
+    # stripped-off character count is an exact multiple of len("<pad>,")
+    n_trail = ((F.char_length(s) - F.char_length(stripped))
+               / F.lit(len(str(pad)) + 1 if pad is not None else 1)
+               ).cast("long")
+    last_idx = (F.size(t) - n_trail - 1).cast("long")
+
+    def viol(rule, position, message, value):
+        return F.struct(F.lit(rule).alias("rule_id"),
+                        position.cast("string").alias("position"),
+                        F.lit(message).alias("message"),
+                        value.cast("string").alias("value"))
+
+    checks = []
+    if bos is not None:
+        # gated on content: an empty/all-pad row reports tokens.content
+        # alone, not three cascading framing errors
+        checks.append(F.when(
+            has_content & ((first_tok != bos) | first_tok.isNull()),
+            viol("tokens.bos", F.lit(f"{tokens_col}[0]"),
+                 f"first token must be {bos}", first_tok)))
+    if eos is not None:
+        checks.append(F.when(
+            has_content & (last_tok != F.lit(str(eos))),
+            viol("tokens.eos",
+                 F.concat(F.lit(f"{tokens_col}["), last_idx.cast("string"),
+                          F.lit("]")),
+                 f"last non-pad token must be {eos}", last_tok)))
+    if pad is not None:
+        checks.append(F.when(
+            stripped.contains(f",{pad},"),
+            viol("tokens.pad", F.lit(tokens_col),
+                 "pad tokens must be trailing only", F.lit(pad))))
+    checks.append(F.when(
+        ~has_content,
+        viol("tokens.content", F.lit(tokens_col),
+             "sequence has no content tokens", F.size(t))))
+
+    vs = F.array_compact(F.array(*checks))
+    return (df.filter(t.isNotNull())
+            .select(F.col(id_col), vs.alias("_v"))
+            .filter(F.size("_v") > 0)
+            .select(id_col, F.explode("_v").alias("_e"))
+            .select(id_col, "_e.rule_id", "_e.position", "_e.message",
+                    "_e.value"))
