@@ -1243,6 +1243,21 @@ def q_frame_check(spark, sf):
     return frame_violations(seq, bos=1, eos=2, pad=0)
 
 
+def q_sampled_audit(spark, sf):
+    """Sampled validation audit (operators/audit.py): validate the
+    deterministic 25% md5-threshold sample of documents against the
+    n_chars/lang rules and report per-rule violation rates with Wilson
+    95% bounds plus the corpus scale-up estimate.  The DuckDB twin runs
+    the identical md5 filter, rule set, and interval algebra."""
+    from validr_spark.operators.audit import sampled_violation_rates
+
+    df = _load(spark, sf, "documents")
+    plan = SparkCompiler().compile(T.dict(
+        n_chars=T.int.min(50).max(400), lang=T.enum(DOC_LANGS)))
+    return sampled_violation_rates(df, plan, fraction=0.25,
+                                   id_cols=["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1313,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
         "frame_check": q_frame_check,
+        "sampled_audit": q_sampled_audit,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1400,6 +1416,39 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "sampled_audit": """
+            WITH s AS (
+              SELECT * FROM documents
+              WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '40000000'),
+            tot AS (SELECT count(*)::BIGINT AS n_sample FROM s),
+            v AS (
+              SELECT 'n_chars.min' AS rule_id FROM s WHERE n_chars < 50
+              UNION ALL
+              SELECT 'n_chars.max' FROM s WHERE n_chars > 400
+              UNION ALL
+              SELECT 'lang.enum' FROM s
+              WHERE lang NOT IN ('en','de','fr','es')),
+            per AS (SELECT rule_id, count(*)::BIGINT AS n_viol
+                    FROM v GROUP BY rule_id),
+            calc AS (
+              SELECT rule_id, n_sample, n_viol,
+                     n_viol::DOUBLE / n_sample AS p,
+                     n_sample::DOUBLE AS n
+              FROM per, tot)
+            SELECT rule_id, n_sample, n_viol,
+              round(n_viol::DOUBLE / n_sample, 6) AS rate,
+              round(greatest(0.0,
+                (p + 3.841458881296/(2.0*n)) / (1.0 + 3.841458881296/n)
+                - (1.959964*sqrt(p*(1.0-p)/n + 3.841458881296/(4.0*n*n))
+                   / (1.0 + 3.841458881296/n))), 6) AS rate_lo,
+              round(least(1.0,
+                (p + 3.841458881296/(2.0*n)) / (1.0 + 3.841458881296/n)
+                + (1.959964*sqrt(p*(1.0-p)/n + 3.841458881296/(4.0*n*n))
+                   / (1.0 + 3.841458881296/n))), 6) AS rate_hi,
+              CAST(round(n_viol / 0.25, 0) AS BIGINT) AS est_violations
+            FROM calc ORDER BY rule_id
         """,
         "doc_length_stats": """
             SELECT lang, count(*)::BIGINT AS n_docs,

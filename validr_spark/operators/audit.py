@@ -1,0 +1,92 @@
+"""Sampled validation audit — estimate corpus-wide violation rates from a
+deterministic hash sample, with Wilson confidence bounds.
+
+Why: at 10^12 rows, CONTINUOUS quality monitoring does not need the full
+validation pass the nightly pipeline runs — a 0.1% sample bounds every
+rule's violation rate to ±0.01% at 95% confidence for ~1/1000 of the
+cost.  The sample is a pure map-side md5-threshold filter
+(operators/sampling.hash_prefix), so:
+
+* it is deterministic and engine-independent — re-runs, resumes, and the
+  DuckDB oracle all see the SAME sample;
+* equal ids always land on the same side, so per-rule rates are unbiased
+  for any rule that fires at most once per row (every scalar-field rule;
+  array-element rules can fire multiple times per row — their "rate" is
+  then expected violations/row and the binomial interval does not apply,
+  which is documented rather than hidden).
+
+Interval: Wilson score (NOT normal approximation — at the rates worth
+monitoring, p̂ is tiny and the normal interval collapses to [p̂, p̂] or
+goes negative; Wilson stays valid down to 0 observed violations, where
+it returns the exact "rule of three"-style upper bound).
+
+Scale shape: one filter + the validation projection + one groupBy on
+violation ROWS (~rate × sample fraction of the corpus) — the shuffle
+carries only per-rule partial counts.
+
+No counterpart in guyskk/validr (single-process: sampling is trivial
+there); the estimator semantics follow the classic Wilson (1927) score
+interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import fraction_threshold, hash_prefix
+
+__all__ = ["sampled_violation_rates", "wilson_bounds"]
+
+
+def wilson_bounds(n_viol, n_sample, z: float = 1.959964):
+    """(lo, hi) Wilson score interval columns for ``n_viol`` successes in
+    ``n_sample`` trials.  Pure Catalyst arithmetic — usable inside any
+    aggregate projection."""
+    n = n_sample.cast("double")
+    p = n_viol.cast("double") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (F.lit(z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+            / denom)
+    lo = F.greatest(F.lit(0.0), center - half)
+    hi = F.least(F.lit(1.0), center + half)
+    return lo, hi
+
+
+def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
+                            id_cols: list[str], key: str | None = None,
+                            seed: str = "42",
+                            z: float = 1.959964) -> DataFrame:
+    """Validate a deterministic ``fraction`` of ``df`` and report, per
+    rule: sampled counts, the estimated corpus-wide violation rate, its
+    Wilson ``z``-score interval, and the scale-up estimate of total
+    violations (``n_viol / fraction``).
+
+    Columns: ``(rule_id, n_sample, n_viol, rate, rate_lo, rate_hi,
+    est_violations)``, rates rounded to 6 places.
+
+    ``key`` is the hashed sampling column (default: first of
+    ``id_cols``).  Rules that can fire multiple times per row (array
+    elements) make ``rate`` an expected-violations-per-row figure; the
+    interval is only a binomial bound for once-per-row rules.
+    """
+    key = key or id_cols[0]
+    sample = df.filter(
+        hash_prefix(key, seed) < F.lit(fraction_threshold(fraction)))
+    res = plan.apply(sample, id_cols=id_cols)
+    # total sample size rides along as a 1-row broadcastable cross join —
+    # the only data crossing the wire is per-rule partial counts
+    n = sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    per = (res.violations().groupBy("rule_id")
+           .agg(F.count(F.lit(1)).alias("n_viol")))
+    j = per.crossJoin(F.broadcast(n))
+    lo, hi = wilson_bounds(F.col("n_viol"), F.col("n_sample"), z)
+    return j.select(
+        "rule_id", "n_sample", "n_viol",
+        F.round(F.col("n_viol") / F.col("n_sample"), 6).alias("rate"),
+        F.round(lo, 6).alias("rate_lo"),
+        F.round(hi, 6).alias("rate_hi"),
+        F.round(F.col("n_viol") / F.lit(fraction), 0).cast("long")
+         .alias("est_violations"))
