@@ -1258,6 +1258,20 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_violation_triage(spark, sf):
+    """Violation triage (operators/audit.violation_triage): top-3
+    offending values per rule over the full documents validation, with
+    per-rule shares — the "what is actually breaking" report.  The
+    DuckDB twin reuses the validate_documents rule CTE and ranks with a
+    window + QUALIFY."""
+    from validr_spark.operators.audit import violation_triage
+
+    df = _load(spark, sf, "documents")
+    plan = SparkCompiler().compile(documents_schema())
+    return violation_triage(plan.apply(df, id_cols=["doc_id"]).violations(),
+                            k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1329,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_audit": q_embedding_audit,
         "frame_check": q_frame_check,
         "sampled_audit": q_sampled_audit,
+        "violation_triage": q_violation_triage,
         # rows-only (no SQL oracle)
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
@@ -1343,6 +1358,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequences_validate": q_sequences_validate,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _doc_viol_cte(doc_src_list: str, lang_expects: str, src_expects: str,
+                  clip: str) -> str:
+    """Shared CTE body producing the documents violation rows
+    (id, rule_id, position, message, value) — used verbatim by the
+    validate_documents oracle and as the input of violation_triage."""
+    return f"""v AS (
+              SELECT doc_id AS id,
+                CASE WHEN doc_id < 0 THEN 'doc_id.min' END AS r_doc,
+                CASE WHEN text IS NULL OR text = '' THEN 'text.required'
+                     WHEN length(text) < 100 THEN 'text.minlen'
+                     WHEN length(text) > 2000 THEN 'text.maxlen' END AS r_text,
+                CASE WHEN lang NOT IN ('en','de','fr','es') THEN 'lang.enum' END AS r_lang,
+                CASE WHEN source NOT IN ({doc_src_list}) THEN 'source.enum' END AS r_src,
+                CASE WHEN n_chars < 50 THEN 'n_chars.min'
+                     WHEN n_chars > 400 THEN 'n_chars.max' END AS r_nc,
+                text, lang, source, n_chars, doc_id
+              FROM documents
+            ),
+            viol AS (
+            SELECT id, r_doc AS rule_id, 'doc_id' AS position,
+                   'value must >= 0' AS message, doc_id::VARCHAR AS value
+              FROM v WHERE r_doc IS NOT NULL
+            UNION ALL
+            SELECT id, r_text, 'text',
+                   CASE r_text WHEN 'text.required' THEN 'required'
+                        WHEN 'text.minlen' THEN 'string length must >= 100'
+                        ELSE 'string length must <= 2000' END,
+                   {clip.format(c='text')}
+              FROM v WHERE r_text IS NOT NULL
+            UNION ALL
+            SELECT id, r_lang, 'lang',
+                   'expect one of {lang_expects}',
+                   '''' || lang || ''''
+              FROM v WHERE r_lang IS NOT NULL
+            UNION ALL
+            SELECT id, r_src, 'source',
+                   'expect one of {src_expects}',
+                   '''' || source || ''''
+              FROM v WHERE r_src IS NOT NULL
+            UNION ALL
+            SELECT id, r_nc, 'n_chars',
+                   CASE r_nc WHEN 'n_chars.min' THEN 'value must >= 50'
+                        ELSE 'value must <= 400' END,
+                   n_chars::VARCHAR
+              FROM v WHERE r_nc IS NOT NULL
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1492,46 +1555,27 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY rule_id ORDER BY rule_id
         """,
         "validate_documents": f"""
-            WITH v AS (
-              SELECT doc_id AS id,
-                CASE WHEN doc_id < 0 THEN 'doc_id.min' END AS r_doc,
-                CASE WHEN text IS NULL OR text = '' THEN 'text.required'
-                     WHEN length(text) < 100 THEN 'text.minlen'
-                     WHEN length(text) > 2000 THEN 'text.maxlen' END AS r_text,
-                CASE WHEN lang NOT IN ('en','de','fr','es') THEN 'lang.enum' END AS r_lang,
-                CASE WHEN source NOT IN ({doc_src_list}) THEN 'source.enum' END AS r_src,
-                CASE WHEN n_chars < 50 THEN 'n_chars.min'
-                     WHEN n_chars > 400 THEN 'n_chars.max' END AS r_nc,
-                text, lang, source, n_chars, doc_id
-              FROM documents
-            )
-            SELECT id, r_doc AS rule_id, 'doc_id' AS position,
-                   'value must >= 0' AS message, doc_id::VARCHAR AS value
-              FROM v WHERE r_doc IS NOT NULL
-            UNION ALL
-            SELECT id, r_text, 'text',
-                   CASE r_text WHEN 'text.required' THEN 'required'
-                        WHEN 'text.minlen' THEN 'string length must >= 100'
-                        ELSE 'string length must <= 2000' END,
-                   {clip.format(c='text')}
-              FROM v WHERE r_text IS NOT NULL
-            UNION ALL
-            SELECT id, r_lang, 'lang',
-                   'expect one of {lang_expects}',
-                   '''' || lang || ''''
-              FROM v WHERE r_lang IS NOT NULL
-            UNION ALL
-            SELECT id, r_src, 'source',
-                   'expect one of {src_expects}',
-                   '''' || source || ''''
-              FROM v WHERE r_src IS NOT NULL
-            UNION ALL
-            SELECT id, r_nc, 'n_chars',
-                   CASE r_nc WHEN 'n_chars.min' THEN 'value must >= 50'
-                        ELSE 'value must <= 400' END,
-                   n_chars::VARCHAR
-              FROM v WHERE r_nc IS NOT NULL
-            ORDER BY id, rule_id
+            WITH {_doc_viol_cte(doc_src_list, lang_expects, src_expects,
+                                clip)}
+            SELECT * FROM viol ORDER BY id, rule_id
+        """,
+        "violation_triage": f"""
+            WITH {_doc_viol_cte(doc_src_list, lang_expects, src_expects,
+                                clip)},
+            c AS (SELECT rule_id, value, count(*)::BIGINT AS n
+                  FROM viol GROUP BY rule_id, value),
+            t AS (SELECT rule_id, CAST(sum(n) AS BIGINT) AS tt
+                  FROM c GROUP BY rule_id)
+            SELECT c.rule_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY c.rule_id
+                     ORDER BY n DESC, value ASC NULLS FIRST) AS INT)
+                     AS rank,
+                   c.value, c.n,
+                   round(n::DOUBLE / tt, 6) AS share
+            FROM c JOIN t USING (rule_id)
+            QUALIFY rank <= 3
+            ORDER BY rule_id, rank
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -109,3 +109,52 @@ def test_zero_violation_rule_absent_but_bound_computable(spark):
     rlo, rhi = ref_wilson(0, 1000)
     assert row["hi"] == pytest.approx(round(rhi, 6), abs=1e-6)
     assert 0.001 < row["hi"] < 0.01
+
+
+# --- violation_triage --------------------------------------------------------
+
+def _viol_df(spark):
+    rows = ([("a", "lang.enum", "'zz'")] * 7
+            + [("b", "lang.enum", "'xx'")] * 2
+            + [("c", "lang.enum", "'yy'")] * 2
+            + [("d", "lang.enum", "'qq'")] * 1
+            + [("e", "n_chars.max", "999")] * 3
+            + [("f", "n_chars.required", None)] * 2)
+    return spark.createDataFrame(
+        [(str(i), rule, val) for i, (_, rule, val) in enumerate(rows)],
+        "doc_id string, rule_id string, value string")
+
+
+def test_triage_topk_counts_and_shares(spark):
+    from validr_spark.operators.audit import violation_triage
+    v = _viol_df(spark)
+    got = {(r["rule_id"], r["rank"]): r
+           for r in violation_triage(v, k=2).collect()}
+    assert got[("lang.enum", 1)]["value"] == "'zz'"
+    assert got[("lang.enum", 1)]["n"] == 7
+    assert got[("lang.enum", 1)]["share"] == round(7 / 12, 6)
+    # tie between 'xx' and 'yy' (2 each) broken by value asc
+    assert got[("lang.enum", 2)]["value"] == "'xx'"
+    assert ("lang.enum", 3) not in got                  # k=2 cut
+    assert got[("n_chars.max", 1)]["n"] == 3
+    assert got[("n_chars.max", 1)]["share"] == 1.0
+    # NULL value is a rankable value
+    assert got[("n_chars.required", 1)]["value"] is None
+
+
+def test_triage_salted_equals_unsalted(spark):
+    from validr_spark.operators.audit import violation_triage
+    v = _viol_df(spark)
+    plain = sorted(map(tuple, violation_triage(v, k=3).collect()))
+    salted = sorted(map(tuple, violation_triage(v, k=3, salt=8).collect()))
+    assert plain == salted
+
+
+def test_triage_null_sorts_first_on_tie(spark):
+    from validr_spark.operators.audit import violation_triage
+    v = spark.createDataFrame(
+        [("1", "r", None), ("2", "r", "a")],
+        "doc_id string, rule_id string, value string")
+    got = violation_triage(v, k=2).orderBy("rank").collect()
+    assert got[0]["value"] is None and got[0]["rank"] == 1
+    assert got[1]["value"] == "a"

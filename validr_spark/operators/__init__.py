@@ -25,7 +25,8 @@ from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
 from .skew import (heavy_hitters, key_skew_report, salted_join,
                    suggest_salt)
-from .audit import sampled_violation_rates, wilson_bounds
+from .audit import (sampled_violation_rates, violation_triage,
+                    wilson_bounds)
 from .stats import (column_profile, mad_outliers, null_rates,
                     robust_center_scale, robust_clip)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
@@ -49,5 +50,5 @@ __all__ = [
     "bpe_pieces", "hash_tokens", "tokenize_documents",
     "dedup_paragraphs", "paragraph_stats",
     "dsir_weights", "importance_sample", "dsir_select",
-    "sampled_violation_rates", "wilson_bounds",
+    "sampled_violation_rates", "wilson_bounds", "violation_triage",
 ]

@@ -90,3 +90,44 @@ def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
         F.round(hi, 6).alias("rate_hi"),
         F.round(F.col("n_viol") / F.lit(fraction), 0).cast("long")
          .alias("est_violations"))
+
+
+def violation_triage(violations: DataFrame, k: int = 5,
+                     salt: int = 0) -> DataFrame:
+    """Top-``k`` offending values per rule — the "what is actually
+    breaking" view: a single systematic bad value (one misconfigured
+    source emitting ``lang='zz'``) shows up as rank 1 with a dominant
+    share, while organic noise shows a flat tail.
+
+    Columns: ``(rule_id, rank, value, n, share)`` where ``share`` is the
+    value's fraction of ALL violations of that rule (not of the top-k).
+
+    Scale shape: hash-aggregate on (rule_id, value) — map-side combine,
+    shuffle carries distinct pairs only.  The final per-rule ranking is a
+    window over the AGGREGATED counts; with millions of distinct
+    offending values under one rule, pass ``salt > 0`` to pre-prune per
+    (rule, hash(value) % salt) first — each prune task keeps its own
+    top-k, so the final window sees at most ``salt × k`` rows per rule
+    (two-phase top-k; the same trick heavy_hitters avoids by being
+    global).  Deterministic tie-break: count desc, value asc NULLS FIRST.
+    """
+    from pyspark.sql import Window
+
+    counts = (violations.groupBy("rule_id", "value")
+              .agg(F.count(F.lit(1)).alias("n")))
+    # per-rule totals BEFORE any pruning (share denominator) — tiny
+    # (#rules rows), broadcast back
+    tot = counts.groupBy("rule_id").agg(F.sum("n").alias("_t"))
+    order = [F.desc("n"), F.asc_nulls_first("value")]
+    if salt:
+        ws = Window.partitionBy(
+            "rule_id", F.pmod(F.xxhash64("value"), F.lit(salt))
+        ).orderBy(*order)
+        counts = (counts.withColumn("_pr", F.row_number().over(ws))
+                  .filter(F.col("_pr") <= k).drop("_pr"))
+    w = Window.partitionBy("rule_id").orderBy(*order)
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .join(F.broadcast(tot), "rule_id")
+            .select("rule_id", "rank", "value", "n",
+                    F.round(F.col("n") / F.col("_t"), 6).alias("share")))
