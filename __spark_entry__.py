@@ -1258,6 +1258,16 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_compression_stats(spark, sf):
+    """zlib compression-ratio QC (operators/compress.py) per source over
+    documents — pandas-UDF (no SQL twin possible: DuckDB has no zlib);
+    rows-only check, per-value parity pinned by tests/test_compress.py
+    against direct zlib."""
+    from validr_spark.operators.compress import compression_report
+
+    return compression_report(_load(spark, sf, "documents"))
+
+
 def q_violation_triage(spark, sf):
     """Violation triage (operators/audit.violation_triage): top-3
     offending values per rule over the full documents validation, with
@@ -1345,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_audit": q_sampled_audit,
         "violation_triage": q_violation_triage,
         # rows-only (no SQL oracle)
+        "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dups": q_semantic_dups,

@@ -197,6 +197,8 @@ HEADLINE = [
     "emb_drift", "dup_spans", "doc_entropy", "dsir_select",
     "encoding_audit", "robust_outliers", "embedding_audit",
     "fd_check", "ordering_check", "json_props_validate", "jsd_drift",
+    "frame_check", "sampled_audit", "violation_triage",
+    "compression_stats",
 ]
 
 
