@@ -1258,6 +1258,19 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_w1_drift(spark, sf):
+    """Wasserstein-1 drift (operators/drift.wasserstein1, exact-percentile
+    mode) between click and view event values — the area-between-CDFs
+    companion to ks_drift.  DuckDB twin: quantile_cont grids zipped via
+    positional unnest."""
+    from validr_spark.operators.drift import wasserstein1
+
+    ev = _load(spark, sf, "events")
+    return wasserstein1(ev.filter(F.col("event_type") == "click"),
+                        ev.filter(F.col("event_type") == "view"),
+                        "value", grid=20, exact=True)
+
+
 def q_compression_stats(spark, sf):
     """zlib compression-ratio QC (operators/compress.py) per source over
     documents — pandas-UDF (no SQL twin possible: DuckDB has no zlib);
@@ -1354,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_check": q_frame_check,
         "sampled_audit": q_sampled_audit,
         "violation_triage": q_violation_triage,
+        "w1_drift": q_w1_drift,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1490,6 +1504,25 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "w1_drift": f"""
+            WITH a AS (
+              SELECT quantile_cont(value,
+                       [{", ".join(repr((i + 0.5) / 20) for i in range(20))}])
+                       AS q,
+                     count(value)::BIGINT AS n_a
+              FROM events WHERE event_type = 'click'),
+            b AS (
+              SELECT quantile_cont(value,
+                       [{", ".join(repr((i + 0.5) / 20) for i in range(20))}])
+                       AS q,
+                     count(value)::BIGINT AS n_b
+              FROM events WHERE event_type = 'view'),
+            z AS (SELECT unnest(a.q) AS qa, unnest(b.q) AS qb, n_a, n_b
+                  FROM a, b)
+            SELECT round(avg(abs(qa - qb)), 6) AS w1,
+                   min(n_a) AS n_a, min(n_b) AS n_b
+            FROM z
         """,
         "sampled_audit": """
             WITH s AS (

@@ -13,7 +13,7 @@ from .consistency import (check_invariants, fd_violations,
                           ordering_violations)
 from .diff import diff_summary, table_diff
 from .drift import (chi_square_counts, jsd, ks_approx, ks_exact, psi,
-                    value_entropy)
+                    value_entropy, wasserstein1)
 from .dsir import dsir_select, dsir_weights, importance_sample
 from .embedding import dim_moments, embedding_drift, embedding_hygiene
 from .encoding import encoding_report, encoding_scan
@@ -41,6 +41,7 @@ __all__ = [
     "orphans", "orphan_count",
     "check_invariants", "fd_violations", "ordering_violations",
     "ks_exact", "ks_approx", "chi_square_counts", "psi", "jsd",
+    "wasserstein1",
     "value_entropy", "robust_clip",
     "dim_moments", "embedding_drift",
     "table_diff", "diff_summary",
