@@ -71,6 +71,13 @@ def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
     ``id_cols``).  Rules that can fire multiple times per row (array
     elements) make ``rate`` an expected-violations-per-row figure; the
     interval is only a binomial bound for once-per-row rules.
+
+    Cost shape: two jobs, each scanning the input once with the md5
+    filter applied at the scan (sample count; sampled validation) — the
+    expensive validation projection runs only on the sampled fraction.
+    For repeated audits over the same snapshot, materialize
+    ``hash_sample(df, ...)`` once and pass it with ``fraction=1.0``
+    (the estimates then need the caller's own scale-up factor).
     """
     key = key or id_cols[0]
     sample = df.filter(
