@@ -501,3 +501,58 @@ def test_resumable_quarantine_sink(spark, seq_df, tmp_path):
     except Exception:
         n_left = 0          # whole sink dir empty (no part files at all)
     assert n_left == 0      # all rows now pass
+
+
+def test_windowed_violation_rates_stream(spark, tmp_path):
+    """Wilson-bounded per-window bad-row rates: the interval must cover
+    the observed rate and be wide on tiny windows (the no-false-page
+    property), matching the batch wilson_bounds algebra exactly."""
+    import math
+
+    from validr_spark.streaming import windowed_violation_rates
+
+    data = str(tmp_path / "in_rates")
+    base = "2026-01-01 00:{m:02d}:00"
+    rows = []
+    for m in (0, 5):
+        n = 40 if m == 0 else 3              # big window, then tiny window
+        bad_every = 4 if m == 0 else 3
+        for i in range(n):
+            rows.append((f"d-{m}-{i}",
+                         999 if i % bad_every == 0 else 5, "a",
+                         base.format(m=m)))
+    df = spark.createDataFrame(
+        rows, "doc_id string, n_tok int, source string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(data)
+
+    sdf = spark.readStream.schema(
+        "doc_id string, n_tok int, source string, ts timestamp").parquet(data)
+    rates = windowed_violation_rates(
+        SparkCompiler().compile(seq_schema()), sdf, ts_col="ts",
+        window="5 minutes", watermark="1 minute")
+    q = (rates.writeStream.format("memory").queryName("rate_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"].minute: r
+           for r in spark.sql("SELECT * FROM rate_test").collect()}
+
+    def ref_wilson(k, n, z=1.959964):
+        p = k / n
+        z2 = z * z
+        d = 1 + z2 / n
+        c = (p + z2 / (2 * n)) / d
+        h = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / d
+        return max(0.0, c - h), min(1.0, c + h)
+
+    big = got[0]
+    assert big["n_rows"] == 40 and big["n_bad_rows"] == 10
+    assert big["bad_rate"] == 0.25
+    lo, hi = ref_wilson(10, 40)
+    assert big["rate_lo"] == round(lo, 6) and big["rate_hi"] == round(hi, 6)
+
+    tiny = got[5]
+    assert tiny["n_rows"] == 3 and tiny["n_bad_rows"] == 1
+    # 1-of-3 bad: same point rate ballpark, but the lo bound collapses —
+    # an "rate_lo > SLO" alert cannot fire off a 3-row window
+    assert tiny["rate_lo"] < 0.07 < big["rate_lo"]

@@ -87,3 +87,31 @@ def write_violations_stream(violations: DataFrame, path: str,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def windowed_violation_rates(plan, sdf: DataFrame, ts_col: str,
+                             window: str = "1 minute",
+                             watermark: str = "5 minutes",
+                             partition_col: str | None = None,
+                             z: float = 1.959964) -> DataFrame:
+    """``windowed_verdicts`` plus per-window BAD-ROW rate with a Wilson
+    ``z``-score interval — the alerting view: "rate_lo > SLO" fires only
+    when the window holds enough rows to support the claim, so a 3-row
+    window with one bad row (rate 0.33, but lo ≈ 0.06) doesn't page
+    anyone, while the same rate over 100k rows does.
+
+    Same bounded watermarked state as ``windowed_verdicts`` (the extra
+    columns are post-aggregation arithmetic on the same state store).
+    Interval is binomial over ROWS (n_bad_rows / n_rows) — well-defined
+    regardless of how many rules each bad row tripped.
+    """
+    from ..operators.audit import wilson_bounds
+
+    v = windowed_verdicts(plan, sdf, ts_col, window=window,
+                          watermark=watermark, partition_col=partition_col)
+    lo, hi = wilson_bounds(F.col("n_bad_rows"), F.col("n_rows"), z)
+    return v.select(
+        "*",
+        F.round(F.col("n_bad_rows") / F.col("n_rows"), 6).alias("bad_rate"),
+        F.round(lo, 6).alias("rate_lo"),
+        F.round(hi, 6).alias("rate_hi"))
