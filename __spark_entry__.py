@@ -1258,6 +1258,21 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_pack_oracle(spark, sf):
+    """Packing-algebra oracle: pack_greedy with num_shards=1 is a single
+    deterministic FFD stream ((n_tok desc, id asc) order, next-fit bin
+    close, oversized docs in own truncated bins) — exactly reproducible
+    as a DuckDB RECURSIVE walk.  Hash-checks the packer's bin algebra;
+    the sharded scale shape stays covered by pack_stats (rows-only) and
+    the pytest invariants."""
+    from validr_spark.operators.packing import pack_greedy, packing_stats
+
+    df = _load(spark, sf, "documents")
+    packed = pack_greedy(df, max_tokens=1024, id_col="doc_id",
+                         len_col="n_chars", num_shards=1)
+    return packing_stats(packed, max_tokens=1024)
+
+
 def q_w1_drift(spark, sf):
     """Wasserstein-1 drift (operators/drift.wasserstein1, exact-percentile
     mode) between click and view event values — the area-between-CDFs
@@ -1368,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_audit": q_sampled_audit,
         "violation_triage": q_violation_triage,
         "w1_drift": q_w1_drift,
+        "pack_oracle": q_pack_oracle,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1504,6 +1520,56 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "pack_oracle": """
+            WITH RECURSIVE base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     CAST(n_chars AS BIGINT) AS n,
+                     row_number() OVER (
+                       ORDER BY n_chars DESC NULLS LAST,
+                                CAST(doc_id AS VARCHAR) ASC) AS rn
+              FROM documents),
+            walk AS (
+              SELECT CAST(0 AS BIGINT) AS rn, CAST(-1 AS BIGINT) AS cur,
+                     CAST(0 AS BIGINT) AS fill, CAST(0 AS BIGINT) AS nxt,
+                     CAST(NULL AS VARCHAR) AS bin_id,
+                     CAST(NULL AS BOOLEAN) AS trunc,
+                     CAST(NULL AS BIGINT) AS n
+              UNION ALL
+              SELECT b.rn,
+                CASE WHEN coalesce(b.n, 0) > 1024 THEN w.cur
+                     WHEN w.cur < 0 OR w.fill + coalesce(b.n, 0) > 1024
+                       THEN w.nxt
+                     ELSE w.cur END,
+                CASE WHEN coalesce(b.n, 0) > 1024 THEN w.fill
+                     WHEN w.cur < 0 OR w.fill + coalesce(b.n, 0) > 1024
+                       THEN coalesce(b.n, 0)
+                     ELSE w.fill + coalesce(b.n, 0) END,
+                CASE WHEN coalesce(b.n, 0) > 1024 THEN w.nxt + 1
+                     WHEN w.cur < 0 OR w.fill + coalesce(b.n, 0) > 1024
+                       THEN w.nxt + 1
+                     ELSE w.nxt END,
+                CASE WHEN coalesce(b.n, 0) > 1024
+                       THEN '0/' || CAST(w.nxt AS VARCHAR)
+                     WHEN w.cur < 0 OR w.fill + coalesce(b.n, 0) > 1024
+                       THEN '0/' || CAST(w.nxt AS VARCHAR)
+                     ELSE '0/' || CAST(w.cur AS VARCHAR) END,
+                coalesce(b.n, 0) > 1024,
+                coalesce(b.n, 0)
+              FROM walk w JOIN base b ON b.rn = w.rn + 1),
+            per AS (
+              SELECT bin_id, count(*) AS n_docs, sum(n) AS tok,
+                     max(CASE WHEN trunc THEN 1 ELSE 0 END) AS tr
+              FROM walk WHERE rn > 0 GROUP BY bin_id)
+            SELECT count(*)::BIGINT AS n_bins,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   coalesce(round(
+                     sum(CASE WHEN tr = 0 THEN tok END)::DOUBLE
+                     / (sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) * 1024),
+                     6), 0.0) AS utilization,
+                   CAST(sum(tr) AS BIGINT) AS n_truncated
+            FROM per
         """,
         "w1_drift": f"""
             WITH a AS (
