@@ -158,3 +158,20 @@ def test_triage_null_sorts_first_on_tie(spark):
     got = violation_triage(v, k=2).orderBy("rank").collect()
     assert got[0]["value"] is None and got[0]["rank"] == 1
     assert got[1]["value"] == "a"
+
+
+def test_clean_rules_inventory_rows(spark):
+    """rules=[...] surfaces zero-violation rules with the rule-of-three
+    upper bound instead of silently omitting them."""
+    df = spark.createDataFrame([(i, 50, "en") for i in range(200)],
+                               "doc_id long, n_chars int, lang string")
+    plan = SparkCompiler().compile(schema())
+    out = {r["rule_id"]: r for r in sampled_violation_rates(
+        df, plan, fraction=1.0, id_cols=["doc_id"],
+        rules=["n_chars.max", "lang.enum"]).collect()}
+    assert set(out) == {"n_chars.max", "lang.enum"}
+    for r in out.values():
+        assert r["n_viol"] == 0 and r["rate"] == 0.0 and r["rate_lo"] == 0.0
+        lo, hi = ref_wilson(0, 200)
+        assert r["rate_hi"] == pytest.approx(round(hi, 6), abs=1e-6)
+        assert r["est_violations"] == 0

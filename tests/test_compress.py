@@ -80,3 +80,11 @@ def test_level_changes_ratio_deterministically(spark):
     assert r1 == pytest.approx(ref_ratio(PROSE, 1), abs=1e-12)
     assert r9 == pytest.approx(ref_ratio(PROSE, 9), abs=1e-12)
     assert r9 <= r1
+
+
+def test_report_zero_scored_group_counts_are_zero(spark):
+    df = spark.createDataFrame([("s1", None), ("s1", "")],
+                               "source string, text string")
+    row = compression_report(df).first()
+    assert row["n_scored"] == 0
+    assert row["n_too_repetitive"] == 0 and row["n_noise"] == 0

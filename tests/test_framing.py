@@ -121,3 +121,14 @@ def test_plan_is_single_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan                   # pure map-side
     assert "BatchEvalPython" not in plan            # no Python UDF
+
+
+def test_eos_position_with_null_elements_uses_rendered_index(spark):
+    """A null element before the tail must not shift the reported eos
+    position: positions index the null-skipped rendering."""
+    _, got = _run(spark, [("x", [BOS, None, 13, PAD])],
+                  bos=BOS, eos=EOS, pad=PAD)
+    (r,) = [g for g in got if g["rule_id"] == "tokens.eos"]
+    # rendered tokens are [1, 13, 0]; last non-pad (13) is index 1
+    assert r["position"] == "tokens[1]"
+    assert r["value"] == "13"

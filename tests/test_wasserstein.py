@@ -69,3 +69,11 @@ def test_nulls_ignored(spark):
     row = wasserstein1(a, b, "v", grid=10, exact=True).first()
     assert row["w1"] == 0.0
     assert row["n_a"] == 2 and row["n_b"] == 2
+
+
+def test_empty_side_keeps_counts(spark):
+    a = spark.createDataFrame([], "v double")
+    b = _df(spark, [1.0, 2.0])
+    row = wasserstein1(a, b, "v", grid=10, exact=True).first()
+    assert row["w1"] is None           # honest: no distribution to compare
+    assert row["n_a"] == 0 and row["n_b"] == 2

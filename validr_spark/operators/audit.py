@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import fraction_threshold, hash_prefix
+from .sampling import hash_sample
 
 __all__ = ["sampled_violation_rates", "wilson_bounds"]
 
@@ -57,8 +57,8 @@ def wilson_bounds(n_viol, n_sample, z: float = 1.959964):
 
 def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
                             id_cols: list[str], key: str | None = None,
-                            seed: str = "42",
-                            z: float = 1.959964) -> DataFrame:
+                            seed: str = "42", z: float = 1.959964,
+                            rules: list[str] | None = None) -> DataFrame:
     """Validate a deterministic ``fraction`` of ``df`` and report, per
     rule: sampled counts, the estimated corpus-wide violation rate, its
     Wilson ``z``-score interval, and the scale-up estimate of total
@@ -72,6 +72,12 @@ def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
     elements) make ``rate`` an expected-violations-per-row figure; the
     interval is only a binomial bound for once-per-row rules.
 
+    By default only rules with ≥1 sampled violation appear.  Pass
+    ``rules=[...]`` (the audited rule inventory) to also get a row for
+    every CLEAN rule — rate 0 with its Wilson upper bound, i.e. "at 95%
+    confidence the true rate is below X", which is the useful statement
+    about a rule that found nothing.
+
     Cost shape: two jobs, each scanning the input once with the md5
     filter applied at the scan (sample count; sampled validation) — the
     expensive validation projection runs only on the sampled fraction.
@@ -80,14 +86,21 @@ def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
     (the estimates then need the caller's own scale-up factor).
     """
     key = key or id_cols[0]
-    sample = df.filter(
-        hash_prefix(key, seed) < F.lit(fraction_threshold(fraction)))
+    sample = hash_sample(df, fraction, key, seed)
     res = plan.apply(sample, id_cols=id_cols)
     # total sample size rides along as a 1-row broadcastable cross join —
     # the only data crossing the wire is per-rule partial counts
     n = sample.agg(F.count(F.lit(1)).alias("n_sample"))
     per = (res.violations().groupBy("rule_id")
            .agg(F.count(F.lit(1)).alias("n_viol")))
+    if rules is not None:
+        # explicit rule inventory: rules with ZERO sampled violations
+        # still get a row — rate 0 with the Wilson "rule of three"-style
+        # upper bound, which is the whole point of auditing a clean rule
+        inv = df.sparkSession.createDataFrame(
+            [(r,) for r in rules], "rule_id string")
+        per = (F.broadcast(inv).join(per, "rule_id", "left")
+               .fillna(0, subset=["n_viol"]))
     j = per.crossJoin(F.broadcast(n))
     lo, hi = wilson_bounds(F.col("n_viol"), F.col("n_sample"), z)
     return j.select(
@@ -120,11 +133,21 @@ def violation_triage(violations: DataFrame, k: int = 5,
     """
     from pyspark.sql import Window
 
-    counts = (violations.groupBy("rule_id", "value")
-              .agg(F.count(F.lit(1)).alias("n")))
+    # ONE shuffle for both granularities: rollup emits the (rule, value)
+    # cells AND the per-rule totals from the same aggregation (map-side
+    # partials through an Expand) — two separate groupBys would scan and
+    # shuffle the violations twice.  F.grouping disambiguates a real
+    # NULL value from the rollup's subtotal marker.
+    ga = (violations.rollup("rule_id", "value")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.grouping("rule_id").alias("_gr"),
+               F.grouping("value").alias("_gv")))
+    counts = (ga.filter((F.col("_gr") == 0) & (F.col("_gv") == 0))
+              .select("rule_id", "value", "n"))
     # per-rule totals BEFORE any pruning (share denominator) — tiny
     # (#rules rows), broadcast back
-    tot = counts.groupBy("rule_id").agg(F.sum("n").alias("_t"))
+    tot = (ga.filter((F.col("_gr") == 0) & (F.col("_gv") == 1))
+           .select("rule_id", F.col("n").alias("_t")))
     order = [F.desc("n"), F.asc_nulls_first("value")]
     if salt:
         ws = Window.partitionBy(

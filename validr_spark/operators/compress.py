@@ -72,6 +72,9 @@ def compression_report(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("_r"), 6).alias("avg_ratio"),
                  F.round(F.min("_r"), 6).alias("min_ratio"),
                  F.round(F.max("_r"), 6).alias("max_ratio"),
-                 F.sum((F.col("_r") < lo).cast("long"))
-                  .alias("n_too_repetitive"),
-                 F.sum((F.col("_r") > hi).cast("long")).alias("n_noise")))
+                 # coalesce: a group with no scored docs (all-NULL text)
+                 # must report 0, not a NULL dataset-card metric
+                 F.coalesce(F.sum((F.col("_r") < lo).cast("long")),
+                            F.lit(0)).alias("n_too_repetitive"),
+                 F.coalesce(F.sum((F.col("_r") > hi).cast("long")),
+                            F.lit(0)).alias("n_noise")))

@@ -248,8 +248,11 @@ def wasserstein1(df_a: DataFrame, df_b: DataFrame, col: str,
 
     j = (quant(df_a, "qa", "n_a")
          .crossJoin(quant(df_b, "qb", "n_b")))
+    # explode_outer: an empty side makes its quantile array (hence the
+    # zip) NULL — the outer explode keeps one row so the COUNTS still
+    # come through (w1 itself is NULL, which is the honest answer)
     ex = j.select("n_a", "n_b",
-                  F.explode(F.arrays_zip("qa", "qb")).alias("z"))
+                  F.explode_outer(F.arrays_zip("qa", "qb")).alias("z"))
     return ex.agg(
         F.round(F.avg(F.abs(F.col("z.qa") - F.col("z.qb"))), 6).alias("w1"),
         F.first("n_a").alias("n_a"),

@@ -250,8 +250,10 @@ def frame_violations(df: DataFrame, *, id_col: str = "doc_id",
 
     Null ELEMENTS are skipped by ``concat_ws`` and therefore invisible to
     the framing checks — run this alongside ``token_range_violations``,
-    which reports them as ``tokens[].required``.  Rows with a NULL array
-    are skipped entirely (that is the schema's ``required`` rule).
+    which reports them as ``tokens[].required``.  Positions are indices
+    in the null-skipped rendering (identical to array indices when no
+    element is null).  Rows with a NULL array are skipped entirely (that
+    is the schema's ``required`` rule).
     """
     t = F.col(tokens_col)
     # ",t0,t1,...," — outer commas make every token delimiter-bounded so
@@ -277,7 +279,12 @@ def frame_violations(df: DataFrame, *, id_col: str = "doc_id",
     n_trail = ((F.char_length(s) - F.char_length(stripped))
                / F.lit(len(str(pad)) + 1 if pad is not None else 1)
                ).cast("long")
-    last_idx = (F.size(t) - n_trail - 1).cast("long")
+    # index among the RENDERED (null-skipped) tokens: k rendered tokens
+    # produce k+1 commas in s (valid whenever has_content holds, which
+    # gates every use).  size(t) would count null slots and misreport the
+    # position whenever a null element precedes the tail.
+    n_visible = F.regexp_count(s, F.lit(",")) - 1
+    last_idx = (n_visible - n_trail - 1).cast("long")
 
     def viol(rule, position, message, value):
         return F.struct(F.lit(rule).alias("rule_id"),
