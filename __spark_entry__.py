@@ -1258,6 +1258,22 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_decontaminated(spark, sf):
+    """Benchmark-decontamination REMOVAL transform (operators/
+    contamination.decontaminate): per-source doc counts after dropping
+    docs sharing ≥2 distinct word-8-grams with the held-out set
+    (doc_id % 97 == 0 plays the benchmark, as in q_contamination).
+    DuckDB twin rebuilds the gram overlap on strings and anti-joins."""
+    from validr_spark.operators.contamination import decontaminate
+
+    df = _load(spark, sf, "documents")
+    bench = df.filter(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(df, bench, n=8, min_hits=2)
+    return (clean.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source"))
+
+
 def q_pack_oracle(spark, sf):
     """Packing-algebra oracle: pack_greedy with num_shards=1 is a single
     deterministic FFD stream ((n_tok desc, id asc) order, next-fit bin
@@ -1384,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_triage": q_violation_triage,
         "w1_drift": q_w1_drift,
         "pack_oracle": q_pack_oracle,
+        "decontaminated": q_decontaminated,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1520,6 +1537,28 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "decontaminated": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 7, 0)),
+                       i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            bad AS (
+              SELECT g.doc_id
+              FROM grams g JOIN bench USING (gram)
+              GROUP BY g.doc_id
+              HAVING count(DISTINCT g.gram) >= 2)
+            SELECT d.source, count(*)::BIGINT AS n_docs
+            FROM documents d LEFT JOIN bad USING (doc_id)
+            WHERE bad.doc_id IS NULL
+            GROUP BY d.source ORDER BY d.source
         """,
         "pack_oracle": """
             WITH RECURSIVE base AS (

@@ -91,3 +91,23 @@ def test_case_insensitive_overlap(spark, bench_set):
     rep = contamination_scan(corpus, bench_set, n=8)
     assert all(r["contaminated"] for r in rep.collect())
     assert all(r["hit_fraction"] == 1.0 for r in rep.collect())
+
+
+def test_decontaminate_is_complement_of_scan(spark, corpus, bench_set):
+    from validr_spark.operators.contamination import (contamination_scan,
+                                                      decontaminate)
+    rep = contamination_scan(corpus, bench_set, n=8, min_hits=1)
+    flagged = {r["doc_id"] for r in
+               rep.filter(F.col("contaminated")).collect()}
+    kept = {r["doc_id"] for r in
+            decontaminate(corpus, bench_set, n=8, min_hits=1).collect()}
+    allids = {r["doc_id"] for r in corpus.collect()}
+    assert kept == allids - flagged
+    assert flagged                      # fixture does contain contamination
+
+
+def test_decontaminate_min_hits_threshold(spark, corpus, bench_set):
+    from validr_spark.operators.contamination import decontaminate
+    loose = decontaminate(corpus, bench_set, n=8, min_hits=1).count()
+    tight = decontaminate(corpus, bench_set, n=8, min_hits=50).count()
+    assert loose <= tight               # higher bar drops fewer docs

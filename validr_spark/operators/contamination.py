@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from validr_spark.operators.textstats import words_of
 
-__all__ = ["ngram_hashes", "contamination_scan", "contamination_pairs"]
+__all__ = ["ngram_hashes", "contamination_scan", "contamination_pairs",
+           "decontaminate"]
 
 
 def ngram_hashes(df: DataFrame, text_col: str = "text",
@@ -130,3 +131,34 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
             .groupBy(id_col, bench_id_col)
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_hits))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None,
+                  n: int = 8, min_hits: int = 1) -> DataFrame:
+    """The removal counterpart of :func:`contamination_scan`: the corpus
+    minus every doc sharing ≥ ``min_hits`` distinct word-``n``-grams with
+    the benchmark — the transform a training pipeline actually applies
+    after the scan's report is reviewed.
+
+    Shuffle budget at 10^12 docs: the benchmark gram set broadcasts, the
+    probe join keeps only HITS (contamination-rate sized), the distinct/
+    groupBy shuffles hits only, and the final LEFT ANTI joins that small
+    id set back (null-safe, so a doc with a NULL id can still be dropped
+    if a NULL-id doc was flagged — mirroring pipeline.py's anti-join).
+    The corpus itself is never shuffled.
+    """
+    bench_text = bench_text_col or text_col
+    bench = (ngram_hashes(
+        benchmark.select(F.lit(0).alias("_bid"),
+                         F.col(bench_text).alias("_bt")),
+        "_bt", "_bid", n).select("gram").distinct())
+    bad = (ngram_hashes(corpus, text_col, id_col, n)
+           .join(F.broadcast(bench), on="gram")
+           .distinct()
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("_nh"))
+           .filter(F.col("_nh") >= min_hits)
+           .select(F.col(id_col).alias("_bad_id")))
+    return (corpus.join(bad, corpus[id_col].eqNullSafe(F.col("_bad_id")),
+                        "left_anti"))
