@@ -175,3 +175,21 @@ def test_clean_rules_inventory_rows(spark):
         lo, hi = ref_wilson(0, 200)
         assert r["rate_hi"] == pytest.approx(round(hi, 6), abs=1e-6)
         assert r["est_violations"] == 0
+
+
+def test_triage_scans_violations_once(spark):
+    """The rollup serves both granularities from ONE scan: in the final
+    adaptive plan the per-rule-totals branch must reuse the rollup's
+    exchange instead of re-aggregating the violations.  (The INITIAL
+    plan shows two scans — exchange reuse is resolved at runtime, so the
+    assertion must read the executed final plan.)"""
+    v = _viol_df(spark)
+    from validr_spark.operators.audit import violation_triage
+    df = violation_triage(v, k=2)
+    df.collect()
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==")[0])
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+    scans = final.count("LocalTableScan") + final.count("Scan ExistingRDD")
+    assert scans == 1, final
