@@ -105,3 +105,33 @@ def test_cli_report_data_card(spark, table, capsys):
     assert {r["grp"] for r in card["encoding"]} == {"a", "b"}
     assert all(r["clean_frac"] == 1.0 for r in card["encoding"])
     assert card["text"]["total_tokens"] == sum(2 + i % 5 for i in range(60))
+
+
+def test_cli_audit_rates_and_gate(spark, table, tmp_path, capsys):
+    from validr_spark.cli import main
+
+    schema_file = str(tmp_path / "audit_schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict", "n": "int.min(0).max(3)"}, f)
+
+    # full-fraction audit: exact rates; n in [0,8] uniform-ish -> n.max
+    # violations exist
+    argv = ["audit", "--input", table, "--schema", schema_file,
+            "--fraction", "1.0", "--id-cols", "doc_id",
+            "--rules", "n.max", "n.min"]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out)
+    rates = {r["rule_id"]: r for r in out["rates"]}
+    assert set(rates) == {"n.max", "n.min"}
+    # 60 rows, n = i % 9 -> values 4..8 violate max(3)
+    expect = sum(1 for i in range(60) if i % 9 > 3)
+    assert rates["n.max"]["n_viol"] == expect
+    assert rates["n.min"]["n_viol"] == 0
+    assert rates["n.min"]["rate_hi"] > 0          # rule-of-three bound
+    assert rates["n.max"]["rate"] == round(expect / 60, 6)
+
+    # gate: max-rate below the observed rate -> exit 1
+    assert main(argv + ["--max-rate", "0.01"]) == 1
+    capsys.readouterr()
+    assert main(argv + ["--max-rate", "0.99"]) == 0
+    capsys.readouterr()

@@ -237,6 +237,32 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Sampled validation audit: validate a deterministic md5-threshold
+    sample and print per-rule violation rates with Wilson 95% bounds as
+    one JSON document — the cheap continuous-monitoring companion to the
+    full ``validate`` run (see operators/audit.py)."""
+    from .compiler import SparkCompiler
+    from .operators.audit import sampled_violation_rates
+    from .schema import T
+    from .sources import TableSource
+
+    with open(args.schema) as f:
+        tschema = T(json.load(f))
+    plan = SparkCompiler().compile(tschema)
+    spark = _build_session(args.master, args.shuffle_partitions)
+    df = TableSource(args.input, fmt=args.format, schema=tschema).load(spark)
+    rates = sampled_violation_rates(
+        df, plan, fraction=args.fraction, id_cols=args.id_cols,
+        seed=args.seed, rules=args.rules or None)
+    rows = [r.asDict() for r in rates.collect()]
+    rows.sort(key=lambda r: r["rule_id"])
+    print(json.dumps({"input": args.input, "fraction": args.fraction,
+                      "seed": args.seed, "rates": rows}))
+    return 1 if args.max_rate is not None and any(
+        r["rate"] > args.max_rate for r in rows) else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="validr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -263,6 +289,25 @@ def main(argv=None) -> int:
     v.add_argument("--master", default=None)
     v.add_argument("--shuffle-partitions", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    au = sub.add_parser("audit", help="sampled validation audit: per-rule "
+                        "violation rates with Wilson bounds (exit 1 if any "
+                        "rate exceeds --max-rate)")
+    au.add_argument("--input", required=True)
+    au.add_argument("--format", default="auto")
+    au.add_argument("--schema", required=True,
+                    help="isomorph-JSON schema file")
+    au.add_argument("--fraction", type=float, default=0.01)
+    au.add_argument("--id-cols", nargs="+", required=True)
+    au.add_argument("--seed", default="42")
+    au.add_argument("--rules", nargs="*", default=None,
+                    help="rule inventory: also report clean rules with "
+                         "their Wilson upper bound")
+    au.add_argument("--max-rate", type=float, default=None,
+                    help="CI gate: exit 1 when any observed rate exceeds")
+    au.add_argument("--master", default=None)
+    au.add_argument("--shuffle-partitions", type=int, default=None)
+    au.set_defaults(fn=cmd_audit)
 
     s = sub.add_parser("suggest", help="draft a validr schema from a table")
     s.add_argument("--input", required=True)
