@@ -1258,6 +1258,45 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_sequences_oracle(spark, sf):
+    """Hash-checked CORRECTNESS row for the NORTH-STAR operator
+    (operators/sequences.sequence_violations — the two-pass codegen fast
+    path): sequences derived deterministically from documents with
+    injected defects (out-of-range token %13, negative token %17,
+    over-long list %19 — including the %247 overlap that exercises the
+    fail-fast 'element error beats tokens.maxlen' rule — n_tok=0 %23,
+    plus the naturally-present src18/src19 enum violations).  The DuckDB
+    twin re-derives the same arrays and violation algebra in SQL."""
+    from validr_spark.operators.sequences import sequence_violations
+
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+    d = F.col("doc_id")
+
+    def arr(*xs):
+        return F.array(*[F.lit(x).cast("int") for x in xs])
+
+    empty = F.array().cast("array<int>")
+    b1 = (d % 97 + 10).cast("int")
+    b2 = (F.col("n_chars") % 89 + 10).cast("int")
+    toks = F.concat(
+        F.array(b1, b2),
+        F.when(d % 13 == 0, arr(1005)).otherwise(empty),   # > vocab-1
+        F.when((d % 13 != 0) & (d % 17 == 0), arr(-3))
+         .otherwise(empty),                                # < 0
+        F.when(d % 19 == 0, arr(11, 12, 13)).otherwise(empty))  # force >4
+    seq = df.select(
+        d.cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.when(d % 23 == 0, F.lit(0)).otherwise(F.size(toks))
+         .cast("int").alias("n_tok"),
+        F.col("source"))
+    v = sequence_violations(seq, vocab=1000, maxlen=4,
+                            sources=DOC_SOURCES, id_col="doc_id",
+                            max_id_len=64, max_n_tok=4)
+    return v.orderBy("doc_id", "rule_id")
+
+
 def q_decontaminated(spark, sf):
     """Benchmark-decontamination REMOVAL transform (operators/
     contamination.decontaminate): per-source doc counts after dropping
@@ -1401,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_drift": q_w1_drift,
         "pack_oracle": q_pack_oracle,
         "decontaminated": q_decontaminated,
+        "sequences_oracle": q_sequences_oracle,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1537,6 +1577,65 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "sequences_oracle": f"""
+            WITH base AS (
+              SELECT doc_id, n_chars, source,
+                     CAST(doc_id % 97 + 10 AS INT) AS b1,
+                     CAST(n_chars % 89 + 10 AS INT) AS b2
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            seq AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                ([b1, b2]
+                 || CASE WHEN doc_id % 13 = 0 THEN [CAST(1005 AS INT)]
+                         ELSE CAST([] AS INT[]) END
+                 || CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0
+                           THEN [CAST(-3 AS INT)]
+                         ELSE CAST([] AS INT[]) END
+                 || CASE WHEN doc_id % 19 = 0
+                           THEN [CAST(11 AS INT), CAST(12 AS INT),
+                                 CAST(13 AS INT)]
+                         ELSE CAST([] AS INT[]) END) AS tokens,
+                CASE WHEN doc_id % 23 = 0 THEN 0 END AS n0
+              FROM base),
+            s2 AS (
+              SELECT doc_id, source, tokens,
+                     coalesce(n0, len(tokens)) AS n_tok,
+                     list_filter(list_transform(tokens,
+                       (x, i) -> CASE WHEN (x < 0 OR x > 999) AND i <= 4
+                                 THEN i END),
+                       y -> y IS NOT NULL)[1] AS bad_i
+              FROM seq)
+            SELECT doc_id,
+                   CASE WHEN tokens[bad_i] < 0 THEN 'tokens[].min'
+                        ELSE 'tokens[].max' END AS rule_id,
+                   'tokens[' || CAST(bad_i - 1 AS VARCHAR) || ']'
+                     AS position,
+                   CASE WHEN tokens[bad_i] < 0 THEN 'value must >= 0'
+                        ELSE 'value must <= 999' END AS message,
+                   CAST(tokens[bad_i] AS VARCHAR) AS value
+            FROM s2 WHERE bad_i IS NOT NULL
+            UNION ALL
+            SELECT doc_id, 'tokens.maxlen', 'tokens',
+                   'list length must <= 4',
+                   '[' || array_to_string(tokens, ', ') || ']'
+            FROM s2 WHERE len(tokens) > 4 AND bad_i IS NULL
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN n_tok < 1 THEN 'n_tok.min' ELSE 'n_tok.max'
+                     END,
+                   'n_tok',
+                   CASE WHEN n_tok < 1 THEN 'value must >= 1'
+                        ELSE 'value must <= 4' END,
+                   CAST(n_tok AS VARCHAR)
+            FROM s2 WHERE n_tok < 1 OR n_tok > 4
+            UNION ALL
+            SELECT doc_id, 'source.enum', 'source',
+                   'expect one of {src_expects}',
+                   '''' || source || ''''
+            FROM s2 WHERE source NOT IN ({doc_src_list})
+            ORDER BY doc_id, rule_id
         """,
         "decontaminated": """
             WITH w AS (
