@@ -198,7 +198,7 @@ HEADLINE = [
     "encoding_audit", "robust_outliers", "embedding_audit",
     "fd_check", "ordering_check", "json_props_validate", "jsd_drift",
     "frame_check", "sampled_audit", "violation_triage",
-    "compression_stats", "w1_drift", "decontaminated",
+    "compression_stats", "w1_drift", "decontaminated", "sequences_oracle",
 ]
 
 

@@ -132,3 +132,20 @@ def test_eos_position_with_null_elements_uses_rendered_index(spark):
     # rendered tokens are [1, 13, 0]; last non-pad (13) is index 1
     assert r["position"] == "tokens[1]"
     assert r["value"] == "13"
+
+
+def test_random_arrays_multidigit_and_negative_pad(spark):
+    """The trailing-run width arithmetic must hold for any pad rendering
+    (multi-digit, negative) — same reference differential, other pads."""
+    rng = random.Random(99)
+    for bos, eos, pad in ((1, 2, 10), (5, 6, 207), (1, 2, -7)):
+        rows = []
+        for i in range(120):
+            n = rng.randint(0, 7)
+            toks = [rng.choice([bos, eos, pad, 100, 107, 20])
+                    for _ in range(n)]
+            rows.append((f"r{i}", toks))
+        by, _ = _run(spark, rows, bos=bos, eos=eos, pad=pad)
+        for doc, toks in rows:
+            assert by.get(doc, set()) == \
+                ref_frame_violations(toks, bos, eos, pad), (pad, doc, toks)
