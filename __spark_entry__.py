@@ -1258,6 +1258,21 @@ def q_sampled_audit(spark, sf):
                                    id_cols=["doc_id"])
 
 
+def q_knn_join(spark, sf):
+    """Batch k-NN similarity join (operators/similarity.knn_join):
+    exact per-query top-5 corpus neighbors by cosine for query vectors
+    vec_id < 3 — broadcast queries, unrolled-codegen dots, partial
+    per-query top-k (WindowGroupLimit).  DuckDB twin: same dot algebra
+    + QUALIFY row_number per query."""
+    from validr_spark.operators.similarity import knn_join
+
+    emb = _load(spark, sf, "embeddings")
+    out = knn_join(emb.filter(F.col("vec_id") >= 3),
+                   emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_sequences_oracle(spark, sf):
     """Hash-checked CORRECTNESS row for the NORTH-STAR operator
     (operators/sequences.sequence_violations — the two-pass codegen fast
@@ -1441,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_oracle": q_pack_oracle,
         "decontaminated": q_decontaminated,
         "sequences_oracle": q_sequences_oracle,
+        "knn_join": q_knn_join,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1577,6 +1593,33 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                       AS qn
+              FROM embeddings WHERE vec_id < 3),
+            c AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(range(1, 65),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+                       AS cn
+              FROM embeddings WHERE vec_id >= 3),
+            s AS (
+              SELECT q.query_id, c.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+                       / (c.cn * q.qn) AS cos
+              FROM c, q)
+            SELECT query_id, vec_id, round(cos, 6) AS cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM s
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
         """,
         "sequences_oracle": f"""
             WITH base AS (

@@ -244,3 +244,57 @@ def test_exact_dedup_keep_by_quality(spark):
     kept_q = sorted(r["doc_id"] for r in dedup.exact_dedup(
         df, keep_by=F.col("quality")).collect())
     assert kept_q == [2, 3]
+
+
+# --- knn_join ----------------------------------------------------------------
+
+def test_knn_join_matches_per_query_cosine_topk(spark):
+    import random
+
+    from validr_spark.operators.similarity import cosine_topk, knn_join
+
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    got = {}
+    for r in knn_join(corpus, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["cosine"], 9)))
+    for q in queries.collect():
+        expect = [(i + 1, r["vec_id"], round(r["cosine"], 9))
+                  for i, r in enumerate(
+                      cosine_topk(corpus, [float(x) for x in q["embedding"]],
+                                  k=5).collect())]
+        assert sorted(got[q["vec_id"]]) == expect, q["vec_id"]
+
+
+def test_knn_join_skips_null_and_wrong_dim(spark):
+    from validr_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(9, [1.0, 0.0])],
+                                    "vec_id long, embedding array<float>")
+    got = knn_join(corpus, queries, k=10).collect()
+    assert {r["vec_id"] for r in got} == {1, 4}     # null + 3-dim skipped
+
+
+def test_knn_join_plan_broadcasts_queries(spark):
+    import random
+
+    from validr_spark.operators.similarity import knn_join
+
+    rng = random.Random(6)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    plan = (knn_join(emb.filter(F.col("vec_id") >= 3),
+                     emb.filter(F.col("vec_id") < 3), k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan       # partial per-query top-k
+    assert "SortMergeJoin" not in plan
