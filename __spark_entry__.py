@@ -1065,10 +1065,24 @@ def q_json_props_validate(spark, sf):
     ingestion convention — sources/tables.validr_read_schema) and let the
     compiled plan do the typed coercion, so JSON ``69`` and ``"69"``
     validate identically (str-accept semantics, reference pyx:763-785).
-    Map-side from_json + the usual one-projection validate."""
+    Map-side from_json + the usual one-projection validate.
+
+    The repartition exists because the sf0.1 events file scans as ~2
+    splits while the Jackson parse is the CPU cost — 2 of 32 cores did
+    all the work (measured 4-6 s; ~1 s after spreading).  At production
+    scale the input has enough splits and the exchange is unnecessary —
+    a 100k-row shuffle here is the honest small-file fix, not a crutch
+    the real plan needs."""
     ev = _load(spark, sf, "events")
-    df = (ev.select("event_id",
-                    F.from_json("props", "k string").alias("_p"))
+    par = spark.sparkContext.defaultParallelism * 2
+    # nondeterministic guard (PERF.md Finding 4): without it
+    # CollapseProject inlines the from_json into EVERY rule reference of
+    # k in the compiled projection and Jackson parses each row ~6 times
+    # (measured, with the repartition spread: 4.5 s → 0.67 s at sf0.1)
+    p_once = F.when(F.monotonically_increasing_id() >= 0,
+                    F.from_json("props", "k string"))
+    df = (ev.repartition(par)
+          .select("event_id", p_once.alias("_p"))
           .select(F.col("event_id").alias("_id"),
                   F.col("_p.k").alias("k")))
     plan = SparkCompiler().compile(T.dict(k=T.int.min(10).max(80)))
