@@ -1284,7 +1284,8 @@ def q_knn_join(spark, sf):
     out = knn_join(emb.filter(F.col("vec_id") >= 3),
                    emb.filter(F.col("vec_id") < 3), k=5)
     return out.select("query_id", "vec_id",
-                      F.round("cosine", 6).alias("cosine"), "rank")
+                      F.round("cosine", 6).alias("cosine"), "rank") \
+        .orderBy("query_id", "rank")
 
 
 def q_sequences_oracle(spark, sf):

@@ -111,6 +111,25 @@ def test_zero_violation_rule_absent_but_bound_computable(spark):
     assert 0.001 < row["hi"] < 0.01
 
 
+def test_empty_sample_yields_null_rates_not_error(spark):
+    # empty input (or a fraction too small to catch a row) + an explicit
+    # rule inventory: NULL rate/bounds, not an ANSI DIVIDE_BY_ZERO
+    from validr_spark.compiler import SparkCompiler
+    from validr_spark.operators.audit import sampled_violation_rates
+    from validr_spark.schema import T
+
+    df = spark.createDataFrame([], "doc_id string, n long")
+    plan = SparkCompiler().compile(T.dict(n=T.int.max(5)))
+    rows = sampled_violation_rates(
+        df, plan, fraction=0.5, id_cols=["doc_id"],
+        rules=["n.max"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_sample"] == 0 and r["n_viol"] == 0
+    assert r["rate"] is None and r["rate_lo"] is None \
+        and r["rate_hi"] is None
+
+
 # --- violation_triage --------------------------------------------------------
 
 def _viol_df(spark):

@@ -283,6 +283,24 @@ def test_knn_join_skips_null_and_wrong_dim(spark):
     assert {r["vec_id"] for r in got} == {1, 4}     # null + 3-dim skipped
 
 
+def test_knn_join_skips_zero_norm_and_null_element(spark):
+    # zero-norm vectors must not abort the job (ANSI DIVIDE_BY_ZERO) and
+    # NULL-element vectors must not occupy top-k slots with NULL cosine
+    from validr_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [None, 1.0]), (3, [0.0, 0.0]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (8, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = knn_join(corpus, queries, k=10).collect()
+    assert {r["vec_id"] for r in got} == {1, 4}
+    assert {r["query_id"] for r in got} == {9}      # zero-norm query out
+    assert all(r["cosine"] is not None for r in got)
+
+
 def test_knn_join_plan_broadcasts_queries(spark):
     import random
 

@@ -54,6 +54,11 @@ CASES = [
     ("null_elem", [BOS, None, 11, EOS]),
     ("null_first", [None, 11, EOS]),
     ("null_array", None),
+    # zero rendered tokens: comma string is ",," — must count as 0
+    # visible tokens (tokens.content), not 1 (spurious bos/eos)
+    ("all_null", [None, None]),
+    ("single_null", [None]),
+    ("null_then_pad", [None, PAD]),
 ]
 
 

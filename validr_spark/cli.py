@@ -257,10 +257,15 @@ def cmd_audit(args) -> int:
         seed=args.seed, rules=args.rules or None)
     rows = [r.asDict() for r in rates.collect()]
     rows.sort(key=lambda r: r["rule_id"])
+    # an empty sample yields NULL rates (no data ≠ clean data): surface
+    # it and, when gating, fail safe instead of passing vacuously
+    empty = any(r["rate"] is None for r in rows)
     print(json.dumps({"input": args.input, "fraction": args.fraction,
-                      "seed": args.seed, "rates": rows}))
-    return 1 if args.max_rate is not None and any(
-        r["rate"] > args.max_rate for r in rows) else 0
+                      "seed": args.seed, "empty_sample": empty,
+                      "rates": rows}))
+    return 1 if args.max_rate is not None and (empty or any(
+        r["rate"] is not None and r["rate"] > args.max_rate
+        for r in rows)) else 0
 
 
 def main(argv=None) -> int:

@@ -50,8 +50,10 @@ def wilson_bounds(n_viol, n_sample, z: float = 1.959964):
     center = (p + z2 / (2.0 * n)) / denom
     half = (F.lit(z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
             / denom)
-    lo = F.greatest(F.lit(0.0), center - half)
-    hi = F.least(F.lit(1.0), center + half)
+    # n = 0 (empty sample) → NULL bounds, not an ANSI DIVIDE_BY_ZERO;
+    # CASE branches evaluate lazily so the division never runs
+    lo = F.when(n > 0, F.greatest(F.lit(0.0), center - half))
+    hi = F.when(n > 0, F.least(F.lit(1.0), center + half))
     return lo, hi
 
 
@@ -105,7 +107,8 @@ def sampled_violation_rates(df: DataFrame, plan, *, fraction: float,
     lo, hi = wilson_bounds(F.col("n_viol"), F.col("n_sample"), z)
     return j.select(
         "rule_id", "n_sample", "n_viol",
-        F.round(F.col("n_viol") / F.col("n_sample"), 6).alias("rate"),
+        F.round(F.try_divide(F.col("n_viol"), F.col("n_sample")), 6)
+         .alias("rate"),
         F.round(lo, 6).alias("rate_lo"),
         F.round(hi, 6).alias("rate_hi"),
         F.round(F.col("n_viol") / F.lit(fraction), 0).cast("long")

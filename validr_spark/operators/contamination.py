@@ -60,6 +60,29 @@ def ngram_hashes(df: DataFrame, text_col: str = "text",
                     F.xxhash64(gram).alias("gram")))
 
 
+def _shared_gram_counts(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str, id_col: str, bench_text: str,
+                        n: int, broadcast_benchmark: bool) -> DataFrame:
+    """(id_col, n_hits): distinct benchmark n-gram hashes shared by each
+    corpus doc (docs with zero hits absent).  The single source of truth
+    for the gram-set construction + probe used by both
+    :func:`contamination_scan` and :func:`decontaminate` — the scan/
+    removal complement invariant depends on these being the same code."""
+    bench_src = benchmark.select(F.lit(0).alias("_bid"),
+                                 F.col(bench_text).alias("_btext"))
+    bench = (ngram_hashes(bench_src, "_btext", "_bid", n)
+             .select("gram").distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    # hits: inner (broadcast) join prunes to shared grams (rare), THEN
+    # dedup — never a corpus-wide shuffle
+    return (ngram_hashes(corpus, text_col, id_col, n)
+            .join(bench, on="gram")
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 def contamination_scan(corpus: DataFrame, benchmark: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        bench_text_col: str | None = None,
@@ -82,24 +105,13 @@ def contamination_scan(corpus: DataFrame, benchmark: DataFrame,
     grams) can make it arbitrarily large, so forcing broadcast here
     would OOM exactly when contamination is worst."""
     bench_text = bench_text_col or text_col
-    # the benchmark needs no id here — only its gram set survives
-    bench_src = benchmark.select(F.lit(0).alias("_bid"),
-                                 F.col(bench_text).alias("_btext"))
-    bench = (ngram_hashes(bench_src, "_btext", "_bid", n)
-             .select("gram").distinct())
-    if broadcast_benchmark:
-        bench = F.broadcast(bench)
     # per-doc gram totals: map-side arithmetic, no explode survives
     totals = corpus.select(
         F.col(id_col),
         F.greatest(F.size(words_of(F.col(text_col))) - (n - 1),
                    F.lit(0)).cast("long").alias("n_grams"))
-    # hits: inner broadcast join prunes to shared grams (rare), THEN dedup
-    hits = (ngram_hashes(corpus, text_col, id_col, n)
-            .join(bench, on="gram")           # broadcast hash join
-            .distinct()
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_hits")))
+    hits = _shared_gram_counts(corpus, benchmark, text_col, id_col,
+                               bench_text, n, broadcast_benchmark)
     per_doc = totals.join(hits, on=id_col, how="left")
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
     return per_doc.select(
@@ -136,7 +148,8 @@ def contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str | None = None,
-                  n: int = 8, min_hits: int = 1) -> DataFrame:
+                  n: int = 8, min_hits: int = 1,
+                  broadcast_benchmark: bool = True) -> DataFrame:
     """The removal counterpart of :func:`contamination_scan`: the corpus
     minus every doc sharing ≥ ``min_hits`` distinct word-``n``-grams with
     the benchmark — the transform a training pipeline actually applies
@@ -150,15 +163,9 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     The corpus itself is never shuffled.
     """
     bench_text = bench_text_col or text_col
-    bench = (ngram_hashes(
-        benchmark.select(F.lit(0).alias("_bid"),
-                         F.col(bench_text).alias("_bt")),
-        "_bt", "_bid", n).select("gram").distinct())
-    bad = (ngram_hashes(corpus, text_col, id_col, n)
-           .join(F.broadcast(bench), on="gram")
-           .distinct()
-           .groupBy(id_col).agg(F.count(F.lit(1)).alias("_nh"))
-           .filter(F.col("_nh") >= min_hits)
+    bad = (_shared_gram_counts(corpus, benchmark, text_col, id_col,
+                               bench_text, n, broadcast_benchmark)
+           .filter(F.col("n_hits") >= min_hits)
            .select(F.col(id_col).alias("_bad_id")))
     return (corpus.join(bad, corpus[id_col].eqNullSafe(F.col("_bad_id")),
                         "left_anti"))

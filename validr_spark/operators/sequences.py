@@ -307,9 +307,12 @@ def frame_violations(df: DataFrame, *, id_col: str = "doc_id",
     last_tok_slow = F.regexp_extract(stripped, r",([^,]+),$", 1)
     n_trail_slow = ((F.char_length(s) - F.char_length(stripped))
                     / F.lit(pad_w)).cast("long")
-    # k rendered tokens produce k+1 commas in s (valid whenever
-    # has_content holds, which gates every use)
-    n_visible_slow = F.regexp_count(s, F.lit(",")) - 1
+    # k rendered tokens produce k+1 commas in s — except k=0 (all
+    # elements null), where s is ",," (2 commas): count that as 0, not
+    # 1, so has_content stays false and tokens.content fires instead of
+    # spurious bos/eos
+    n_visible_slow = F.when(F.char_length(s) <= 2, F.lit(0)) \
+        .otherwise(F.regexp_count(s, F.lit(",")) - 1)
 
     # combined per-row quantities
     content_n = F.when(fast, size_t.cast("long") - n_trail_fast) \

@@ -299,9 +299,12 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     candidates.
 
     ``dim`` defaults to the query side's first embedding length (one
-    tiny driver lookup on the SMALL side).  Corpus rows whose embedding
-    is NULL or of a different length are skipped (their unrolled dot
-    would be NULL).
+    tiny driver lookup on the SMALL side).  Rows (either side) whose
+    embedding is NULL, of a different length, zero-norm (failed/padding
+    vectors — cosine undefined), or containing a NULL element are
+    skipped: cosine is computed with ``try_divide`` and NULL scores are
+    filtered before the rank window, so they can neither abort the job
+    under ANSI mode nor occupy top-k slots.
     """
     from pyspark.sql import Window
 
@@ -323,8 +326,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
          .withColumn("_qn", _norm_unrolled(q_emb, dim)))
     scored = (c.crossJoin(F.broadcast(q))
               .select("query_id", id_col,
-                      (_dot_unrolled(c_emb, q_emb, dim)
-                       / (F.col("_cn") * F.col("_qn"))).alias("cosine")))
+                      F.try_divide(_dot_unrolled(c_emb, q_emb, dim),
+                                   F.col("_cn") * F.col("_qn"))
+                      .alias("cosine"))
+              .filter(F.col("cosine").isNotNull()))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
