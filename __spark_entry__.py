@@ -1395,6 +1395,56 @@ def q_violation_triage(spark, sf):
                             k=3)
 
 
+def _synth_urls(spark, sf):
+    """documents + a deterministic `url` column exercising every parser
+    branch: www subdomain, port, multi-label public suffix + query
+    string, userinfo, uppercase scheme/host, raw IPv4, and an
+    unparsable string (doc_id %7 picks the shape, %13 the corrupt
+    rows).  The DuckDB twins derive the registrable domain INDEPENDENTLY
+    from the same arithmetic — they never run the URL regex."""
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    i = d.cast("string")
+    url = (
+        F.when(d % 7 == 0, F.concat(F.lit("https://www.example.com/d/"), i))
+        .when(d % 7 == 1, F.concat(F.lit("https://news-site.org:8080/a/"), i))
+        .when(d % 7 == 2, F.concat(F.lit("https://media.bbc.co.uk/c?id="), i))
+        .when(d % 7 == 3, F.concat(F.lit("http://u:p@spam-mill.net/x/"), i))
+        .when(d % 7 == 4, F.concat(F.lit("HTTPS://Sub.Example.COM/"), i))
+        .when(d % 7 == 5, F.concat(F.lit("http://10.1.2.3/"), i))
+        .when(d % 13 == 0, F.lit("not-a-url"))
+        .otherwise(F.concat(F.lit("https://shop.co.jp/i/"), i)))
+    return df.select("doc_id", "n_chars", url.alias("url"))
+
+
+def q_domain_audit(spark, sf):
+    """Registrable-domain histogram with a blocklist flag
+    (operators/urlhygiene.domain_histogram): per-domain doc counts and
+    corpus shares over synthesized URLs covering subdomains, ports,
+    userinfo, a co.uk/co.jp multi-label suffix, an IPv4 host, and
+    unparsable rows (NULL-domain bucket).  The twin rebuilds the counts
+    from the synthesis arithmetic — an independent derivation that never
+    touches the URL regex."""
+    from validr_spark.operators.urlhygiene import domain_histogram
+
+    return (domain_histogram(_synth_urls(spark, sf),
+                             blocklist=["spam-mill.net"])
+            .orderBy(F.col("domain").asc_nulls_first()))
+
+
+def q_domain_cap(spark, sf):
+    """Per-domain contribution cap (operators/urlhygiene.cap_per_domain):
+    keep at most 25 docs per registrable domain, best n_chars first
+    (doc_id tie-break) — the RefinedWeb-style "no single site dominates"
+    rule.  One window shuffle; WindowGroupLimit pushes a partial
+    per-domain top-25 into each scan task.  Twin: same cap as a QUALIFY
+    row_number over the independently derived domain."""
+    from validr_spark.operators.urlhygiene import cap_per_domain
+
+    out = cap_per_domain(_synth_urls(spark, sf), cap=25, by="n_chars")
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1472,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "sequences_oracle": q_sequences_oracle,
         "knn_join": q_knn_join,
+        "domain_audit": q_domain_audit,
+        "domain_cap": q_domain_cap,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1608,6 +1660,43 @@ def oracle_sql() -> dict[str, str]:
                    'sequence has no content tokens',
                    CAST(len(tokens) AS VARCHAR)
             FROM feats WHERE length(last_tok) = 0
+        """,
+        "domain_audit": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN doc_id % 7 = 0 THEN 'example.com'
+                     WHEN doc_id % 7 = 1 THEN 'news-site.org'
+                     WHEN doc_id % 7 = 2 THEN 'bbc.co.uk'
+                     WHEN doc_id % 7 = 3 THEN 'spam-mill.net'
+                     WHEN doc_id % 7 = 4 THEN 'example.com'
+                     WHEN doc_id % 7 = 5 THEN '10.1.2.3'
+                     WHEN doc_id % 13 = 0 THEN NULL
+                     ELSE 'shop.co.jp' END AS domain
+              FROM documents WHERE doc_id IS NOT NULL)
+            SELECT domain, COUNT(*) AS n_docs,
+                   round(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (), 6)
+                     AS share,
+                   coalesce(domain = 'spam-mill.net', FALSE) AS blocked
+            FROM u GROUP BY domain
+            ORDER BY domain ASC NULLS FIRST
+        """,
+        "domain_cap": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                CASE WHEN doc_id % 7 = 0 THEN 'example.com'
+                     WHEN doc_id % 7 = 1 THEN 'news-site.org'
+                     WHEN doc_id % 7 = 2 THEN 'bbc.co.uk'
+                     WHEN doc_id % 7 = 3 THEN 'spam-mill.net'
+                     WHEN doc_id % 7 = 4 THEN 'example.com'
+                     WHEN doc_id % 7 = 5 THEN '10.1.2.3'
+                     WHEN doc_id % 13 = 0 THEN NULL
+                     ELSE 'shop.co.jp' END AS domain
+              FROM documents WHERE doc_id IS NOT NULL)
+            SELECT doc_id FROM u
+            QUALIFY row_number() OVER (
+              PARTITION BY domain
+              ORDER BY n_chars DESC NULLS LAST, doc_id) <= 25
+            ORDER BY doc_id
         """,
         "knn_join": """
             WITH q AS (
