@@ -1445,6 +1445,47 @@ def q_domain_cap(spark, sf):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def q_chunk_text(spark, sf):
+    """Word-window document chunking (operators/chunking.chunk_text):
+    split documents into <=40-word windows with 8 words of overlap —
+    the pre-packing split for docs longer than the context window.
+    Per-chunk rows carry the window arithmetic (index, count, length)
+    plus an md5 of the re-joined chunk text; the DuckDB twin rebuilds
+    the same sliding windows with list_slice over the split word list."""
+    from validr_spark.operators.chunking import chunk_text
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    out = chunk_text(df.select("doc_id", "text"), max_words=40, overlap=8)
+    return (out.select(
+                "doc_id", "chunk_index", "n_chunks", "n_words",
+                F.md5(F.col("text")).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_index"))
+
+
+def q_chunk_tokens(spark, sf):
+    """Token-window chunking (operators/chunking.chunk_documents) over
+    deterministically synthesized token arrays (length 1..123 from
+    doc_id/n_chars arithmetic, so multi-chunk docs are guaranteed):
+    16-token windows, 4-token overlap — the stride/slice algebra the
+    packer relies on to never truncate.  Twin re-derives the arrays with
+    range/list_transform and windows them with list_slice."""
+    from validr_spark.operators.chunking import chunk_documents
+
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+    d, nc = F.col("doc_id"), F.col("n_chars")
+    ln = (F.abs(d) % 83 + F.abs(nc) % 41 + 1).cast("int")
+    toks = F.transform(F.sequence(F.lit(1), ln),
+                       lambda x: ((d * 31 + x * 7) % 997).cast("int"))
+    seq = df.select(d.alias("doc_id"), toks.alias("tokens"))
+    out = chunk_documents(seq, max_tokens=16, overlap=4)
+    return (out.select(
+                "doc_id", "chunk_index", "n_chunks", "n_tok",
+                F.md5(F.array_join(F.col("tokens").cast("array<string>"),
+                                   ",")).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_index"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1524,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "domain_audit": q_domain_audit,
         "domain_cap": q_domain_cap,
+        "chunk_text": q_chunk_text,
+        "chunk_tokens": q_chunk_tokens,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1697,6 +1740,59 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY domain
               ORDER BY n_chars DESC NULLS LAST, doc_id) <= 25
             ORDER BY doc_id
+        """,
+        "chunk_text": """
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(
+                  regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                  x -> x <> '') AS words
+              FROM documents WHERE doc_id IS NOT NULL),
+            c AS (
+              SELECT doc_id, words,
+                CASE WHEN len(words) <= 40 THEN 1
+                     ELSE CAST(floor((len(words) - 40 + 31) / 32.0)
+                               AS INT) + 1 END AS n_chunks
+              FROM w),
+            e AS (
+              SELECT doc_id, words, n_chunks,
+                unnest(range(0, n_chunks)) AS chunk_index
+              FROM c)
+            SELECT doc_id, chunk_index, n_chunks,
+              len(list_slice(words, chunk_index*32 + 1,
+                             chunk_index*32 + 40)) AS n_words,
+              md5(array_to_string(
+                list_slice(words, chunk_index*32 + 1, chunk_index*32 + 40),
+                ' ')) AS chunk_md5
+            FROM e
+            ORDER BY doc_id, chunk_index
+        """,
+        "chunk_tokens": """
+            WITH s AS (
+              SELECT doc_id,
+                list_transform(
+                  range(1, (abs(doc_id) % 83 + abs(n_chars) % 41 + 1) + 1),
+                  x -> (doc_id * 31 + x * 7) % 997) AS tokens
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            c AS (
+              SELECT doc_id, tokens,
+                CASE WHEN len(tokens) <= 16 THEN 1
+                     ELSE CAST(floor((len(tokens) - 16 + 11) / 12.0)
+                               AS INT) + 1 END AS n_chunks
+              FROM s),
+            e AS (
+              SELECT doc_id, tokens, n_chunks,
+                unnest(range(0, n_chunks)) AS chunk_index
+              FROM c)
+            SELECT doc_id, chunk_index, n_chunks,
+              len(list_slice(tokens, chunk_index*12 + 1,
+                             chunk_index*12 + 16)) AS n_tok,
+              md5(array_to_string(
+                list_slice(tokens, chunk_index*12 + 1, chunk_index*12 + 16),
+                ',')) AS chunk_md5
+            FROM e
+            ORDER BY doc_id, chunk_index
         """,
         "knn_join": """
             WITH q AS (

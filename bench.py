@@ -199,7 +199,7 @@ HEADLINE = [
     "fd_check", "ordering_check", "json_props_validate", "jsd_drift",
     "frame_check", "sampled_audit", "violation_triage",
     "compression_stats", "w1_drift", "decontaminated", "sequences_oracle",
-    "knn_join",
+    "knn_join", "domain_audit", "domain_cap", "chunk_text",
 ]
 
 
