@@ -1486,6 +1486,22 @@ def q_chunk_tokens(spark, sf):
             .orderBy("doc_id", "chunk_index"))
 
 
+def q_numeric_corr(spark, sf):
+    """Pairwise Pearson correlations over lineitem's numeric columns
+    (operators/stats.numeric_correlations) — Deequ's Correlation
+    analyzer shape, all 6 pairs in ONE aggregation pass.  corr is
+    rounded to 6 (O(1) magnitude, reduction-order noise ~1e-12);
+    covariance stays pytest-only (its 1e6 magnitude makes fixed-decimal
+    rounding unstable across engines).  Twin: DuckDB corr per pair."""
+    from validr_spark.operators.stats import numeric_correlations
+
+    df = _load(spark, sf, "lineitem")
+    out = numeric_correlations(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        round_to=6)
+    return out.select("col_a", "col_b", "corr").orderBy("col_a", "col_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_null_rate": q_doc_null_rate,
@@ -1567,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
+        "numeric_corr": q_numeric_corr,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1793,6 +1810,29 @@ def oracle_sql() -> dict[str, str]:
                 ',')) AS chunk_md5
             FROM e
             ORDER BY doc_id, chunk_index
+        """,
+        "numeric_corr": """
+            WITH p AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_extendedprice AS DOUBLE) AS ep,
+                     CAST(l_discount AS DOUBLE) AS d,
+                     CAST(l_tax AS DOUBLE) AS t
+              FROM lineitem)
+            SELECT * FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     round(corr(q, ep), 6) AS corr FROM p
+              UNION ALL
+              SELECT 'l_quantity', 'l_discount', round(corr(q, d), 6) FROM p
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax', round(corr(q, t), 6) FROM p
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_discount',
+                     round(corr(ep, d), 6) FROM p
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax', round(corr(ep, t), 6) FROM p
+              UNION ALL
+              SELECT 'l_discount', 'l_tax', round(corr(d, t), 6) FROM p
+            ) ORDER BY col_a, col_b
         """,
         "knn_join": """
             WITH q AS (

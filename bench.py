@@ -200,6 +200,7 @@ HEADLINE = [
     "frame_check", "sampled_audit", "violation_triage",
     "compression_stats", "w1_drift", "decontaminated", "sequences_oracle",
     "knn_join", "domain_audit", "domain_cap", "chunk_text",
+    "numeric_corr",
 ]
 
 

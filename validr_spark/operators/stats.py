@@ -188,3 +188,51 @@ def robust_clip(df: DataFrame, column: str, by: str | None = None, *,
         .otherwise(F.least(F.greatest(c.cast("double"), lo), hi))
     return (joined.withColumn(out_col or column, clipped)
             .drop("n", "median", "mad"))
+
+
+def numeric_correlations(df: DataFrame, cols: list[str],
+                         round_to: int | None = None) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over ``cols``
+    in ONE aggregation pass (Deequ's Correlation analyzer shape).
+
+    Output: one row per unordered pair — (col_a, col_b, corr, covar),
+    pair order following ``cols``.  Rows where either side is NULL are
+    excluded pairwise (Spark/SQL ``corr`` semantics).  ``round_to``
+    rounds both metrics (oracle mode; float reduction order differs
+    between engines in the last ulps).
+
+    corr is computed as ``try_divide(covar_samp, sd_a * sd_b)`` rather
+    than the builtin ``corr`` aggregate: under ANSI mode (Spark 4
+    default) ``corr`` raises DIVIDE_BY_ZERO when either column is
+    constant — one constant column in a 10^12-row profile job would
+    kill the whole pass.  This form returns NULL for that pair instead
+    (SQL-standard corr-of-constant), identically to DuckDB.
+
+    Scale: all |cols|·(|cols|−1)/2 pairs are algebraic aggregates in a
+    single ``agg`` — map-side partials, the shuffle carries one partial
+    row per partition, never data rows.  At 10^12 rows this is
+    scan-bound regardless of pair count; the long-format pivot is a
+    driver-free ``stack`` over the single result row.
+    """
+    if len(cols) < 2:
+        raise ValueError("numeric_correlations needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        # pairwise-complete stddevs: mask each side on the OTHER side's
+        # nulls so the denominator matches corr's pairwise exclusion
+        ma = F.when(cb.isNotNull(), ca)
+        mb = F.when(ca.isNotNull(), cb)
+        cov = F.covar_samp(ca, cb)
+        corr = F.try_divide(cov, F.stddev_samp(ma) * F.stddev_samp(mb))
+        if round_to is not None:
+            corr, cov = F.round(corr, round_to), F.round(cov, round_to)
+        aggs.append(corr.alias(f"__corr_{a}__{b}"))
+        aggs.append(cov.alias(f"__cov_{a}__{b}"))
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', `__corr_{a}__{b}`, `__cov_{a}__{b}`"
+        for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stacked}) as (col_a, col_b, corr, covar)")
