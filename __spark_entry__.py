@@ -1486,6 +1486,21 @@ def q_chunk_tokens(spark, sf):
             .orderBy("doc_id", "chunk_index"))
 
 
+def q_bm25(spark, sf):
+    """BM25 top-10 for a fixed keyword query over documents.text
+    (operators/retrieval.bm25_topk) — Okapi scoring with Lucene's
+    non-negative idf, rank on the UNROUNDED score (score desc, doc_id
+    tie-break), score rounded to 6 on both sides.  Twin: DuckDB
+    unnest/groupBy reproduction of the same formula."""
+    from validr_spark.operators.retrieval import bm25_topk
+
+    df = _load(spark, sf, "documents")
+    return (bm25_topk(df, "hash join merge", k=10)
+            .select("doc_id", F.round(F.col("score"), 6).alias("score"),
+                    "rank")
+            .orderBy("rank"))
+
+
 def q_numeric_corr(spark, sf):
     """Pairwise Pearson correlations over lineitem's numeric columns
     (operators/stats.numeric_correlations) — Deequ's Correlation
@@ -1584,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
         "numeric_corr": q_numeric_corr,
+        "bm25_topk": q_bm25,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
@@ -1810,6 +1826,36 @@ def oracle_sql() -> dict[str, str]:
                 ',')) AS chunk_md5
             FROM e
             ORDER BY doc_id, chunk_index
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+              FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM toks),
+            hits AS (
+              SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+              FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks)
+              WHERE term IN ('hash', 'join', 'merge')
+              GROUP BY doc_id, term),
+            tdf AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+            scored AS (
+              SELECT h.doc_id,
+                     sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))
+                         * (h.tf * 2.2)
+                         / (h.tf + 1.2 * (0.25 + (h.dl * 0.75) / s.avgdl)))
+                       AS score
+              FROM hits h, tdf t, stats s
+              WHERE h.term = t.term
+              GROUP BY h.doc_id)
+            SELECT doc_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+            FROM (SELECT doc_id, score,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rank
+                  FROM scored)
+            WHERE rank <= 10 ORDER BY rank
         """,
         "numeric_corr": """
             WITH p AS (

@@ -28,6 +28,7 @@ from .skew import (heavy_hitters, key_skew_report, salted_join,
 from .audit import (sampled_violation_rates, violation_triage,
                     wilson_bounds)
 from .compress import compression_ratio, compression_report
+from .retrieval import bm25_join, bm25_scores, bm25_topk
 from .stats import (column_profile, mad_outliers, null_rates,
                     robust_center_scale, robust_clip)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
@@ -54,4 +55,5 @@ __all__ = [
     "dsir_weights", "importance_sample", "dsir_select",
     "sampled_violation_rates", "wilson_bounds", "violation_triage",
     "compression_ratio", "compression_report",
+    "bm25_scores", "bm25_join", "bm25_topk",
 ]
