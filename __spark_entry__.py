@@ -634,6 +634,24 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_edit_sim(spark, sf):
+    """Exact normalized edit-distance verifier (operators/dedup.py
+    edit_distance_verify) over a DETERMINISTIC candidate set (all doc
+    pairs with ids < 40, max_len 600) — the order-sensitive twin of
+    jaccard_exact; both Spark and DuckDB run their built-in levenshtein
+    over identically normalized/truncated text."""
+    df = _load(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    a = df.select(F.col("doc_id").alias("id_a"))
+    b = df.select(F.col("doc_id").alias("id_b"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (dedup.edit_distance_verify(df, cand, threshold=0.05,
+                                       max_len=600)
+            .select("id_a", "id_b",
+                    F.round("edit_sim", 6).alias("edit_sim"),
+                    F.col("truncated").cast("int").alias("truncated"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_token_budget(spark, sf):
     """Deterministic budgeted corpus cut (operators/packing.py
     take_weight_budget): the first documents in md5(seed|doc_id) order
@@ -1546,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
+        "edit_sim": q_edit_sim,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2303,6 +2322,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
+            ORDER BY id_a, id_b
+        """,
+        "edit_sim": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     left(regexp_replace(lower(trim(text)),
+                                         '\s+', ' ', 'g'), 600) AS t,
+                     length(regexp_replace(lower(trim(text)),
+                                           '\s+', ' ', 'g')) > 600 AS trunc
+              FROM documents WHERE doc_id < 40 AND text IS NOT NULL),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     levenshtein(a.t, b.t) AS lev,
+                     greatest(length(a.t), length(b.t)) AS lng,
+                     (a.trunc OR b.trunc) AS truncated
+              FROM t a JOIN t b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(CASE WHEN lng = 0 THEN 1.0
+                         ELSE 1 - lev::DOUBLE / lng END, 6) AS edit_sim,
+                   truncated::INT AS truncated
+            FROM p
+            WHERE (CASE WHEN lng = 0 THEN 1.0
+                   ELSE 1 - lev::DOUBLE / lng END) >= 0.05
             ORDER BY id_a, id_b
         """,
         "token_budget": r"""

@@ -316,3 +316,51 @@ def test_knn_join_plan_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan       # partial per-query top-k
     assert "SortMergeJoin" not in plan
+
+
+def _pairs(*ids):
+    return [(a, b) for a in ids for b in ids if a < b]
+
+
+def test_edit_distance_verify_values(spark):
+    # "kitten" -> "sitting" is the classic distance-3 example;
+    # normalized by max length 7 -> sim = 1 - 3/7.
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(_pairs(1, 2, 3), "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["edit_sim"]
+           for r in dedup.edit_distance_verify(df, cand,
+                                               threshold=0.0).collect()}
+    assert got[(1, 3)] == 1.0
+    assert abs(got[(1, 2)] - (1 - 3 / 7)) < 1e-9
+    assert abs(got[(2, 3)] - (1 - 3 / 7)) < 1e-9
+
+
+def test_edit_distance_order_sensitive_vs_jaccard(spark):
+    # Same word SET, different order: Jaccard(unigrams) is blind to it,
+    # edit similarity is not.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    jac = dedup.jaccard_verify(df, cand, ngram=1, threshold=0.0).collect()
+    edt = dedup.edit_distance_verify(df, cand, threshold=0.0).collect()
+    assert jac[0]["jaccard"] == 1.0
+    assert edt[0]["edit_sim"] < 0.5
+
+
+def test_edit_distance_empty_and_truncation(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "x" * 50), (4, "x" * 49 + "y")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(_pairs(1, 2, 3, 4), "id_a long, id_b long")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in dedup.edit_distance_verify(
+                df, cand, threshold=0.0, max_len=10).collect()}
+    # both normalize to empty -> defined sim 1.0, no divide-by-zero
+    assert rows[(1, 2)]["edit_sim"] == 1.0
+    # 50-char docs truncated to 10 identical chars: sim 1.0 but flagged
+    assert rows[(3, 4)]["edit_sim"] == 1.0
+    assert rows[(3, 4)]["truncated"] is True
+    assert rows[(1, 2)]["truncated"] is False
