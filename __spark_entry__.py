@@ -634,6 +634,20 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_collocations(spark, sf):
+    """Corpus-level PMI collocations (operators/textstats.py
+    collocations): top-40 adjacent word pairs by count with independence
+    lift — deterministic (count, w1, w2) ordering so the oracled columns
+    are pure integer/ratio arithmetic (pmi's log2 is pytest-checked
+    instead; last-ulp log differences across engines would flake a hash)."""
+    from validr_spark.operators.textstats import collocations
+    df = _load(spark, sf, "documents")
+    return (collocations(df, min_count=5)
+            .select("w1", "w2", "pair_count", "w1_count", "w2_count",
+                    F.round("lift", 6).alias("lift"))
+            .orderBy(F.desc("pair_count"), "w1", "w2").limit(40))
+
+
 def q_edit_sim(spark, sf):
     """Exact normalized edit-distance verifier (operators/dedup.py
     edit_distance_verify) over a DETERMINISTIC candidate set (all doc
@@ -1565,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
         "edit_sim": q_edit_sim,
+        "collocations": q_collocations,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2323,6 +2338,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "collocations": r"""
+            WITH w AS (
+              SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            ucnt AS (
+              SELECT w, count(*) AS w_count
+              FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+            big AS (
+              SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> {'w1': ws[i], 'w2': ws[i+1]})) AS g
+              FROM w WHERE len(ws) >= 2),
+            bcnt AS (
+              SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS pair_count
+              FROM big GROUP BY 1, 2),
+            tot AS (SELECT (SELECT sum(w_count) FROM ucnt) AS nw,
+                           (SELECT sum(pair_count) FROM bcnt) AS nb)
+            SELECT w1, w2, pair_count,
+                   u1.w_count AS w1_count, u2.w_count AS w2_count,
+                   round((pair_count::DOUBLE * nw * nw)
+                         / (u1.w_count::DOUBLE * u2.w_count * nb), 6) AS lift
+            FROM bcnt JOIN ucnt u1 ON u1.w = bcnt.w1
+                      JOIN ucnt u2 ON u2.w = bcnt.w2, tot
+            WHERE pair_count >= 5
+            ORDER BY pair_count DESC, w1, w2 LIMIT 40
         """,
         "edit_sim": r"""
             WITH t AS (

@@ -256,3 +256,35 @@ def test_logprob_buckets_rejects_bad_cutoffs(spark):
         logprob_buckets(df, [-5.0, -4.0])      # ascending
     with _pytest.raises(ValueError, match="strictly"):
         logprob_buckets(df, [-4.0, -4.0])      # duplicate
+
+
+def test_collocations_hand_math(spark):
+    from validr_spark.operators.textstats import collocations
+    # corpus: 3 docs, adjacent pairs countable by hand
+    df = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york city"), (3, "big city")],
+        "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): r
+            for r in collocations(df, min_count=1).collect()}
+    # unigrams: new=3, york=3, city=2, big=1  (nw=9)
+    # bigrams: (new,york)=3, (york,new)=1, (york,city)=1,
+    #          (big,city)=1                   (nb=6)
+    ny = rows[("new", "york")]
+    assert ny["pair_count"] == 3 and ny["w1_count"] == 3
+    lift = (3 * 9 * 9) / (3 * 3 * 6)
+    assert abs(ny["lift"] - lift) < 1e-9
+    import math
+    assert abs(ny["pmi"] - math.log2(lift)) < 1e-9
+    assert rows[("big", "city")]["w2_count"] == 2
+    assert len(rows) == 4
+
+
+def test_top_collocations_order_and_min_count(spark):
+    from validr_spark.operators.textstats import top_collocations
+    df = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b c d c d")],
+        "doc_id long, text string")
+    got = top_collocations(df, k=2, min_count=2).collect()
+    assert len(got) == 2
+    # every surviving pair occurs >= 2 times; ordering by pmi desc
+    assert got[0]["pmi"] >= got[1]["pmi"]

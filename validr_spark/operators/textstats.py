@@ -458,3 +458,67 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text",
             .withColumn("top_ngram_fraction",
                         F.round(F.col("top_ngram_count") / F.col("n_ngrams"),
                                 6)))
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5) -> DataFrame:
+    """Corpus-level word-bigram collocation scores: for every adjacent
+    word pair, its count, the member word counts, the independence lift
+    ``p(w1 w2) / (p(w1)·p(w2))`` and ``pmi = log2(lift)`` (Church &
+    Hanks 1990).  High-PMI pairs are multiword units ("san francisco");
+    a corpus whose top collocations are boilerplate fragments ("click
+    here", "all rights") is telling you something — this is the
+    corpus-wide companion of the per-document ``top_ngram_stats``.
+
+    Shape at scale: one corpus scan, exploded twice (unigrams, bigrams)
+    into two hash-aggs with map-side partials — the shuffles carry
+    distinct words/bigrams, not occurrences.  The two total counts join
+    back as broadcast one-row literals, and bigram→unigram joins are on
+    distinct-word-sized tables, never the corpus.  All codegen
+    (slice+arrays_zip bigrams — no lambda HOFs, no Python).
+    ``min_count`` prunes the bigram tail BEFORE the unigram joins.
+
+    No counterpart in guyskk/validr (single-value validation only).
+    """
+    c = F.col(text_col)
+    pre = (df.filter(c.isNotNull() & (F.trim(c) != ""))
+           .select(F.when(F.monotonically_increasing_id() >= 0,
+                          words_of(c)).alias("_w")))
+    wcol = F.col("_w")
+    sz = F.size(wcol)
+    uni = (pre.select(F.explode(wcol).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("w_count")))
+    zipped = F.arrays_zip(F.slice(wcol, 1, sz - 1), F.slice(wcol, 2, sz - 1))
+    big_all = (pre.filter(sz >= 2)
+               .select(F.explode(zipped).alias("_g"))
+               .select(F.col("_g")["0"].alias("w1"),
+                       F.col("_g")["1"].alias("w2"))
+               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count")))
+    n_uni = uni.agg(F.sum("w_count").alias("_nw"))
+    # totals over ALL bigrams (the probability denominator), taken before
+    # the min_count prune — the prune only bounds what flows into the joins
+    n_big = big_all.agg(F.sum("pair_count").alias("_nb"))
+    big = big_all.filter(F.col("pair_count") >= min_count)
+    scored = (big
+              .join(F.broadcast(n_big))
+              .join(F.broadcast(n_uni))
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("w_count").alias("w1_count")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("w_count").alias("w2_count")), "w2"))
+    # left-assoc double products (not long): no ANSI overflow at corpus
+    # scale, and bit-identical to the DuckDB oracle's ::DOUBLE arithmetic
+    lift = ((F.col("pair_count").cast("double") * F.col("_nw") * F.col("_nw"))
+            / (F.col("w1_count").cast("double") * F.col("w2_count")
+               * F.col("_nb")))
+    return scored.select(
+        "w1", "w2", "pair_count", "w1_count", "w2_count",
+        lift.alias("lift"), F.log2(lift).alias("pmi"))
+
+
+def top_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Top-k collocations by PMI (deterministic (pmi, w1, w2) tie-break);
+    TakeOrderedAndProject — no global sort materializes."""
+    return (collocations(df, text_col, min_count)
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
