@@ -634,6 +634,22 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_nfc_audit(spark, sf):
+    """Unicode normalization-form audit (operators/encoding.py nfc_audit)
+    over documents with DETERMINISTIC non-NFC injection (the synthetic
+    corpus is ASCII): doc_id%5==0 appends a decomposed e+U+0301, %5==1 a
+    precomposed U+00E9 — both sides inject identically, DuckDB checks via
+    its native nfc_normalize."""
+    from validr_spark.operators.encoding import nfc_audit
+    df = _load(spark, sf, "documents")
+    t = F.col("text")
+    inj = (F.when(F.col("doc_id") % 5 == 0,
+                  F.concat(t, F.lit("e\u0301")))  # decomposed: not NFC
+           .when(F.col("doc_id") % 5 == 1, F.concat(t, F.lit("\u00e9")))  # precomposed: NFC
+           .otherwise(t))
+    return nfc_audit(df.withColumn("text", inj), by="source")
+
+
 def q_collocations(spark, sf):
     """Corpus-level PMI collocations (operators/textstats.py
     collocations): top-40 adjacent word pairs by count with independence
@@ -1580,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_exact": q_jaccard_exact,
         "edit_sim": q_edit_sim,
         "collocations": q_collocations,
+        "nfc_audit": q_nfc_audit,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2338,6 +2355,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "nfc_audit": r"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN doc_id % 5 = 0 THEN text || 'e' || chr(769)
+                          WHEN doc_id % 5 = 1 THEN text || chr(233)
+                          ELSE text END AS text
+              FROM documents)
+            SELECT source,
+                   count(text) AS n_docs,
+                   sum(CASE WHEN text IS NOT NULL AND NOT
+                            regexp_matches(text, '^[\x00-\x7F]*$')
+                       THEN 1 ELSE 0 END) AS n_non_ascii,
+                   sum(CASE WHEN text IS NOT NULL AND
+                            nfc_normalize(text) <> text
+                       THEN 1 ELSE 0 END) AS n_not_nfc,
+                   round(sum(CASE WHEN text IS NOT NULL AND
+                                  nfc_normalize(text) <> text
+                             THEN 1 ELSE 0 END)::DOUBLE
+                         / nullif(count(text), 0), 6) AS not_nfc_frac
+            FROM t GROUP BY source ORDER BY source
         """,
         "collocations": r"""
             WITH w AS (

@@ -455,3 +455,39 @@ def test_jsd_numpy_differential(spark):
             + 0.5 * np.nansum(np.where(q > 0, q * np.log2(q / m), 0))
     assert got["jsd"] == pytest.approx(float(ref), abs=1e-9)
     assert got["n_categories"] == len(union)
+
+
+def test_is_nfc_and_normalize(spark):
+    from validr_spark.operators.encoding import is_nfc, nfc_normalize_text
+    df = spark.createDataFrame(
+        [(1, "plain ascii"),            # ascii -> NFC via JVM screen
+         (2, "café"),              # precomposed, non-ascii, NFC
+         (3, "café"),             # decomposed -> NOT NFC
+         (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["ok"]
+           for r in df.select("doc_id",
+                              is_nfc("text").alias("ok")).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: None}
+    fixed = {r["doc_id"]: r["text"]
+             for r in nfc_normalize_text(df).collect()}
+    assert fixed[3] == "café"          # recomposed
+    assert fixed[1] == "plain ascii" and fixed[4] is None
+    # idempotent: normalizing the normalized corpus changes nothing
+    again = {r["doc_id"]: r["text"]
+             for r in nfc_normalize_text(nfc_normalize_text(df)).collect()}
+    assert again == fixed
+
+
+def test_nfc_audit_counts(spark):
+    from validr_spark.operators.encoding import nfc_audit
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "é"), ("a", "é"), ("b", None)],
+        "source string, text string")
+    rows = {r["source"]: r for r in nfc_audit(df).collect()}
+    a = rows["a"]
+    assert (a["n_docs"], a["n_non_ascii"], a["n_not_nfc"]) == (3, 2, 1)
+    assert abs(a["not_nfc_frac"] - 1 / 3) < 1e-6
+    b = rows["b"]
+    assert (b["n_docs"], b["n_not_nfc"]) == (0, 0)
+    assert b["not_nfc_frac"] is None

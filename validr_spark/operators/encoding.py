@@ -34,11 +34,12 @@ adds on top.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ENCODING_PATTERNS", "encoding_counts", "encoding_scan",
-           "encoding_report"]
+           "encoding_report", "is_nfc", "nfc_normalize_text", "nfc_audit"]
 
 # A UTF-8 continuation byte (0x80-0xBF) mis-decoded shows up as its
 # Latin-1 image (U+0080-U+00BF) OR, far more often in the wild, its
@@ -109,4 +110,83 @@ def encoding_report(df: DataFrame, text_col: str = "text",
                 .alias("clean_frac"))
     g = tmp.groupBy(*keys) if keys else tmp.groupBy()
     out = g.agg(*aggs)
+    return out.orderBy(*keys) if keys else out
+
+
+# --- Unicode normalization-form hygiene -------------------------------------
+
+_ASCII_ONLY = r"\A[\x00-\x7F]*\z"
+
+
+def is_nfc(col: Column | str) -> Column:
+    """Boolean column: is the string in Unicode NFC (composed) form?
+
+    Mixed-normalization corpora make identical-looking strings tokenize
+    differently (``é`` as U+00E9 vs ``e``+U+0301), splitting dedup
+    fingerprints, enum/equality checks, and token statistics.
+
+    Catalyst has no normalization-form primitive, so the check itself is
+    an Arrow-batched pandas UDF over ``unicodedata.is_normalized`` (a C
+    call; batch-vectorized, never per-row Python dispatch).  The hot path
+    stays JVM-side: a codegen ASCII screen (``\\A[\\x00-\\x7F]*\\z`` —
+    ASCII is NFC by definition) short-circuits the UDF to the non-ASCII
+    minority, so on mostly-ASCII web corpora the UDF sees a small
+    fraction of rows.  NULL in → NULL out.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return (F.when(col.isNull(), F.lit(None).cast("boolean"))
+            .when(col.rlike(_ASCII_ONLY), F.lit(True))
+            .otherwise(_is_nfc_udf()(col)))
+
+
+# pandas UDFs built lazily (the decorator needs an active SparkContext
+# to resolve the return type — same pattern as dedup.simhash)
+def _is_nfc_udf():
+    @F.pandas_udf("boolean")
+    def f(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.is_normalized("NFC", x))
+    return f
+
+
+def _nfc_udf():
+    @F.pandas_udf("string")
+    def f(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+    return f
+
+
+def nfc_normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rewrite ``text_col`` into NFC.  Same ASCII screen as :func:`is_nfc`:
+    ASCII rows pass through as-is JVM-side; only non-ASCII rows cross the
+    Arrow boundary.  Map-side only — no shuffle."""
+    c = F.col(text_col)
+    fixed = (F.when(c.isNull() | c.rlike(_ASCII_ONLY), c)
+             .otherwise(_nfc_udf()(c)))
+    return df.withColumn(text_col, fixed)
+
+
+def nfc_audit(df: DataFrame, text_col: str = "text",
+              by: str | None = "source") -> DataFrame:
+    """Corpus normalization-form report, optionally per ``by`` group:
+    docs scanned, non-ASCII docs (the rows the UDF actually inspected),
+    docs not in NFC, and the non-NFC fraction.  One partial-aggregated
+    pass; the shuffle carries |groups| rows."""
+    c = F.col(text_col)
+    keys = [by] if by else []
+    tmp = df.select(
+        *keys,
+        c.isNotNull().cast("long").alias("_n"),
+        (c.isNotNull() & ~c.rlike(_ASCII_ONLY)).cast("long").alias("_na"),
+        F.when(is_nfc(c) == False, 1).otherwise(0).alias("_bad"),  # noqa: E712
+    )
+    g = tmp.groupBy(*keys) if keys else tmp.groupBy()
+    out = g.agg(F.sum("_n").alias("n_docs"),
+                F.sum("_na").alias("n_non_ascii"),
+                F.sum("_bad").alias("n_not_nfc"),
+                F.round(F.try_divide(F.sum("_bad"), F.sum("_n")), 6)
+                .alias("not_nfc_frac"))
     return out.orderBy(*keys) if keys else out
