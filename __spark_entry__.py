@@ -634,6 +634,17 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_join_fanout(spark, sf):
+    """Join-fanout pre-flight (operators/skew.py join_fanout_report):
+    estimated output blow-up of joining all events against click events
+    on user_id — per-key side counts, output product, top-15 by product.
+    DuckDB recomputes the same per-key arithmetic."""
+    from validr_spark.operators.skew import join_fanout_report
+    ev = _load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return join_fanout_report(ev, clicks, on="user_id", k=15)
+
+
 def q_nfc_audit(spark, sf):
     """Unicode normalization-form audit (operators/encoding.py nfc_audit)
     over documents with DETERMINISTIC non-NFC injection (the synthetic
@@ -1597,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_sim": q_edit_sim,
         "collocations": q_collocations,
         "nfc_audit": q_nfc_audit,
+        "join_fanout": q_join_fanout,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2355,6 +2367,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "join_fanout": r"""
+            WITH lc AS (
+              SELECT user_id AS key, count(*) AS n_left
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            rc AS (
+              SELECT user_id AS key, count(*) AS n_right
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'click'
+              GROUP BY 1),
+            p AS (
+              SELECT lc.key, n_left, n_right, n_left * n_right AS out_rows
+              FROM lc JOIN rc ON lc.key = rc.key),
+            t AS (SELECT sum(out_rows) AS t FROM p)
+            SELECT key, n_left, n_right, out_rows,
+                   round(out_rows::DOUBLE / t, 6) AS out_share
+            FROM p, t ORDER BY out_rows DESC, key LIMIT 15
         """,
         "nfc_audit": r"""
             WITH t AS (

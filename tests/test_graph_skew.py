@@ -292,3 +292,36 @@ def test_dedup_by_components_keep_by_tie_breaks_to_min_id(spark):
     kept = [r["doc_id"] for r in dedup_by_components(
         df, pairs, keep_by=F.col("quality")).collect()]
     assert kept == [5]
+
+
+def test_join_fanout_report_hand_math(spark):
+    from validr_spark.operators.skew import join_fanout_report
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [(None,)] * 5 + [("c",)],
+        "k string")
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 1 + [(None,)] * 2,
+        "k string")
+    rows = {r["key"]: r for r in join_fanout_report(left, right, "k").collect()}
+    # nulls never match; 'c' has no right-side rows
+    assert set(rows) == {"a", "b"}
+    assert (rows["a"]["n_left"], rows["a"]["n_right"],
+            rows["a"]["out_rows"]) == (3, 4, 12)
+    assert rows["b"]["out_rows"] == 2
+    assert abs(rows["a"]["out_share"] - 12 / 14) < 1e-6
+
+
+def test_join_fanout_matches_actual_join(spark):
+    import random
+    from validr_spark.operators.skew import join_fanout_report
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randint(0, 9),) for _ in range(200)], "k long")
+    right = spark.createDataFrame(
+        [(rng.randint(0, 9),) for _ in range(100)], "k long")
+    est = {r["key"]: r["out_rows"]
+           for r in join_fanout_report(left, right, "k", k=100).collect()}
+    actual = {r["k"]: r["cnt"] for r in
+              left.join(right, "k").groupBy("k")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert est == actual

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["heavy_hitters", "key_skew_report", "suggest_salt",
-           "salted_join"]
+           "salted_join", "join_fanout_report"]
 
 
 def heavy_hitters(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
@@ -98,3 +98,35 @@ def suggest_salt(df: DataFrame, key_col: str,
            .agg(F.max("n").alias("m")).first())
     m = row["m"] or 0
     return max(1, -(-m // target_rows_per_task))
+
+
+def join_fanout_report(left: DataFrame, right: DataFrame, on: str,
+                       k: int = 10) -> DataFrame:
+    """Pre-flight estimate of an equi-join's output blow-up: per-key
+    count on each side, output rows = n_left · n_right, top-k keys by
+    that product plus each key's share of the total join output.
+
+    The 100 TB guard: a join whose top key alone produces 10^10 output
+    rows is a job you want to cancel (or :func:`salted_join`, or filter
+    the key) BEFORE it runs for six hours.  Cost is two key-sized hash
+    aggregates and a distinct-key-sized inner join — safe on full
+    production inputs, no corpus-width shuffle.
+
+    NULL keys never match in an equi-join, so they are excluded here
+    (they appear in :func:`key_skew_report` as null_rows instead).
+    """
+    lc = (left.filter(F.col(on).isNotNull())
+          .groupBy(F.col(on).alias("key"))
+          .agg(F.count(F.lit(1)).alias("n_left")))
+    rc = (right.filter(F.col(on).isNotNull())
+          .groupBy(F.col(on).alias("key"))
+          .agg(F.count(F.lit(1)).alias("n_right")))
+    per_key = lc.join(rc, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"))
+    total = per_key.agg(F.sum("out_rows").alias("t"))
+    return (per_key.crossJoin(F.broadcast(total))
+            .select("key", "n_left", "n_right", "out_rows",
+                    F.round(F.col("out_rows") / F.col("t"), 6)
+                    .alias("out_share"))
+            .orderBy(F.desc("out_rows"), "key").limit(k))
