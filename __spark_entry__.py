@@ -634,6 +634,22 @@ def q_jaccard_exact(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_resample(spark, sf):
+    """Gap-filled daily event rollup (operators/temporal.py resample):
+    one row per (event_type, day bucket) between each type's first and
+    last event, empty days included with n_events=0.  value sums go
+    through DECIMAL(18,6) so both engines add exactly (double sums are
+    order-dependent); the final column is the rounded double."""
+    from validr_spark.operators.temporal import resample
+    ev = (_load(spark, sf, "events")
+          .withColumn("value", F.col("value").cast("decimal(18,6)")))
+    out = resample(ev, "ts", 86400, key_col="event_type",
+                   value_col="value")
+    return out.select(
+        "event_type", "bucket", "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
+
+
 def q_join_fanout(spark, sf):
     """Join-fanout pre-flight (operators/skew.py join_fanout_report):
     estimated output blow-up of joining all events against click events
@@ -1609,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "nfc_audit": q_nfc_audit,
         "join_fanout": q_join_fanout,
+        "resample_daily": q_resample,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2367,6 +2384,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "resample_daily": r"""
+            WITH c AS (
+              SELECT event_type,
+                     (floor(epoch_us(ts) / 1000000.0 / 86400)
+                      * 86400)::BIGINT AS bucket,
+                     count(*) AS n_events,
+                     sum(value::DECIMAL(18,6)) AS sv
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2),
+            s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                  FROM c GROUP BY 1),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, 86400)) AS bucket
+              FROM s)
+            SELECT spine.event_type, spine.bucket,
+                   coalesce(n_events, 0) AS n_events,
+                   round(sv::DOUBLE, 6) AS sum_value
+            FROM spine LEFT JOIN c USING (event_type, bucket)
+            ORDER BY 1, 2
         """,
         "join_fanout": r"""
             WITH lc AS (

@@ -119,3 +119,41 @@ def test_asof_join_deterministic_under_repartition(spark):
                asof_join(left.repartition(13), right.repartition(3),
                          on="k", ts_col="ts").collect())
     assert a == b
+
+
+def test_resample_gap_fill_hand_case(spark):
+    from validr_spark.operators.temporal import resample
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 5.0, 3.0), ("a", 32.0, 1.0),
+         ("b", 11.0, 4.0)],
+        "k string, ts double, v double")
+    rows = [(r["k"], r["bucket"], r["n_events"], r["sum_value"])
+            for r in resample(df, "ts", 10, key_col="k",
+                              value_col="v").collect()]
+    assert rows == [
+        ("a", 0, 2, 5.0),
+        ("a", 10, 0, None),     # empty bucket: count 0, sum NULL
+        ("a", 20, 0, None),
+        ("a", 30, 1, 1.0),
+        ("b", 10, 1, 4.0),
+    ]
+
+
+def test_resample_no_fill_and_no_key(spark):
+    from validr_spark.operators.temporal import resample
+    df = spark.createDataFrame([(1.0,), (25.0,)], "ts double")
+    active = resample(df, "ts", 10, fill=False).collect()
+    assert {(r["bucket"], r["n_events"]) for r in active} == {(0, 1), (20, 1)}
+    filled = resample(df, "ts", 10).collect()
+    assert [(r["bucket"], r["n_events"]) for r in filled] == [
+        (0, 1), (10, 0), (20, 1)]
+
+
+def test_resample_span_guard(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from validr_spark.operators.temporal import resample
+    df = spark.createDataFrame([("s", 0.0), ("s", 1e9)], "k string, ts double")
+    with pytest.raises(SparkRuntimeException, match="exceeds"):
+        resample(df, "ts", 1, key_col="k",
+                 max_buckets_per_key=1000).collect()

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "asof_join", "epoch_seconds"]
+__all__ = ["sessionize", "session_stats", "asof_join", "epoch_seconds",
+           "resample"]
 
 
 def epoch_seconds(df: DataFrame, ts_col: str) -> Column:
@@ -153,3 +154,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
             F.when(keep, F.col(rts)).alias(rts),
         )
     return filled
+
+
+def resample(df: DataFrame, ts_col: str = "ts",
+             interval_seconds: int = 3600, key_col: str | None = None,
+             value_col: str | None = None, fill: bool = True,
+             max_buckets_per_key: int = 1_000_000) -> DataFrame:
+    """Fixed-interval time-series rollup with gap filling: one row per
+    (key, bucket_start) between each key's first and last event —
+    including EMPTY buckets (n_events=0) — so downstream rate monitors,
+    anomaly scans (operators/anomaly.py) and charts never mistake
+    "no data" for "no row".
+
+    Columns: key (if ``key_col``), ``bucket`` (epoch-seconds bucket
+    start), ``n_events``, ``sum_value`` (if ``value_col``; stays NULL in
+    empty buckets — an absent measurement is not a zero measurement).
+
+    Shape at scale: one hash-agg on (key, bucket) — the shuffle carries
+    active (key, bucket) pairs, not events; the gap spine is a per-key
+    ``sequence()`` explode off a key-sized min/max aggregate (re-using
+    the same hash partitioning), joined back on (key, bucket) —
+    key-sized inputs on both sides, never the corpus.  A key whose span
+    would exceed ``max_buckets_per_key`` buckets fails fast with
+    ``raise_error`` instead of silently exploding the spine (a sensor
+    with one 1970 timestamp and a 1-second interval is a 10^9-row
+    spine); raise the cap or pre-filter outlier timestamps.
+    """
+    step = int(interval_seconds)
+    e = epoch_seconds(df, ts_col)
+    b = (F.floor(e / step) * step).cast("long")
+    keys = [key_col] if key_col else []
+    cols = [*keys, b.alias("bucket")]
+    if value_col:
+        cols.append(F.col(value_col).alias("_v"))
+    src = df.filter(F.col(ts_col).isNotNull()).select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum("_v").alias("sum_value"))
+    counts = src.groupBy(*keys, "bucket").agg(*aggs)
+    if not fill:
+        return counts
+    span = counts.groupBy(*keys).agg(F.min("bucket").alias("_lo"),
+                                     F.max("bucket").alias("_hi"))
+    n_buckets = (F.col("_hi") - F.col("_lo")) / step + 1
+    seq = F.when(
+        n_buckets <= max_buckets_per_key,
+        F.sequence("_lo", "_hi", F.lit(step).cast("long"))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"resample: key span exceeds {max_buckets_per_key} "
+              f"buckets at interval {step}s: "),
+        F.concat_ws(" ", *keys) if keys else F.lit("(global)"))))
+    spine = span.select(*keys, F.explode(seq).alias("bucket"))
+    out = (spine.join(counts, [*keys, "bucket"], "left")
+           .withColumn("n_events", F.coalesce("n_events", F.lit(0))))
+    return out.orderBy(*keys, "bucket") if keys else out.orderBy("bucket")
