@@ -709,6 +709,23 @@ def q_edit_sim(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_containment(spark, sf):
+    """Asymmetric containment verifier (operators/dedup.py
+    containment_verify) over the same deterministic pair set as
+    jaccard_exact — |A∩B|/|A| and /|B| over distinct word-3-gram sets;
+    DuckDB recomputes from distinct string grams."""
+    df = _load(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    a = df.select(F.col("doc_id").alias("id_a"))
+    b = df.select(F.col("doc_id").alias("id_b"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (dedup.containment_verify(df, cand, ngram=3, threshold=0.01)
+            .select("id_a", "id_b",
+                    F.round("containment_a", 6).alias("containment_a"),
+                    F.round("containment_b", 6).alias("containment_b"),
+                    F.round("max_containment", 6).alias("max_containment"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_token_budget(spark, sf):
     """Deterministic budgeted corpus cut (operators/packing.py
     take_weight_budget): the first documents in md5(seed|doc_id) order
@@ -1621,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "span_cut": q_span_cut,
         "jaccard_exact": q_jaccard_exact,
+        "containment": q_containment,
         "edit_sim": q_edit_sim,
         "collocations": q_collocations,
         "nfc_audit": q_nfc_audit,
@@ -2468,6 +2486,34 @@ def oracle_sql() -> dict[str, str]:
                       JOIN ucnt u2 ON u2.w = bcnt.w2, tot
             WHERE pair_count >= 5
             ORDER BY pair_count DESC, w1, w2 LIMIT 40
+        """,
+        "containment": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> array_to_string(ws[i:i+2], ' '))) AS gram
+              FROM w),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / sa.n, 6) AS containment_a,
+                   round(i::DOUBLE / sb.n, 6) AS containment_b,
+                   round(greatest(i::DOUBLE / sa.n, i::DOUBLE / sb.n), 6)
+                     AS max_containment
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE greatest(i::DOUBLE / sa.n, i::DOUBLE / sb.n) >= 0.01
+            ORDER BY id_a, id_b
         """,
         "edit_sim": r"""
             WITH t AS (

@@ -200,7 +200,8 @@ HEADLINE = [
     "frame_check", "sampled_audit", "violation_triage",
     "compression_stats", "w1_drift", "decontaminated", "sequences_oracle",
     "knn_join", "domain_audit", "domain_cap", "chunk_text",
-    "numeric_corr",
+    "numeric_corr", "bm25_topk", "collocations", "edit_sim", "nfc_audit",
+    "join_fanout", "resample_daily",
 ]
 
 

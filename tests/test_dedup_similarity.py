@@ -364,3 +364,39 @@ def test_edit_distance_empty_and_truncation(spark):
     assert rows[(3, 4)]["edit_sim"] == 1.0
     assert rows[(3, 4)]["truncated"] is True
     assert rows[(1, 2)]["truncated"] is False
+
+
+def test_containment_detects_engulfed_doc(spark):
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = ("long introduction paragraph here . " + quote +
+               " . and a very long analysis section follows with many "
+               "more words that dilute the jaccard similarity a lot")
+    df = spark.createDataFrame(
+        [(1, quote), (2, article)], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    jac = dedup.jaccard_verify(df, cand, ngram=3, threshold=0.0).collect()
+    con = dedup.containment_verify(df, cand, ngram=3,
+                                   threshold=0.0).collect()
+    # the quote's grams are all inside the article: containment_a == 1.0
+    assert con[0]["containment_a"] == 1.0
+    assert con[0]["containment_b"] < 0.5
+    assert con[0]["max_containment"] == 1.0
+    assert jac[0]["jaccard"] < 0.5          # jaccard misses the engulfment
+
+
+def test_lsh_parameters_advisor():
+    from validr_spark.operators.dedup import lsh_parameters
+    r = lsh_parameters(0.8, 64)
+    assert r["bands"] * r["rows"] == 64
+    assert 0 < r["knee"] < 1
+    # S-curve sanity: near-certain candidates well above the knee,
+    # near-zero at half the threshold
+    assert r["p_candidate_at_half_threshold"] < 0.05
+    hi = 1 - (1 - 0.95 ** r["rows"]) ** r["bands"]
+    assert 1 - hi < 0.05
+    # a lower threshold must pick wider bands (smaller rows)
+    r_low = lsh_parameters(0.4, 64)
+    assert r_low["rows"] < r["rows"]
+    import pytest
+    with pytest.raises(ValueError):
+        lsh_parameters(0.0)

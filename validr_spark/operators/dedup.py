@@ -354,3 +354,72 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                          F.col("r.simhash"))).alias("hamming"))
              .distinct())
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def containment_verify(df: DataFrame, candidates: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ngram: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Asymmetric containment on candidate pairs:
+    ``containment_a = |A∩B| / |A|`` and ``containment_b = |A∩B| / |B|``
+    over distinct word-n-gram sets (Broder's containment, the quote /
+    subset detector).
+
+    Jaccard misses engulfment: a tweet quoted inside a long article has
+    near-zero Jaccard but containment_a ≈ 1.  Near-dup policies that must
+    drop "document fully contained in another" filter on
+    ``max(containment_a, containment_b)`` — the ``max_containment``
+    column this emits.
+
+    Same scale shape as :func:`jaccard_verify`: candidates-only compute,
+    two distinct-gram corpus joins, all codegen set ops.
+    """
+    grams = df.select(F.col(id_col).alias("doc"),
+                      word_ngrams(F.col(text_col), ngram).alias("grams"))
+    out = (candidates
+           .join(grams.withColumnRenamed("doc", "id_a")
+                 .withColumnRenamed("grams", "grams_a"), "id_a")
+           .join(grams.withColumnRenamed("doc", "id_b")
+                 .withColumnRenamed("grams", "grams_b"), "id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    ca = F.when(F.size("grams_a") > 0, inter / F.size("grams_a"))
+    cb = F.when(F.size("grams_b") > 0, inter / F.size("grams_b"))
+    return (out.select("id_a", "id_b",
+                       ca.alias("containment_a"), cb.alias("containment_b"),
+                       F.greatest(ca, cb).alias("max_containment"))
+            .filter(F.col("max_containment") >= threshold))
+
+
+def lsh_parameters(threshold: float, num_hashes: int = 64) -> dict:
+    """Closed-form LSH banding advisor (driver-side, no Spark): among the
+    divisors of ``num_hashes``, pick the (bands, rows) whose S-curve
+    ``P(candidate) = 1 − (1 − s^rows)^bands`` puts its steepest point
+    closest to the target Jaccard ``threshold`` (the classic
+    ``(1/b)^(1/r)`` approximation, Leskovec et al. MMDS ch.3).
+
+    Returns bands/rows plus the false-negative rate at the threshold and
+    the false-positive (candidate) rate at 0.5·threshold — the two
+    numbers that decide whether a 10^12-doc run's candidate volume and
+    recall are acceptable BEFORE it is launched.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        knee = (1.0 / bands) ** (1.0 / rows)
+        score = abs(knee - threshold)
+        if best is None or score < best[0]:
+            best = (score, bands, rows, knee)
+    _, bands, rows, knee = best
+
+    def p_cand(s: float) -> float:
+        return 1.0 - (1.0 - s ** rows) ** bands
+
+    return {
+        "bands": bands, "rows": rows, "knee": knee,
+        "p_candidate_at_threshold": p_cand(threshold),
+        "false_negative_at_threshold": 1.0 - p_cand(threshold),
+        "p_candidate_at_half_threshold": p_cand(threshold / 2),
+    }
