@@ -99,3 +99,42 @@ def test_union_schema_on_parquet_does_not_raise(spark, tmp_path):
     spark.createDataFrame([(1,)], "x long").write.parquet(p)
     sch = T.dict(u=T.union([T.int, T.list(T.int)]))
     assert read_table(spark, p, schema=sch).count() == 1
+
+
+def test_read_json_corrupt_capture(spark, tmp_path):
+    from validr_spark.sources.tables import read_table
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": "1", "b": "x"}\n'
+                 '{"a": truncated\n'
+                 '{"a": "2", "b": "y"}\n')
+    df = read_table(spark, str(p), schema="a string, b string",
+                    corrupt_col="_bad")
+    rows = df.collect()
+    good = [(r["a"], r["b"]) for r in rows if r["_bad"] is None]
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert sorted(good) == [("1", "x"), ("2", "y")]
+    assert bad == ['{"a": truncated']        # captured verbatim
+    # quarantine filter keeps full rows (and a data column, SPARK-21610)
+    q = df.filter(F.col("_bad").isNotNull()).select("a", "_bad").collect()
+    assert len(q) == 1 and q[0]["a"] is None
+
+
+def test_read_csv_corrupt_capture(spark, tmp_path):
+    from validr_spark.sources.tables import read_table
+    p = tmp_path / "rows.csv"
+    p.write_text("a,b\n1,x\n2\n3,y\n")
+    df = read_table(spark, str(p), schema="a string, b string",
+                    corrupt_col="_bad")
+    rows = df.collect()
+    assert sorted(r["_bad"] for r in rows if r["_bad"] is not None) == ["2"]
+    assert sorted((r["a"], r["b"]) for r in rows if r["_bad"] is None) == [
+        ("1", "x"), ("3", "y")]
+
+
+def test_corrupt_col_requires_schema(spark, tmp_path):
+    import pytest
+    from validr_spark.sources.tables import read_table
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1}\n')
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(p), corrupt_col="_bad")

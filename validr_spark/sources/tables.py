@@ -120,7 +120,7 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
                columns: list[str] | None = None,
                predicate: str | None = None,
                options: dict | None = None,
-               schema=None) -> DataFrame:
+               schema=None, corrupt_col: str | None = None) -> DataFrame:
     """Load a table; push projection/predicate into the scan immediately.
 
     ``fmt='auto'``: ``.json/.jsonl/.ndjson/.csv`` extensions pick their
@@ -134,6 +134,16 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
     all-string leaves via :func:`validr_read_schema` so the validation
     plan does the typed coercion).  Never pass None for JSON/CSV at
     scale: schema inference is an extra full scan.
+
+    ``corrupt_col``: JSON/CSV only (requires ``schema``) — capture rows
+    the parser could not decode at all (truncated JSON, wrong column
+    count) verbatim in this extra string column instead of silently
+    nulling them (PERMISSIVE mode's default).  A validation engine must
+    not lose its most broken rows before validation starts; filter
+    ``col(corrupt_col).isNotNull()`` into the quarantine path.  Spark
+    refuses queries that reference ONLY the corrupt column on the raw
+    scan (SPARK-21610) — keep at least one data column in such filters
+    or persist first.
     """
     if fmt == "auto":
         low = location.lower()
@@ -159,11 +169,22 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
             # convert lazily, only where a read schema is actually used:
             # parquet/table branches ignore `schema` (they carry their
             # own), so a union/model validr schema there must not raise
-            if not isinstance(schema, str):
-                from pyspark.sql.types import StructType
-                if not isinstance(schema, StructType):
-                    schema = validr_read_schema(schema)
+            from pyspark.sql.types import StringType, StructField, StructType
+            if isinstance(schema, str):
+                schema = StructType.fromDDL(schema)
+            elif not isinstance(schema, StructType):
+                schema = validr_read_schema(schema)
+            if corrupt_col is not None:
+                if corrupt_col not in schema.fieldNames():
+                    schema = StructType(
+                        list(schema.fields)
+                        + [StructField(corrupt_col, StringType(), True)])
+                reader = (reader.option("mode", "PERMISSIVE")
+                          .option("columnNameOfCorruptRecord", corrupt_col))
             reader = reader.schema(schema)
+        elif corrupt_col is not None:
+            raise ValueError("corrupt_col requires an explicit schema "
+                             "(inference would need an extra full scan)")
         df = reader.load(location)
     if predicate:
         df = df.filter(predicate)
