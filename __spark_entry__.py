@@ -591,6 +591,18 @@ def q_sequences_validate(spark, sf):
     return res.summary()
 
 
+def q_file_layout(spark, sf):
+    """Physical-layout report (operators/files.py small_file_advice) over
+    four of the testdata tables — rows-only (the oracle contract is
+    view-based; file bytes aren't reachable from the pre-registered
+    views).  pytest hash-checks file_report against os.stat and DuckDB's
+    parquet_file_metadata instead."""
+    from validr_spark.operators.files import small_file_advice
+    paths = [f"{sf}/{t}.parquet"
+             for t in ("documents", "events", "lineitem", "orders")]
+    return small_file_advice(spark, paths)
+
+
 def q_manifest_run(spark, sf):
     """Resumable manifest-checkpointed run (plans/manifest.py) over the
     generated sequences table; returns the per-partition verdict rows."""
@@ -1704,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dups": q_semantic_dups,
         "manifest_run": q_manifest_run,
+        "file_layout": q_file_layout,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

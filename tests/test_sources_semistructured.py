@@ -138,3 +138,41 @@ def test_corrupt_col_requires_schema(spark, tmp_path):
     p.write_text('{"a": 1}\n')
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(p), corrupt_col="_bad")
+
+
+def test_file_report_matches_filesystem(spark, tmp_path):
+    import os
+    from validr_spark.operators.files import file_report, small_file_advice
+    # two differently-schema'd datasets, several files each
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(1000).repartition(4).write.parquet(d1)
+    (spark.range(10).selectExpr("cast(id as string) s")
+     .repartition(2).write.parquet(d2))
+    rep = file_report(spark, [d1, d2]).collect()
+    disk = {}
+    for d in (d1, d2):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                disk[f] = os.path.getsize(os.path.join(d, f))
+    got = {os.path.basename(r["file"]): r["bytes"] for r in rep}
+    assert got == disk                       # every physical file, exact bytes
+    assert sum(r["n_rows"] for r in rep) == 1010
+    adv = small_file_advice(spark, [d1, d2],
+                            target_bytes=1 << 20).collect()[0]
+    assert adv["n_files"] == len(disk) == 6
+    assert adv["total_bytes"] == sum(disk.values())
+    assert adv["small_files"] == 6           # all tiny vs 1MB target
+    assert adv["advised_files"] == 1         # compact to one file
+
+
+def test_file_report_rowcounts_match_duckdb(spark, tmp_path):
+    import duckdb
+    from validr_spark.operators.files import file_report
+    d = str(tmp_path / "c")
+    spark.range(500).repartition(3).write.parquet(d)
+    rep = {"/" + r["file"].split(":", 1)[-1].lstrip("/"): r["n_rows"]
+           for r in file_report(spark, d).collect()}
+    duck = dict(duckdb.sql(
+        f"SELECT file_name, num_rows FROM "
+        f"parquet_file_metadata('{d}/*.parquet')").fetchall())
+    assert rep == {k: v for k, v in duck.items()}
