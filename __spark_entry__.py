@@ -662,6 +662,17 @@ def q_resample(spark, sf):
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-smoothed source mixture (operators/sampling.py
+    temperature_weights) at alpha=0.5 over per-source character mass with
+    a 10M-char budget prescription.  alpha=0.5 rides IEEE-exact sqrt on
+    both engines (pow is ±1 ulp engine-specific — would flake the hash)."""
+    from validr_spark.operators.sampling import temperature_weights
+    df = _load(spark, sf, "documents")
+    return temperature_weights(df, by="source", weight_col="n_chars",
+                               alpha=0.5, total_budget=10_000_000)
+
+
 def q_join_fanout(spark, sf):
     """Join-fanout pre-flight (operators/skew.py join_fanout_report):
     estimated output blow-up of joining all events against click events
@@ -1656,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_audit": q_nfc_audit,
         "join_fanout": q_join_fanout,
         "resample_daily": q_resample,
+        "temperature_mix": q_temperature_mix,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2415,6 +2427,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "temperature_mix": r"""
+            WITH per AS (
+              SELECT source AS grp, sum(n_chars)::DOUBLE AS n
+              FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS t FROM per),
+            s AS (SELECT grp, n, n / t AS p, sqrt(n / t) AS pa
+                  FROM per, t),
+            z AS (SELECT sum(pa) AS z FROM s)
+            SELECT grp, n, round(p, 6) AS p, round(pa / z, 6) AS q,
+                   floor(round(pa / z, 6) * 10000000)::BIGINT AS budget
+            FROM s, z ORDER BY grp
         """,
         "resample_daily": r"""
             WITH c AS (

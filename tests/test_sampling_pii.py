@@ -244,3 +244,36 @@ def test_training_order_deterministic_and_dense(spark, docs):
 def test_training_order_rejects_bad_shards(spark, docs):
     with pytest.raises(ValueError, match="shards"):
         sampling.training_order(docs, "doc_id", shards=0)
+
+
+def test_temperature_weights_hand_math(spark):
+    import math
+    from validr_spark.operators.sampling import temperature_weights
+    # 80/20 split; alpha=0.5: q ∝ sqrt(p)
+    df = spark.createDataFrame(
+        [("web", 80), ("wiki", 20)], "source string, n_chars long")
+    rows = {r["grp"]: r for r in temperature_weights(
+        df, weight_col="n_chars", alpha=0.5,
+        total_budget=1000).collect()}
+    sa, sb = math.sqrt(0.8), math.sqrt(0.2)
+    assert abs(rows["web"]["q"] - sa / (sa + sb)) < 1e-6
+    assert abs(rows["wiki"]["q"] - sb / (sa + sb)) < 1e-6
+    assert rows["web"]["budget"] + rows["wiki"]["budget"] <= 1000
+    # smoothing upsamples the tail: q_wiki > p_wiki, q_web < p_web
+    assert rows["wiki"]["q"] > rows["wiki"]["p"]
+    assert rows["web"]["q"] < rows["web"]["p"]
+
+
+def test_temperature_weights_limits(spark):
+    import pytest
+    from validr_spark.operators.sampling import temperature_weights
+    df = spark.createDataFrame(
+        [("a",)] * 90 + [("b",)] * 10, "source string")
+    natural = {r["grp"]: r["q"]
+               for r in temperature_weights(df, alpha=1.0).collect()}
+    assert abs(natural["a"] - 0.9) < 1e-6        # alpha=1: natural shares
+    near_uniform = {r["grp"]: r["q"]
+                    for r in temperature_weights(df, alpha=0.01).collect()}
+    assert abs(near_uniform["a"] - 0.5) < 0.02   # alpha→0: uniform
+    with pytest.raises(ValueError):
+        temperature_weights(df, alpha=0.0)

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_prefix", "fraction_threshold", "hash_sample", "split_assign",
     "weighted_mix", "stratified_sample", "sample_report",
+    "temperature_weights",
 ]
 
 _PREFIX_LEN = 8          # 8 hex chars = 32 bits of the md5 digest
@@ -189,3 +190,49 @@ def training_order(df: DataFrame, key: str, seed: str = "42",
                                             F.col(key).cast("string"))
     return (out.withColumn("pos", F.row_number().over(w))
             .drop("_fh"))
+
+
+def temperature_weights(df: DataFrame, by: str = "source",
+                        weight_col: str | None = None,
+                        alpha: float = 0.3,
+                        total_budget: float | None = None) -> DataFrame:
+    """Temperature-smoothed mixture weights per ``by`` group — the
+    multilingual/multi-source rebalancing rule (XLM-R, mT5):
+    ``q_i = p_i^alpha / Σ p_j^alpha`` over observed shares ``p_i``
+    (by rows, or by ``weight_col`` sums — tokens, chars).
+
+    ``alpha = 1`` keeps the natural distribution; ``alpha → 0``
+    approaches uniform — low-resource groups get upsampled relative to
+    their share without the head group drowning the mix.  With
+    ``total_budget`` set, a ``budget`` column prescribes each group's cut
+    (``q_i · total_budget``, floored to long) — feed it straight into
+    ``take_token_budgets`` / ``take_grouped_budgets`` (operators/packing)
+    for the deterministic selection pass.
+
+    One group-sized hash-agg (map-side partials) + a broadcast one-row
+    total; the ``q`` arithmetic is plain double math, reproducible
+    cross-engine.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (alpha=1 keeps the natural "
+                         "distribution; use small alpha for more uniform)")
+    w = (F.sum(F.col(weight_col)).cast("double") if weight_col
+         else F.count(F.lit(1)).cast("double"))
+    per = df.groupBy(F.col(by).alias("grp")).agg(w.alias("n"))
+    tot = per.agg(F.sum("n").alias("_t"))
+    p = F.col("n") / F.col("_t")
+    # sqrt is IEEE correctly-rounded, pow is not (±1 ulp, engine-specific):
+    # the common alpha=0.5 temperature stays bit-identical cross-engine
+    pa = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    smoothed = per.crossJoin(F.broadcast(tot)).select(
+        "grp", "n", p.alias("p"), pa.alias("_pa"))
+    z = smoothed.agg(F.sum("_pa").alias("_z"))
+    out = smoothed.crossJoin(F.broadcast(z)).select(
+        "grp", "n",
+        F.round("p", 6).alias("p"),
+        F.round(F.col("_pa") / F.col("_z"), 6).alias("q"))
+    if total_budget is not None:
+        out = out.withColumn(
+            "budget",
+            F.floor(F.col("q") * F.lit(float(total_budget))).cast("long"))
+    return out.orderBy("grp")
