@@ -125,18 +125,21 @@ def is_nfc(col: Column | str) -> Column:
     differently (``é`` as U+00E9 vs ``e``+U+0301), splitting dedup
     fingerprints, enum/equality checks, and token statistics.
 
-    Catalyst has no normalization-form primitive, so the check itself is
-    an Arrow-batched pandas UDF over ``unicodedata.is_normalized`` (a C
-    call; batch-vectorized, never per-row Python dispatch).  The hot path
-    stays JVM-side: a codegen ASCII screen (``\\A[\\x00-\\x7F]*\\z`` —
-    ASCII is NFC by definition) short-circuits the UDF to the non-ASCII
-    minority, so on mostly-ASCII web corpora the UDF sees a small
-    fraction of rows.  NULL in → NULL out.
+    Catalyst has no normalization-form primitive, so this is an
+    Arrow-batched pandas UDF over ``unicodedata.is_normalized`` (a C
+    quick-check; batch-vectorized, never per-row Python dispatch).
+    NULL in → NULL out.
+
+    Scale note (PERF.md Finding 12): wrapping the UDF in an ASCII
+    ``when`` screen does NOT avoid the Python round-trip — Spark
+    extracts Python UDFs out of conditionals and evaluates them on
+    EVERY row (measured: identical wall time with and without the
+    screen).  To genuinely keep a mostly-ASCII corpus out of the Arrow
+    channel, FILTER non-ASCII rows first — :func:`nfc_audit` and
+    :func:`nfc_normalize_text` do exactly that.
     """
     col = F.col(col) if isinstance(col, str) else col
-    return (F.when(col.isNull(), F.lit(None).cast("boolean"))
-            .when(col.rlike(_ASCII_ONLY), F.lit(True))
-            .otherwise(_is_nfc_udf()(col)))
+    return _is_nfc_udf()(col)
 
 
 # pandas UDFs built lazily (the decorator needs an active SparkContext
@@ -159,34 +162,64 @@ def _nfc_udf():
     return f
 
 
-def nfc_normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rewrite ``text_col`` into NFC.  Same ASCII screen as :func:`is_nfc`:
-    ASCII rows pass through as-is JVM-side; only non-ASCII rows cross the
-    Arrow boundary.  Map-side only — no shuffle."""
+def nfc_normalize_text(df: DataFrame, text_col: str = "text",
+                       prefilter: bool = True) -> DataFrame:
+    """Rewrite ``text_col`` into NFC.
+
+    ``prefilter=True`` (default, the mostly-ASCII-corpus path): split the
+    scan — ASCII/NULL rows pass through entirely JVM-side, only the
+    non-ASCII minority is Arrow-shipped to the ``unicodedata.normalize``
+    UDF, then the two branches union.  This reads the source twice, but
+    two codegen scans (with pushdown) are far cheaper than one Arrow
+    round-trip of 100 TB of text; a ``when``-guarded single pass would
+    NOT help — Spark evaluates extracted Python UDFs on every row
+    (PERF.md Finding 12).  ``prefilter=False`` gives the single-scan
+    shape for already-materialized (cached) inputs.  Map-side only, no
+    shuffle; the union preserves no order (none is promised).
+    """
     c = F.col(text_col)
-    fixed = (F.when(c.isNull() | c.rlike(_ASCII_ONLY), c)
-             .otherwise(_nfc_udf()(c)))
-    return df.withColumn(text_col, fixed)
+    if not prefilter:
+        fixed = (F.when(c.isNull() | c.rlike(_ASCII_ONLY), c)
+                 .otherwise(_nfc_udf()(c)))
+        return df.withColumn(text_col, fixed)
+    ascii_rows = df.filter(c.isNull() | c.rlike(_ASCII_ONLY))
+    rest = (df.filter(c.isNotNull() & ~c.rlike(_ASCII_ONLY))
+            .withColumn(text_col, _nfc_udf()(c)))
+    return ascii_rows.unionByName(rest)
 
 
 def nfc_audit(df: DataFrame, text_col: str = "text",
               by: str | None = "source") -> DataFrame:
     """Corpus normalization-form report, optionally per ``by`` group:
-    docs scanned, non-ASCII docs (the rows the UDF actually inspected),
-    docs not in NFC, and the non-NFC fraction.  One partial-aggregated
-    pass; the shuffle carries |groups| rows."""
+    docs scanned, non-ASCII docs, docs not in NFC, non-NFC fraction.
+
+    Two aggregates that join on the group key: corpus-wide counts come
+    from a pure-codegen scan; the NFC check runs only on rows FILTERED
+    to non-ASCII first (ASCII is NFC by definition), so the Arrow
+    channel carries the non-ASCII minority, not the corpus — the filter,
+    unlike a ``when`` screen, truly bounds what reaches Python (PERF.md
+    Finding 12).  Both shuffles carry |groups| rows.
+    """
     c = F.col(text_col)
     keys = [by] if by else []
-    tmp = df.select(
+    base = df.select(
         *keys,
         c.isNotNull().cast("long").alias("_n"),
-        (c.isNotNull() & ~c.rlike(_ASCII_ONLY)).cast("long").alias("_na"),
-        F.when(is_nfc(c) == False, 1).otherwise(0).alias("_bad"),  # noqa: E712
-    )
-    g = tmp.groupBy(*keys) if keys else tmp.groupBy()
-    out = g.agg(F.sum("_n").alias("n_docs"),
-                F.sum("_na").alias("n_non_ascii"),
-                F.sum("_bad").alias("n_not_nfc"),
-                F.round(F.try_divide(F.sum("_bad"), F.sum("_n")), 6)
-                .alias("not_nfc_frac"))
+        (c.isNotNull() & ~c.rlike(_ASCII_ONLY)).cast("long").alias("_na"))
+    g = base.groupBy(*keys) if keys else base.groupBy()
+    totals = g.agg(F.sum("_n").alias("n_docs"),
+                   F.sum("_na").alias("n_non_ascii"))
+    nonascii = df.filter(c.isNotNull() & ~c.rlike(_ASCII_ONLY)).select(
+        *keys,
+        F.when(_is_nfc_udf()(c) == False, 1)  # noqa: E712
+        .otherwise(0).alias("_bad"))
+    gb = nonascii.groupBy(*keys) if keys else nonascii.groupBy()
+    bad = gb.agg(F.sum("_bad").alias("n_not_nfc"))
+    joined = (totals.join(bad, keys, "left") if keys
+              else totals.crossJoin(bad))
+    out = joined.select(
+        *keys, "n_docs", "n_non_ascii",
+        F.coalesce("n_not_nfc", F.lit(0)).alias("n_not_nfc"),
+        F.round(F.try_divide(F.coalesce("n_not_nfc", F.lit(0)), "n_docs"),
+                6).alias("not_nfc_frac"))
     return out.orderBy(*keys) if keys else out
