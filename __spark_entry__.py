@@ -662,6 +662,18 @@ def q_resample(spark, sf):
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
 
 
+def q_psi_quantile(spark, sf):
+    """Equal-frequency PSI (operators/drift.py psi_quantile, exact
+    percentile mode == DuckDB quantile_cont): documents n_chars, all
+    sources as reference vs the English slice as "new"."""
+    from validr_spark.operators.drift import psi_quantile
+    docs = _load(spark, sf, "documents")
+    ref = docs
+    new = docs.filter(F.col("lang") == "en")
+    return psi_quantile(ref, new, "n_chars", bins=10, exact=True).select(
+        F.round("psi", 6).alias("psi"), "n_bins")
+
+
 def q_temperature_mix(spark, sf):
     """Temperature-smoothed source mixture (operators/sampling.py
     temperature_weights) at alpha=0.5 over per-source character mass with
@@ -1668,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout": q_join_fanout,
         "resample_daily": q_resample,
         "temperature_mix": q_temperature_mix,
+        "psi_quantile": q_psi_quantile,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2427,6 +2440,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "psi_quantile": r"""
+            WITH src AS (
+              SELECT n_chars::DOUBLE AS x, lang FROM documents
+              WHERE n_chars IS NOT NULL),
+            e AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,
+                                           0.6,0.7,0.8,0.9]) AS ed
+                  FROM src),
+            rb AS (
+              SELECT ((x >= ed[1])::INT + (x >= ed[2])::INT
+                    + (x >= ed[3])::INT + (x >= ed[4])::INT
+                    + (x >= ed[5])::INT + (x >= ed[6])::INT
+                    + (x >= ed[7])::INT + (x >= ed[8])::INT
+                    + (x >= ed[9])::INT) AS bin,
+                     count(*)::BIGINT AS n_ref
+              FROM src, e GROUP BY 1),
+            nb AS (
+              SELECT ((x >= ed[1])::INT + (x >= ed[2])::INT
+                    + (x >= ed[3])::INT + (x >= ed[4])::INT
+                    + (x >= ed[5])::INT + (x >= ed[6])::INT
+                    + (x >= ed[7])::INT + (x >= ed[8])::INT
+                    + (x >= ed[9])::INT) AS bin,
+                     count(*)::BIGINT AS n_new
+              FROM src, e WHERE lang = 'en' GROUP BY 1),
+            j AS (
+              SELECT coalesce(rb.bin, nb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_new, 0) AS n_new
+              FROM rb FULL OUTER JOIN nb ON rb.bin = nb.bin),
+            tot AS (SELECT sum(n_ref)::DOUBLE AS tr,
+                           sum(n_new)::DOUBLE AS tn FROM j)
+            SELECT round(sum((greatest(n_ref / tr, 1e-6)
+                              - greatest(n_new / tn, 1e-6))
+                          * ln(greatest(n_ref / tr, 1e-6)
+                               / greatest(n_new / tn, 1e-6))), 6) AS psi,
+                   count(*)::BIGINT AS n_bins
+            FROM j, tot
         """,
         "temperature_mix": r"""
             WITH per AS (

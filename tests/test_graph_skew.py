@@ -325,3 +325,62 @@ def test_join_fanout_matches_actual_join(spark):
               left.join(right, "k").groupBy("k")
               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert est == actual
+
+
+def test_psi_quantile_identical_is_zero(spark):
+    from validr_spark.operators.drift import psi_quantile
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    r = psi_quantile(df, df, "v", bins=5, exact=True).collect()[0]
+    assert abs(r["psi"]) < 1e-9 and r["n_bins"] == 5
+
+
+def test_psi_quantile_hand_math(spark):
+    import math
+    from validr_spark.operators.drift import psi_quantile
+    ref = spark.createDataFrame([(float(i),) for i in range(1, 11)],
+                                "v double")
+    new = spark.createDataFrame([(10.0,)] * 10, "v double")
+    r = psi_quantile(ref, new, "v", bins=2, exact=True).collect()[0]
+    # edge = median of 1..10 = 5.5; ref splits 5/5, new all in bin 1
+    eps = 1e-6
+    expect = ((0.5 - eps) * math.log(0.5 / eps)
+              + (0.5 - 1.0) * math.log(0.5 / 1.0))
+    assert abs(r["psi"] - expect) < 1e-9
+
+
+def test_psi_quantile_beats_equal_width_on_heavy_tail(spark):
+    # 99% of mass at ~0 plus one huge outlier: equal-width packs
+    # everything into bin 0 and goes numb; equal-frequency still sees
+    # the shift within the body.
+    from validr_spark.operators.drift import psi, psi_quantile
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)] + [(1e9,)], "v double")
+    new = spark.createDataFrame(
+        [(float(i % 100) + 50,) for i in range(1000)] + [(1e9,)],
+        "v double")
+    wide = psi(ref, new, "v", bins=10).collect()[0]["psi"]
+    freq = psi_quantile(ref, new, "v", bins=10, exact=True).collect()[0]["psi"]
+    assert freq > 10 * max(wide, 1e-12)
+
+
+def test_drift_report_matches_standalone_ops(spark):
+    from validr_spark.operators.drift import (drift_report, jsd,
+                                              psi_quantile, wasserstein1)
+    ref = spark.createDataFrame(
+        [(float(i), "a" if i % 3 else "b") for i in range(60)],
+        "v double, c string")
+    new = spark.createDataFrame(
+        [(float(i) + 5, "a" if i % 2 else "c") for i in range(40)],
+        "v double, c string")
+    rep = {r["column"]: r
+           for r in drift_report(ref, new, numeric_cols=["v"],
+                                 cat_cols=["c"]).collect()}
+    assert set(rep) == {"v", "c"}
+    w1 = wasserstein1(ref, new, "v").collect()[0]["w1"]
+    assert abs(rep["v"]["w1"] - w1) < 1e-9
+    ps = psi_quantile(ref, new, "v").collect()[0]["psi"]
+    assert abs(rep["v"]["psi"] - round(ps, 6)) < 2e-6
+    jd = jsd(ref, new, "c").collect()[0]["jsd"]
+    assert abs(rep["c"]["jsd"] - round(jd, 6)) < 2e-6
+    assert rep["c"]["ks"] is None and rep["v"]["jsd"] is None
+    assert (rep["v"]["n_ref"], rep["v"]["n_new"]) == (60, 40)

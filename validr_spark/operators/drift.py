@@ -257,3 +257,100 @@ def wasserstein1(df_a: DataFrame, df_b: DataFrame, col: str,
         F.round(F.avg(F.abs(F.col("z.qa") - F.col("z.qb"))), 6).alias("w1"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"))
+
+
+def psi_quantile(df_ref: DataFrame, df_new: DataFrame, col: str,
+                 bins: int = 10, eps: float = 1e-6,
+                 exact: bool = False,
+                 relative_error: float = 0.001) -> DataFrame:
+    """PSI over EQUAL-FREQUENCY bins of the reference distribution
+    (single-row DF: ``psi``, ``n_bins``) — the production-monitoring
+    convention (each reference bin holds ~1/bins of the mass, so every
+    term is well-populated; equal-width :func:`psi` can concentrate 99%
+    of a heavy-tailed column into one bin and go numb).
+
+    Bin edges are the reference's interior quantiles — ONE aggregate:
+    the default ``percentile_approx`` sketch is mergeable (the 10^12-row
+    path); ``exact=True`` uses exact ``percentile`` (== DuckDB
+    ``quantile_cont``) for oracle comparison.  Bin assignment is an
+    unrolled codegen comparison sum against the broadcast edge array (no
+    lambda HOFs, no per-row Python); both sides then hash-agg to ≤bins
+    rows.  Ties/repeated edges degrade gracefully: duplicate edges make
+    some bins empty, the eps floor keeps their terms finite.
+    """
+    probs = [i / bins for i in range(1, bins)]
+    plist = ", ".join(repr(p) for p in probs)
+    fn = (f"percentile(x, array({plist}))" if exact
+          else f"percentile_approx(x, array({plist}), "
+               f"{int(1.0 / relative_error)})")
+    edges = (df_ref.select(F.col(col).cast("double").alias("x"))
+             .filter(F.col("x").isNotNull())
+             .selectExpr(f"{fn} AS edges"))
+
+    def binned(df):
+        x = F.col(col).cast("double")
+        b = sum((x >= F.get(F.col("edges"), i)).cast("int")
+                for i in range(bins - 1))
+        return (df.filter(x.isNotNull()).crossJoin(F.broadcast(edges))
+                .groupBy(b.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    r = binned(df_ref).withColumnRenamed("n", "n_ref")
+    n = binned(df_new).withColumnRenamed("n", "n_new")
+    j = (r.join(n, "bin", "full_outer")
+         .fillna(0, subset=["n_ref", "n_new"]))
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
+    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(eps))
+    q = F.greatest(F.col("n_new") / F.col("tn"), F.lit(eps))
+    return (j.crossJoin(F.broadcast(tot))
+            .agg(F.sum((p - q) * F.log(p / q)).alias("psi"),
+                 F.count(F.lit(1)).alias("n_bins")))
+
+
+def drift_report(df_ref: DataFrame, df_new: DataFrame,
+                 numeric_cols: list[str] | None = None,
+                 cat_cols: list[str] | None = None,
+                 bins: int = 10) -> DataFrame:
+    """One-stop per-column drift scorecard between two table versions:
+    one row per column with every applicable metric —
+
+    - numeric: ``ks`` (grid-approx), ``w1``, ``psi`` (equal-frequency
+      sketch bins), n_ref/n_new;
+    - categorical: ``jsd``, ``psi`` is NULL, ``n_categories``.
+
+    Composition of the single-metric operators (each independently
+    oracle-checked); the per-column summaries are one-row DataFrames
+    unioned driver-side, so cost is O(columns) small aggregates — run it
+    on a sampled or filtered slice when the column list is wide.  Spark
+    evaluates the per-column jobs lazily within one action when the
+    caller collects the unioned result.
+    """
+    from functools import reduce as _reduce
+    parts: list[DataFrame] = []
+    for c in numeric_cols or []:
+        ks = ks_approx(df_ref, df_new, c).select(
+            F.col("ks").cast("double").alias("ks"))
+        w = wasserstein1(df_ref, df_new, c).select(
+            F.col("w1").cast("double").alias("w1"),
+            F.col("n_a").alias("n_ref"), F.col("n_b").alias("n_new"))
+        ps = psi_quantile(df_ref, df_new, c, bins=bins).select(
+            F.col("psi").cast("double").alias("psi"))
+        parts.append(
+            ks.crossJoin(w).crossJoin(ps).select(
+                F.lit(c).alias("column"), F.lit("numeric").alias("kind"),
+                F.round("ks", 6).alias("ks"), "w1",
+                F.round("psi", 6).alias("psi"),
+                F.lit(None).cast("double").alias("jsd"),
+                "n_ref", "n_new"))
+    for c in cat_cols or []:
+        j = jsd(df_ref, df_new, c)
+        parts.append(j.select(
+            F.lit(c).alias("column"), F.lit("categorical").alias("kind"),
+            F.lit(None).cast("double").alias("ks"),
+            F.lit(None).cast("double").alias("w1"),
+            F.lit(None).cast("double").alias("psi"),
+            F.round(F.col("jsd").cast("double"), 6).alias("jsd"),
+            F.col("n_ref"), F.col("n_new")))
+    if not parts:
+        raise ValueError("drift_report: pass numeric_cols and/or cat_cols")
+    return _reduce(DataFrame.unionByName, parts).orderBy("column")
