@@ -662,6 +662,17 @@ def q_resample(spark, sf):
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
 
 
+def q_table_fp(spark, sf):
+    """Order-insensitive table fingerprint (operators/stats.py
+    table_fingerprint) of four lineitem columns (ints + a flag string —
+    cross-engine-stable renderings); DuckDB recomputes the md5/bit_xor
+    combine exactly."""
+    from validr_spark.operators.stats import table_fingerprint
+    li = _load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+    return table_fingerprint(li)
+
+
 def q_psi_quantile(spark, sf):
     """Equal-frequency PSI (operators/drift.py psi_quantile, exact
     percentile mode == DuckDB quantile_cont): documents n_chars, all
@@ -1681,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily": q_resample,
         "temperature_mix": q_temperature_mix,
         "psi_quantile": q_psi_quantile,
+        "table_fp": q_table_fp,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2440,6 +2452,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "table_fp": r"""
+            SELECT count(*) AS n_rows,
+                   bit_xor(('0x' || substr(md5(concat_ws('|',
+                       coalesce(l_orderkey::VARCHAR, ' NULL'),
+                       coalesce(l_partkey::VARCHAR, ' NULL'),
+                       coalesce(l_linenumber::VARCHAR, ' NULL'),
+                       coalesce(l_returnflag, ' NULL'))),
+                     1, 15))::BIGINT) AS fingerprint
+            FROM lineitem
         """,
         "psi_quantile": r"""
             WITH src AS (

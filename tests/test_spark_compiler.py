@@ -350,3 +350,32 @@ def test_union_ambiguous_schema_error(spark):
     with pytest.raises(SchemaError, match="ambiguous union schema"):
         plan = SparkCompiler().compile(T.dict(v=T.union([T.str, T.int])))
         plan.apply(df, id_cols=["rid"])
+
+
+def test_table_fingerprint_order_insensitive(spark):
+    from validr_spark.operators.stats import table_fingerprint
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, s string")
+    b = spark.createDataFrame(
+        [(3, None), (1, "x"), (2, "y")], "id long, s string")
+    fa = table_fingerprint(a).collect()[0]
+    fb = table_fingerprint(b.repartition(7)).collect()[0]
+    assert (fa["n_rows"], fa["fingerprint"]) == (3, fb["fingerprint"])
+    # any changed cell flips it
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, s string")
+    assert table_fingerprint(c).collect()[0]["fingerprint"] \
+        != fa["fingerprint"]
+
+
+def test_top_k_per_group_partial_limit_plan(spark):
+    from validr_spark.operators.stats import top_k_per_group
+    df = spark.createDataFrame(
+        [(g, v) for g in range(4) for v in range(50)], "g int, v int")
+    got = top_k_per_group(df, "g", [F.desc("v")], 3, rank_col="rk")
+    rows = got.collect()
+    assert len(rows) == 12
+    assert all(r["v"] >= 47 for r in rows)
+    assert sorted(r["rk"] for r in rows if r["g"] == 0) == [1, 2, 3]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

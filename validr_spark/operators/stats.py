@@ -236,3 +236,64 @@ def numeric_correlations(df: DataFrame, cols: list[str],
         for a, b in pairs)
     return wide.selectExpr(
         f"stack({len(pairs)}, {stacked}) as (col_a, col_b, corr, covar)")
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str] | str,
+                    order_cols: list, k: int,
+                    rank_col: str | None = None) -> DataFrame:
+    """Generic deterministic top-k rows per group — the building block
+    behind violation triage, per-domain caps, and k-NN trimming, exposed
+    directly.
+
+    ``order_cols`` are Columns or names (wrap with ``F.desc(...)`` for
+    descending); make the ordering TOTAL (include a unique id as the
+    last key) or ties at the boundary are planner-dependent.  With
+    ``rank_col`` set, the 1-based rank is kept in the output.
+
+    Scale shape: ONE window shuffle on the group key; the planner's
+    WindowGroupLimit pushes a partial top-k into every map task, so the
+    shuffle carries at most k rows per (task, group) — a hot group costs
+    k x tasks rows, never its full population.
+    """
+    from pyspark.sql import Window
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    out = ranked.filter(F.col("_rk") <= k)
+    if rank_col:
+        return out.withColumnRenamed("_rk", rank_col)
+    return out.drop("_rk")
+
+
+def table_fingerprint(df: DataFrame,
+                      cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content fingerprint of a table: one row with
+    ``n_rows`` and ``fingerprint`` — equal iff the multiset of row
+    renderings is equal (any added/removed/changed row flips it; row
+    order and partitioning never do).
+
+    The lineage/provenance primitive: record it in the run manifest and
+    a re-run (or a migrated copy on another engine) is verified
+    changed/unchanged in one scan, without a row-level diff
+    (operators/diff.py is the tool when it DID change).
+
+    Per-row hash = first 15 hex chars of md5 over a pipe-joined,
+    null-tagged rendering of ``cols`` (md5, not xxhash64, so any engine
+    can recompute it — the DuckDB twin is asserted in the oracle),
+    combined with the ``bit_xor`` aggregate: commutative/associative,
+    overflow-free under ANSI, map-side partial-aggregated — the shuffle
+    carries one long per partition.  XOR cancels PAIRS of identical
+    rows, so two tables differing by an even count of the same
+    duplicated row collide on ``fingerprint`` alone; ``n_rows`` is part
+    of this output for exactly that reason, and exact duplicate
+    analysis is ``exact_duplicates``'s job.
+    """
+    cols = cols or df.columns
+    rendered = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(" NULL"))
+               for c in cols])
+    h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("fingerprint"))
