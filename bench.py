@@ -201,7 +201,8 @@ HEADLINE = [
     "compression_stats", "w1_drift", "decontaminated", "sequences_oracle",
     "knn_join", "domain_audit", "domain_cap", "chunk_text",
     "numeric_corr", "bm25_topk", "collocations", "edit_sim", "nfc_audit",
-    "join_fanout", "resample_daily",
+    "join_fanout", "resample_daily", "containment", "temperature_mix",
+    "psi_quantile", "table_fp", "file_layout",
 ]
 
 

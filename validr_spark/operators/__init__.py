@@ -12,26 +12,30 @@ than here so `import validr_spark` stays cheap.
 from .consistency import (check_invariants, fd_violations,
                           ordering_violations)
 from .diff import diff_summary, table_diff
-from .drift import (chi_square_counts, jsd, ks_approx, ks_exact, psi,
-                    value_entropy, wasserstein1)
+from .drift import (chi_square_counts, drift_report, jsd, ks_approx,
+                    ks_exact, psi, psi_quantile, value_entropy,
+                    wasserstein1)
 from .dsir import dsir_select, dsir_weights, importance_sample
 from .embedding import dim_moments, embedding_drift, embedding_hygiene
-from .encoding import encoding_report, encoding_scan
+from .encoding import (encoding_report, encoding_scan, is_nfc,
+                       nfc_audit, nfc_normalize_text)
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
 from .incremental import (build_fingerprint_bloom, incremental_dedup,
                           incremental_new_rows)
 from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
-from .skew import (heavy_hitters, key_skew_report, salted_join,
-                   suggest_salt)
+from .skew import (heavy_hitters, join_fanout_report, key_skew_report,
+                   salted_join, suggest_salt)
 from .audit import (sampled_violation_rates, violation_triage,
                     wilson_bounds)
 from .compress import compression_ratio, compression_report
 from .retrieval import bm25_join, bm25_scores, bm25_topk
 from .stats import (column_profile, mad_outliers, null_rates,
-                    robust_center_scale, robust_clip)
+                    robust_center_scale, robust_clip, table_fingerprint,
+                    top_k_per_group)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
+from .files import file_report, small_file_advice
 from .uniqueness import duplicate_keys, duplication_report
 
 __all__ = [
@@ -56,4 +60,8 @@ __all__ = [
     "sampled_violation_rates", "wilson_bounds", "violation_triage",
     "compression_ratio", "compression_report",
     "bm25_scores", "bm25_join", "bm25_topk",
+    "psi_quantile", "drift_report",
+    "is_nfc", "nfc_audit", "nfc_normalize_text",
+    "join_fanout_report", "top_k_per_group", "table_fingerprint",
+    "file_report", "small_file_advice",
 ]
