@@ -848,6 +848,15 @@ def q_multimodal_features(spark, sf):
             .orderBy("kind"))
 
 
+def q_image_audit(spark, sf):
+    """Image-header audit (operators/multimodal.py image_audit): PNG
+    dimensions parsed from binary headers entirely in codegen (hex/conv
+    on byte slices — no codec, no Python).  Rows-only: DuckDB's
+    pre-registered views carry no binary media column."""
+    from validr_spark.operators.multimodal import image_audit, make_fake_media
+    return image_audit(make_fake_media(spark, 300))
+
+
 def q_sample_split(spark, sf):
     """Deterministic train/val/test assignment (operators/sampling.py
     split_assign): md5-hash interval membership, map-side only; the only
@@ -1762,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "sequences_validate": q_sequences_validate,
         "multimodal_features": q_multimodal_features,
+        "image_audit": q_image_audit,
     }
 
 

@@ -400,3 +400,75 @@ def test_lsh_parameters_advisor():
     import pytest
     with pytest.raises(ValueError):
         lsh_parameters(0.0)
+
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"pad" * 4)
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _bmp(w, h):
+    import struct
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + b"\x00" * 8)
+
+
+def test_image_dimensions_header_parse(spark):
+    from validr_spark.operators.multimodal import image_dimensions
+    rows = [
+        (1, _png(640, 480)), (2, _gif(320, 200)), (3, _bmp(800, 600)),
+        (4, _bmp(1024, -768)),              # top-down BMP: negative height
+        (5, b"\xff\xd8\xff\xe0JFIF-ish"),   # jpeg magic, dims not parsed
+        (6, b"plain text, no magic"),
+        (7, b"\x89PNG\r\n\x1a\n"),          # truncated PNG header
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", image_dimensions(df).alias("d")).collect()}
+    assert tuple(got[1]) == ("png", 640, 480)
+    assert tuple(got[2]) == ("gif", 320, 200)
+    assert tuple(got[3]) == ("bmp", 800, 600)
+    assert tuple(got[4]) == ("bmp", 1024, 768)
+    assert tuple(got[5]) == ("jpeg", None, None)
+    assert tuple(got[6]) == (None, None, None)
+    assert tuple(got[7]) == (None, None, None)
+
+
+def test_image_dimensions_is_codegen_no_python(spark):
+    from validr_spark.operators.multimodal import image_dimensions
+    df = spark.createDataFrame([(1, _png(2, 3))], "id long, content binary")
+    plan = (df.select(image_dimensions(df).alias("d"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_image_audit_report(spark):
+    from validr_spark.operators.multimodal import image_audit
+    df = spark.createDataFrame(
+        [("a", "image", _png(10, 20)), ("b", "image", _png(30, 40)),
+         ("c", "image", b"corrupt"), ("d", "audio", b"RIFF....")],
+        "media_id string, kind string, content binary")
+    rows = {r["format"]: r for r in image_audit(df).collect()}
+    assert rows["png"]["n"] == 2
+    assert (rows["png"]["min_width"], rows["png"]["max_height"]) == (10, 40)
+    assert rows["bad_header"]["n"] == 1
+    assert "riff" not in rows          # non-image kinds not audited
+
+
+def test_fake_media_png_headers_parse_to_meta(spark):
+    from validr_spark.operators.multimodal import (image_dimensions,
+                                                   make_fake_media)
+    media = make_fake_media(spark, 90)
+    imgs = media.filter(F.col("kind") == "image")
+    chk = imgs.select(image_dimensions(imgs).alias("d"), "meta")
+    bad = chk.filter(
+        (F.col("d.format") != F.col("meta.format"))
+        | (F.col("d.width") != F.col("meta.width"))
+        | (F.col("d.height") != F.col("meta.height"))).count()
+    assert bad == 0 and imgs.count() == 30

@@ -103,16 +103,35 @@ def repartition_by_size(df: DataFrame, content_col: str = "content",
 
 
 def make_fake_media(spark, n_rows: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary = hash bytes)."""
+    """Deterministic synthetic media table for tests.
+
+    Image rows carry a REAL PNG signature + IHDR (width/height derived
+    from the id, built JVM-side with ``unhex``) ahead of the hash bytes,
+    so :func:`image_dimensions` parses them and the parsed dimensions
+    provably match ``meta`` — the same invariant a real ingest would
+    check.  Audio/video stay opaque hash bytes.
+    """
+    wid = (16 + (F.col("id") % 64) * 16).cast("int")
+    hgt = (16 + (F.col("id") % 48) * 16).cast("int")
+    png_header = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(F.hex(wid), 8, "0"), F.lpad(F.hex(hgt), 8, "0"),
+        F.lit("0806000000")))
+    payload = F.sha2(
+        F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512
+    ).cast("binary")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"))
+    is_img = kind == "image"
     return spark.range(n_rows).select(
         F.format_string("m-%06d", F.col("id")).alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
-        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
-        .cast("binary").alias("content"),
-        F.struct(F.lit("raw").alias("format"),
-                 F.lit(64).cast("int").alias("width"),
-                 F.lit(64).cast("int").alias("height"),
+        kind.alias("kind"),
+        F.when(is_img, F.concat(png_header, payload))
+        .otherwise(payload).alias("content"),
+        F.struct(F.when(is_img, "png").otherwise("raw").alias("format"),
+                 F.when(is_img, wid).alias("width"),
+                 F.when(is_img, hgt).alias("height"),
                  (F.col("id") % 1000).cast("int").alias("duration_ms"))
         .alias("meta"),
     )
@@ -175,3 +194,87 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             })
 
     return df.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
+def _be(col, pos: int, nbytes: int):
+    """Big-endian unsigned int from bytes [pos, pos+nbytes) (1-based pos):
+    hex() the binary slice, conv() base 16 -> 10.  Pure codegen."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le(col, pos: int, nbytes: int):
+    """Little-endian unsigned int: sum of per-byte terms.  Pure codegen."""
+    total = None
+    for i in range(nbytes):
+        term = _be(col, pos + i, 1) * (1 << (8 * i))
+        total = term if total is None else total + term
+    return total
+
+
+def image_dimensions(df: DataFrame, content_col: str = "content"):
+    """struct<format, width, height> parsed from the encoded bytes'
+    HEADER — no codec library touched, so this runs in the sandbox and,
+    more importantly, entirely inside whole-stage codegen (hex/conv
+    arithmetic on binary slices): dimension screening of a billion
+    images costs a scan, not an Arrow round-trip into PIL.
+
+    Formats with fixed-offset dimensions are parsed exactly:
+
+    - PNG  — IHDR width/height, big-endian u32 at bytes 17/21
+      (ISO/IEC 15948 §11.2.2);
+    - GIF  — logical-screen width/height, little-endian u16 at 7/9
+      (GIF89a spec §18);
+    - BMP  — BITMAPINFOHEADER width/height, little-endian i32 at 19/23
+      (height's sign bit = top-down flag, abs() taken).
+
+    JPEG dimensions live in a variable-position SOF marker — detected
+    (``format='jpeg'``) but not parsed here; route JPEGs to the decoder
+    UDF if their dimensions gate the pipeline.  Unknown magic or a
+    header shorter than the needed offsets yields NULLs — feed that into
+    the violations path (an "image" whose bytes have no image magic is a
+    corrupt row, and this is how it surfaces).
+    """
+    c = F.col(content_col)
+    n = F.octet_length(c)
+    head = F.hex(F.substring(c, 1, 8))
+    is_png = head == "89504E470D0A1A0A"
+    is_gif = head.startswith("474946383761") | head.startswith("474946383961")
+    is_bmp = head.startswith("424D")
+    is_jpeg = head.startswith("FFD8FF")
+    fmt = (F.when(is_png & (n >= 24), "png")
+           .when(is_gif & (n >= 10), "gif")
+           .when(is_bmp & (n >= 26), "bmp")
+           .when(is_jpeg, "jpeg"))
+    width = (F.when(is_png & (n >= 24), _be(c, 17, 4))
+             .when(is_gif & (n >= 10), _le(c, 7, 2))
+             .when(is_bmp & (n >= 26), _le(c, 19, 4)))
+    height = (F.when(is_png & (n >= 24), _be(c, 21, 4))
+              .when(is_gif & (n >= 10), _le(c, 9, 2))
+              # BMP height is signed; negative = top-down row order
+              .when(is_bmp & (n >= 26),
+                    F.abs(F.when(_le(c, 23, 4) >= (1 << 31),
+                                 _le(c, 23, 4) - (1 << 32))
+                          .otherwise(_le(c, 23, 4)))))
+    return F.struct(fmt.alias("format"), width.cast("int").alias("width"),
+                    height.cast("int").alias("height"))
+
+
+def image_audit(df: DataFrame, content_col: str = "content",
+                kind_col: str = "kind") -> DataFrame:
+    """Corpus image-header report: per detected format — count, distinct
+    dimension count, min/max width/height, plus the ``bad_header`` row
+    (rows whose ``kind`` says image but whose bytes carry no known image
+    magic — corrupt or mislabeled).  One codegen scan + a |formats|-row
+    shuffle."""
+    dims = image_dimensions(df, content_col)
+    imgs = (df.filter(F.col(kind_col) == "image")
+            .select(dims.alias("d"))
+            .select(F.coalesce(F.col("d.format"), F.lit("bad_header"))
+                    .alias("format"), "d.width", "d.height"))
+    return (imgs.groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("width").alias("min_width"),
+                 F.max("width").alias("max_width"),
+                 F.min("height").alias("min_height"),
+                 F.max("height").alias("max_height"))
+            .orderBy("format"))
