@@ -472,3 +472,60 @@ def test_fake_media_png_headers_parse_to_meta(spark):
         | (F.col("d.width") != F.col("meta.width"))
         | (F.col("d.height") != F.col("meta.height"))).count()
     assert bad == 0 and imgs.count() == 30
+
+
+def _wav(rate=44100, ch=2, bits=16, data_len=44100 * 4):
+    import struct
+    byte_rate = rate * ch * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                    byte_rate, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", data_len) + b"\x00" * 16)
+
+
+def _jpeg(w, h, pad_exif=200):
+    import struct
+    app1 = b"\xff\xe1" + struct.pack(">H", pad_exif + 2) + b"E" * pad_exif
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app1 + sof0 + b"\xff\xda\x00\x02" + b"scan..."
+
+
+def test_wav_properties_parse(spark):
+    from validr_spark.operators.multimodal import wav_properties
+    df = spark.createDataFrame(
+        [(1, _wav(48000, 1, 16, 96000)), (2, b"RIFFxxxxWAVEjunk"),
+         (3, b"not audio at all")],
+        "id long, content binary")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", wav_properties(df).alias("p")).collect()}
+    assert tuple(got[1]) == (48000, 1, 16, 1000)   # 96000B / 96000Bps
+    assert tuple(got[2]) == (None, None, None, None)
+    assert tuple(got[3]) == (None, None, None, None)
+
+
+def test_jpeg_dimensions_marker_walk(spark):
+    from validr_spark.operators.multimodal import jpeg_dimensions
+    df = spark.createDataFrame(
+        [(1, _jpeg(1920, 1080)), (2, _jpeg(64, 32, pad_exif=5000)),
+         (3, _png(9, 9)), (4, None)],
+        "id long, content binary")
+    got = {r["id"]: r["jpeg_dims"]
+           for r in jpeg_dimensions(df).collect()}
+    assert tuple(got[1]) == (1920, 1080)
+    assert tuple(got[2]) == (64, 32)               # EXIF blob skipped
+    assert tuple(got[3]) == (None, None)           # non-jpeg untouched
+    assert tuple(got[4]) == (None, None)
+
+
+def test_detect_media_kind_router(spark):
+    from validr_spark.operators.multimodal import detect_media_kind
+    rows = [(1, _png(2, 2)), (2, _jpeg(4, 4)), (3, _wav()),
+            (4, b"fLaC....."), (5, b"\x1aE\xdf\xa3matroska"),
+            (6, b"\x00\x00\x00 ftypisom...."), (7, b"plain text"),
+            (8, b"RIFF1234AVI listdata")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r["k"] for r in df.select(
+        "id", detect_media_kind("content").alias("k")).collect()}
+    assert got == {1: "image", 2: "image", 3: "audio", 4: "audio",
+                   5: "video", 6: "video", 7: None, 8: "video"}

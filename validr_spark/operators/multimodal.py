@@ -278,3 +278,107 @@ def image_audit(df: DataFrame, content_col: str = "content",
                  F.min("height").alias("min_height"),
                  F.max("height").alias("max_height"))
             .orderBy("format"))
+
+
+def detect_media_kind(col) -> "F.Column":
+    """Modality router from magic bytes alone: 'image' (PNG/GIF/BMP/JPEG/
+    WebP), 'audio' (WAV/FLAC/OGG/MP3), 'video' (MP4/Matroska/AVI), else
+    NULL — the cheap pre-partition step before modality-specific
+    pipelines, and the cross-check against a declared ``kind`` column
+    (mismatch = mislabeled or corrupt row).  Pure codegen prefix tests.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    head = F.hex(F.substring(col, 1, 12))
+    img = (head.startswith("89504E470D0A1A0A")
+           | head.startswith("474946383761") | head.startswith("474946383961")
+           | head.startswith("424D") | head.startswith("FFD8FF")
+           | (head.startswith("52494646")
+              & (F.substring(head, 17, 8) == "57454250")))   # RIFF..WEBP
+    audio = ((head.startswith("52494646")
+              & (F.substring(head, 17, 8) == "57415645"))    # RIFF..WAVE
+             | head.startswith("664C6143")                   # fLaC
+             | head.startswith("4F676753")                   # OggS
+             | head.startswith("494433")                     # ID3 (mp3)
+             | head.startswith("FFFB") | head.startswith("FFF3"))
+    video = ((F.substring(head, 9, 8) == "66747970")         # ....ftyp mp4
+             | head.startswith("1A45DFA3")                   # Matroska/WebM
+             | (head.startswith("52494646")
+                & (F.substring(head, 17, 8) == "41564920")))  # RIFF..AVI
+    return (F.when(img, "image").when(audio, "audio")
+            .when(video, "video"))
+
+
+def wav_properties(df: DataFrame, content_col: str = "content"):
+    """struct<sample_rate, channels, bits_per_sample, duration_ms> parsed
+    from a CANONICAL WAV header (RIFF/WAVE with the fmt chunk first at
+    byte 13 — how virtually every encoder writes it); non-canonical
+    chunk orders yield NULLs and belong to the decoder path.  Same
+    codegen hex/conv arithmetic as :func:`image_dimensions`; duration
+    comes from the data-chunk size at byte 41 over the byte rate.
+    """
+    c = F.col(content_col)
+    n = F.octet_length(c)
+    canonical = ((F.hex(F.substring(c, 1, 4)) == "52494646")
+                 & (F.hex(F.substring(c, 9, 8)) == "57415645666D7420")
+                 & (n >= 44))
+    rate = _le(c, 25, 4)
+    channels = _le(c, 23, 2)
+    bits = _le(c, 35, 2)
+    byte_rate = _le(c, 29, 4)
+    data_sz = _le(c, 41, 4)
+    dur = F.when(byte_rate > 0,
+                 F.round(data_sz * 1000.0 / byte_rate).cast("int"))
+    return F.struct(
+        F.when(canonical, rate).cast("int").alias("sample_rate"),
+        F.when(canonical, channels).cast("int").alias("channels"),
+        F.when(canonical, bits).cast("int").alias("bits_per_sample"),
+        F.when(canonical, dur).cast("int").alias("duration_ms"))
+
+
+def jpeg_dimensions(df: DataFrame, content_col: str = "content",
+                    max_scan_bytes: int = 65536) -> DataFrame:
+    """(everything in ``df``) + struct<width, height> for JPEG rows,
+    parsed by walking the marker chain to the SOFn frame header.
+
+    The marker chain has VARIABLE offsets (EXIF/ICC segments of
+    arbitrary length precede the frame), so this is the one image format
+    whose dimensions genuinely need imperative scanning — an
+    Arrow-batched pandas UDF over at most ``max_scan_bytes`` of each
+    blob (headers live in the first few KB; the cap keeps a 100 MB
+    motion-JPEG from shipping whole).  Feed it the JPEG-routed minority
+    AFTER :func:`image_dimensions` handled the fixed-offset formats
+    JVM-side — same plan-structure rule as PERF.md Finding 13.
+    """
+    import struct as _struct
+
+    cap = max_scan_bytes
+
+    @F.pandas_udf("struct<width:int, height:int>")
+    def _sof(series: pd.Series) -> pd.DataFrame:
+        ws, hs = [], []
+        for buf in series:
+            w = h = None
+            if buf is not None and buf[:3] == b"\xff\xd8\xff":
+                i, nb = 2, min(len(buf), cap)
+                while i + 9 <= nb:
+                    if buf[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = buf[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2          # standalone markers, no length
+                        continue
+                    if marker == 0xDA:  # start of scan: frame header passed
+                        break
+                    (seg_len,) = _struct.unpack(">H", buf[i + 2:i + 4])
+                    # SOF0-15 except DHT(C4)/DAC(CC) carry dimensions
+                    if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xCC):
+                        h, w = _struct.unpack(">HH", buf[i + 5:i + 9])
+                        break
+                    i += 2 + seg_len
+            ws.append(w)
+            hs.append(h)
+        return pd.DataFrame({"width": ws, "height": hs})
+
+    scan = F.substring(F.col(content_col), 1, cap)
+    return df.withColumn("jpeg_dims", _sof(scan))
