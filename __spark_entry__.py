@@ -662,6 +662,16 @@ def q_resample(spark, sf):
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"))
 
 
+def q_vocab(spark, sf):
+    """Learned frequency-ranked vocabulary (operators/tokenize.py
+    build_vocab): top-200 BPE-ish pieces with deterministic ids and the
+    cumulative coverage curve; DuckDB reruns the identical piece regex
+    and windowed running coverage."""
+    from validr_spark.operators.tokenize import build_vocab
+    df = _load(spark, sf, "documents")
+    return build_vocab(df, top_v=200)
+
+
 def q_table_fp(spark, sf):
     """Order-insensitive table fingerprint (operators/stats.py
     table_fingerprint) of four lineitem columns (ints + a flag string —
@@ -1702,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "psi_quantile": q_psi_quantile,
         "table_fp": q_table_fp,
+        "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2462,6 +2473,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "vocab": r"""
+            WITH p AS (
+              SELECT unnest(regexp_extract_all(
+                text, '[A-Za-z]{1,4}|\d|[^\w\s]')) AS piece
+              FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT piece, count(*) AS cnt FROM p GROUP BY 1),
+            t AS (SELECT sum(cnt)::DOUBLE AS t FROM c),
+            top AS (SELECT piece, cnt FROM c
+                    ORDER BY cnt DESC, piece LIMIT 200),
+            r AS (
+              SELECT piece,
+                     (row_number() OVER (ORDER BY cnt DESC, piece)
+                      + 3)::INT AS token_id,
+                     cnt AS count,
+                     round(sum(cnt) OVER (ORDER BY cnt DESC, piece
+                           ROWS UNBOUNDED PRECEDING) / t.t, 6)
+                       AS cum_coverage
+              FROM top, t)
+            SELECT * FROM (
+              SELECT * FROM (VALUES
+                ('<pad>', 0, NULL::BIGINT, NULL::DOUBLE),
+                ('<bos>', 1, NULL, NULL),
+                ('<eos>', 2, NULL, NULL),
+                ('<unk>', 3, NULL, NULL))
+                v(piece, token_id, count, cum_coverage)
+              UNION ALL SELECT * FROM r)
+            ORDER BY token_id
         """,
         "table_fp": r"""
             SELECT count(*) AS n_rows,

@@ -67,3 +67,54 @@ def test_plan_is_one_scan_no_shuffle(spark, docs):
     assert "Exchange" not in plan
     # the transform runs once per row: a single projection carries it
     assert plan.count("transform(") == 1
+
+
+def test_build_vocab_ids_and_coverage(spark):
+    from validr_spark.operators.tokenize import build_vocab
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "aa cc !")], "doc_id long, text string")
+    rows = build_vocab(df, top_v=10).collect()
+    by_piece = {r["piece"]: r for r in rows}
+    # specials pinned at 0..3
+    assert [r["piece"] for r in rows[:4]] == ["<pad>", "<bos>", "<eos>",
+                                              "<unk>"]
+    # pieces: aa x3, bb x1, cc x1, ! x1 -> aa first (id 4), then ! bb cc
+    assert by_piece["aa"]["token_id"] == 4
+    assert by_piece["aa"]["count"] == 3
+    assert [r["piece"] for r in rows[4:]] == ["aa", "!", "bb", "cc"]
+    assert abs(by_piece["aa"]["cum_coverage"] - 3 / 6) < 1e-9
+    assert abs(by_piece["cc"]["cum_coverage"] - 1.0) < 1e-9
+
+
+def test_tokenize_with_vocab_roundtrip_and_oov(spark):
+    from validr_spark.operators.tokenize import (build_vocab,
+                                                 tokenize_with_vocab)
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string")
+    vocab = build_vocab(train, top_v=10)
+    vmap = {r["piece"]: r["token_id"] for r in vocab.collect()}
+    new = spark.createDataFrame(
+        [(9, "the cat flew", "s1"), (10, "", "s1")],
+        "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in tokenize_with_vocab(new, vocab).collect()}
+    # "flew" splits to "flew" (<=4 letters) and is OOV -> <unk>
+    assert out["9"]["tokens"] == [vmap["the"], vmap["cat"], vmap["<unk>"]]
+    assert out["9"]["n_tok"] == 3
+    # empty document survives as an empty sequence, not a dropped row
+    assert out["10"]["tokens"] == [] and out["10"]["n_tok"] == 0
+    assert out["9"]["source"] == "s1"
+
+
+def test_tokenize_with_vocab_order_preserved_long_doc(spark):
+    import re
+    from validr_spark.operators.tokenize import (PIECE_REGEX, build_vocab,
+                                                 tokenize_with_vocab)
+    text = " ".join(f"w{i % 7}" for i in range(300))
+    df = spark.createDataFrame([(1, text, "s")],
+                               "doc_id long, text string, source string")
+    vocab = build_vocab(df, top_v=50)
+    vmap = {r["piece"]: r["token_id"] for r in vocab.collect()}
+    got = tokenize_with_vocab(df.repartition(8), vocab).collect()[0]
+    expect = [vmap.get(p, vmap["<unk>"])
+              for p in re.findall(PIECE_REGEX, text)]
+    assert got["tokens"] == expect          # exact order through the shuffle
