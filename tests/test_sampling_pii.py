@@ -277,3 +277,30 @@ def test_temperature_weights_limits(spark):
     assert abs(near_uniform["a"] - 0.5) < 0.02   # alpha→0: uniform
     with pytest.raises(ValueError):
         temperature_weights(df, alpha=0.0)
+
+
+def test_write_training_shards_on_disk_order(spark, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    from validr_spark.operators.sampling import (training_order,
+                                                 write_training_shards)
+    df = spark.createDataFrame([(f"d{i}",) for i in range(500)],
+                               "doc_id string")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", shards=8)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 8
+    # inside each shard file, rows are physically in pos order, and the
+    # (shard, pos) assignment equals training_order's
+    expect = {(r["shard"], r["pos"]): r["doc_id"]
+              for r in training_order(df, "doc_id", shards=8).collect()}
+    seen = 0
+    for d in dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            t = pq.read_table(f).to_pydict()
+            assert t["pos"] == sorted(t["pos"])          # physical order
+            for pos, doc in zip(t["pos"], t["doc_id"]):
+                assert expect[(shard, pos)] == doc
+                seen += 1
+    assert seen == 500

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_prefix", "fraction_threshold", "hash_sample", "split_assign",
     "weighted_mix", "stratified_sample", "sample_report",
-    "temperature_weights",
+    "temperature_weights", "write_training_shards",
 ]
 
 _PREFIX_LEN = 8          # 8 hex chars = 32 bits of the md5 digest
@@ -236,3 +236,24 @@ def temperature_weights(df: DataFrame, by: str = "source",
             "budget",
             F.floor(F.col("q") * F.lit(float(total_budget))).cast("long"))
     return out.orderBy("grp")
+
+
+def write_training_shards(df: DataFrame, path: str, key: str,
+                          seed: str = "42", shards: int = 256,
+                          fmt: str = "parquet") -> None:
+    """Materialize :func:`training_order` physically: one
+    ``shard=<i>/`` partition directory per shard, rows stored in
+    ``pos`` order inside each file — a data loader that walks shard
+    directories in index order and streams files sequentially reads the
+    EXACT deterministic global shuffle, no sorting at load time.
+
+    Plan shape: hash-repartition on ``shard`` (one shuffle, the same one
+    the ``pos`` window needed anyway) + ``sortWithinPartitions`` — there
+    is NO global sort; each task sorts only its own shard.  Rerunning
+    with the same (seed, key, shards) rewrites byte-identical ordering,
+    so a resumed/repeated export is safe to diff or dedupe against.
+    """
+    ordered = training_order(df, key, seed, shards)
+    (ordered.repartition(shards, "shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.mode("overwrite").partitionBy("shard").format(fmt).save(path))
