@@ -157,3 +157,66 @@ def test_resample_span_guard(spark):
     with pytest.raises(SparkRuntimeException, match="exceeds"):
         resample(df, "ts", 1, key_col="k",
                  max_buckets_per_key=1000).collect()
+
+
+def test_asof_forward_and_nearest(spark):
+    from validr_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [("u", 10.0), ("u", 25.0), ("u", 100.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 8.0, "a"), ("u", 12.0, "b"), ("u", 30.0, "c")],
+        "k string, ts double, v string")
+
+    back = {r["ts"]: r["v_right"] for r in
+            asof_join(left, right, "k", "ts").collect()}
+    assert back == {10.0: "a", 25.0: "b", 100.0: "c"}
+
+    fwd = {r["ts"]: r["v_right"] for r in
+           asof_join(left, right, "k", "ts",
+                     direction="forward").collect()}
+    # next right at-or-after: 10->12(b), 25->30(c), 100->none
+    assert fwd == {10.0: "b", 25.0: "c", 100.0: None}
+
+    near = {r["ts"]: r["v_right"] for r in
+            asof_join(left, right, "k", "ts",
+                      direction="nearest").collect()}
+    # 10: back lag 2 == fwd lag 2 -> tie goes backward (a)
+    # 25: back lag 13 vs fwd lag 5 -> c;  100: only back exists -> c
+    assert near == {10.0: "a", 25.0: "c", 100.0: "c"}
+
+
+def test_asof_forward_inclusive_tie_and_tolerance(spark):
+    from validr_spark.operators.temporal import asof_join
+    left = spark.createDataFrame([("u", 20.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 20.0, "exact"), ("u", 90.0, "far")],
+        "k string, ts double, v string")
+    r = asof_join(left, right, "k", "ts", direction="forward").collect()[0]
+    assert r["v_right"] == "exact"          # ts == matches inclusively
+    r2 = asof_join(left.withColumn("ts", F.col("ts") + 1), right, "k",
+                   "ts", direction="forward",
+                   tolerance_seconds=30).collect()[0]
+    assert r2["v_right"] is None            # next is 69s away, > tolerance
+
+
+def test_asof_nearest_matches_pandas_reference(spark):
+    import pandas as pd
+    from validr_spark.operators.temporal import asof_join
+    import random
+    rng = random.Random(3)
+    lrows = sorted((rng.uniform(0, 100),) for _ in range(40))
+    rrows = sorted((rng.uniform(0, 100),) for _ in range(25))
+    left = spark.createDataFrame([("k", t) for (t,) in lrows],
+                                 "k string, ts double")
+    right = spark.createDataFrame(
+        [("k", t, i) for i, (t,) in enumerate(rrows)],
+        "k string, ts double, rid long")
+    got = {r["ts"]: r["rid_right"] for r in
+           asof_join(left, right, "k", "ts",
+                     direction="nearest").collect()}
+    pl = pd.DataFrame({"ts": [t for (t,) in lrows]})
+    pr = pd.DataFrame({"ts": [t for (t,) in rrows],
+                       "rid": range(len(rrows))})
+    ref = pd.merge_asof(pl, pr, on="ts", direction="nearest")
+    for t, rid in zip(ref["ts"], ref["rid"]):
+        assert got[t] == rid

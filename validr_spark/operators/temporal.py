@@ -93,20 +93,30 @@ def session_stats(df: DataFrame, user_col: str = "user_id",
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               ts_col: str, *, cols: list[str] | None = None,
               tolerance_seconds: float | None = None,
-              suffix: str = "_right") -> DataFrame:
-    """For every left row, attach the most recent right row with the same
-    key and ``right.ts <= left.ts`` (inclusive — a right row at exactly
-    the left timestamp matches).  Unmatched (or out-of-tolerance) left
-    rows keep NULLs, like a left join.
+              suffix: str = "_right",
+              direction: str = "backward") -> DataFrame:
+    """For every left row, attach the matching right row with the same
+    key by timestamp:
 
-    ``cols``: right columns to carry (default: everything except keys and
-    ``ts_col``); they come back suffixed.  ``<ts_col><suffix>`` is always
-    included so callers can compute the match lag.
+    - ``direction='backward'`` (default): most recent right row with
+      ``right.ts <= left.ts`` (inclusive — DuckDB ASOF parity);
+    - ``'forward'``: earliest right row with ``right.ts >= left.ts``
+      (inclusive) — "next reading after the event";
+    - ``'nearest'``: whichever of the two is closer in time, ties to
+      backward (pandas ``merge_asof`` convention).
+
+    Unmatched (or out-of-tolerance) left rows keep NULLs, like a left
+    join.  ``cols``: right columns to carry (default: everything except
+    keys and ``ts_col``); they come back suffixed.  ``<ts_col><suffix>``
+    is always included so callers can compute the match lag.
 
     Implementation: tag sides, union, and take
     ``last(right_value, ignoreNulls=True)`` over a key-partitioned window
     ordered by (ts, side) — right-before-left on timestamp ties gives the
-    inclusive semantics.  See module docstring for the scale argument.
+    inclusive semantics; forward is the same merge over the reversed
+    ordering.  ``nearest`` evaluates both windows over the SAME
+    union/partitioning (one shuffle, two in-partition sorts) and picks
+    per row.  See module docstring for the scale argument.
     """
     on = [on] if isinstance(on, str) else list(on)
     if cols is None:
@@ -131,22 +141,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         F.col(ts_col).alias(rts),
     ).select(*lhs.columns)              # positional parity for union
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward or nearest")
     u = lhs.unionByName(rhs)
-    w = (Window.partitionBy(*on)
-         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = u.select(
-        *[F.col(c) for c in left.columns],
-        F.col("_side"),
-        *[F.last(out_cols[c], ignorenulls=True).over(w).alias(out_cols[c])
-          for c in cols],
-        F.last(rts, ignorenulls=True).over(w).alias(rts),
-    ).filter(F.col("_side") == 1).drop("_side")
+    w_back = (Window.partitionBy(*on)
+              .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*on)
+             .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        filled = u.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            *[F.last(out_cols[c], ignorenulls=True).over(w)
+              .alias(out_cols[c]) for c in cols],
+            F.last(rts, ignorenulls=True).over(w).alias(rts),
+        ).filter(F.col("_side") == 1).drop("_side")
+    else:
+        both = u.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            *[F.last(out_cols[c], ignorenulls=True).over(w_back)
+              .alias(out_cols[c] + "_b") for c in cols],
+            F.last(rts, ignorenulls=True).over(w_back).alias(rts + "_b"),
+            *[F.last(out_cols[c], ignorenulls=True).over(w_fwd)
+              .alias(out_cols[c] + "_f") for c in cols],
+            F.last(rts, ignorenulls=True).over(w_fwd).alias(rts + "_f"),
+        ).filter(F.col("_side") == 1).drop("_side")
+        lag_b = (epoch_seconds(both, ts_col)
+                 - epoch_seconds(both, rts + "_b"))
+        lag_f = (epoch_seconds(both, rts + "_f")
+                 - epoch_seconds(both, ts_col))
+        use_b = (F.col(rts + "_f").isNull()
+                 | (F.col(rts + "_b").isNotNull() & (lag_b <= lag_f)))
+        filled = both.select(
+            *[F.col(c) for c in left.columns],
+            *[F.when(use_b, F.col(out_cols[c] + "_b"))
+              .otherwise(F.col(out_cols[c] + "_f")).alias(out_cols[c])
+              for c in cols],
+            F.when(use_b, F.col(rts + "_b"))
+            .otherwise(F.col(rts + "_f")).alias(rts))
 
     if tolerance_seconds is not None:
-        lag_ok = (epoch_seconds(filled, ts_col)
-                  - epoch_seconds(filled, rts)) <= tolerance_seconds
-        keep: Column = F.col(rts).isNotNull() & lag_ok
+        lag = epoch_seconds(filled, ts_col) - epoch_seconds(filled, rts)
+        if direction == "forward":
+            lag = -lag
+        elif direction == "nearest":
+            lag = F.abs(lag)
+        keep: Column = F.col(rts).isNotNull() & (lag <= tolerance_seconds)
         filled = filled.select(
             *[F.col(c) for c in left.columns],
             *[F.when(keep, F.col(out_cols[c])).alias(out_cols[c])
