@@ -1020,6 +1020,28 @@ def q_asof_clicks(spark, sf):
         F.round(F.sum("value_right"), 6).alias("sum_click_value"))
 
 
+def q_asof_forward(spark, sf):
+    """Forward as-of join (direction='forward'): each error event picks
+    up the NEXT click at-or-after it by the same user — oracled against
+    DuckDB's ASOF LEFT JOIN with the inequality reversed (e.ts <= c.ts
+    matches the smallest c.ts at-or-after)."""
+    from validr_spark.operators.temporal import asof_join, epoch_seconds
+
+    ev = _load(spark, sf, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", "user_id", "ts"))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", "ts", "value"))
+    j = asof_join(err, clk, on="user_id", ts_col="ts",
+                  direction="forward")
+    lead = epoch_seconds(j, "ts_right") - epoch_seconds(j, "ts")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(F.col("ts_right").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.avg(lead), 6).alias("avg_lead_sec"),
+        F.round(F.sum("value_right"), 6).alias("sum_click_value"))
+
+
 def q_map_validate(spark, sf):
     """Dynamic-dict (MapType) container validation (compiler._map_core):
     a 3-entry map built from document columns goes through the real
@@ -1736,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hist": q_token_hist,
         "sessions": q_sessions,
         "asof_clicks": q_asof_clicks,
+        "asof_forward": q_asof_forward,
         "map_validate": q_map_validate,
         "check_suite": q_check_suite,
         "suggest_schema": q_suggest_schema,
@@ -3604,6 +3627,19 @@ def _pipeline_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'click') c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "asof_forward": r"""
+            SELECT count(*)::BIGINT AS n_errors,
+                   CAST(sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_matched,
+                   round(avg(epoch_us(c.ts)/1000000.0
+                             - epoch_us(e.ts)/1000000.0), 6) AS avg_lead_sec,
+                   round(sum(c.value), 6) AS sum_click_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts <= c.ts
         """,
         "map_validate": """
             WITH v AS (
