@@ -683,6 +683,21 @@ def q_table_fp(spark, sf):
     return table_fingerprint(li)
 
 
+def q_upsample(spark, sf):
+    """Deterministic epoch upsampling (operators/sampling.py
+    upsample_epochs): src0 at 2.5 epochs, src1 at 0.4, everything else
+    kept once; output = per-(source, epoch) row counts.  DuckDB rebuilds
+    the same epoch explosion and md5 tail thresholds (0.5*2^32 =
+    '80000000', 0.4*2^32 = '66666666')."""
+    from validr_spark.operators.sampling import upsample_epochs
+    df = _load(spark, sf, "documents")
+    up = upsample_epochs(df, {"src0": 2.5, "src1": 0.4},
+                         source_col="source", key="doc_id")
+    return (up.groupBy("source", "epoch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source", "epoch"))
+
+
 def q_psi_quantile(spark, sf):
     """Equal-frequency PSI (operators/drift.py psi_quantile, exact
     percentile mode == DuckDB quantile_cont): documents n_chars, all
@@ -1734,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "psi_quantile": q_psi_quantile,
         "table_fp": q_table_fp,
+        "upsample": q_upsample,
         "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
@@ -2496,6 +2512,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "upsample": r"""
+            WITH rated AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.5
+                                 WHEN 'src1' THEN 0.4
+                                 ELSE 1.0 END AS rate
+              FROM documents),
+            exploded AS (
+              SELECT doc_id, source, rate,
+                     unnest(generate_series(0,
+                       CAST(ceil(rate) AS INT) - 1)) AS epoch
+              FROM rated WHERE rate > 0),
+            kept AS (
+              SELECT source, epoch FROM exploded
+              WHERE (rate - epoch) >= 1.0
+                 OR substr(md5('42|' || epoch::VARCHAR || '|'
+                               || doc_id::VARCHAR), 1, 8)
+                    < lpad(lower(hex(CAST(floor((rate - epoch)
+                                     * 4294967296.0) AS BIGINT))), 8, '0'))
+            SELECT source, epoch::INT AS epoch, count(*) AS n
+            FROM kept GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "vocab": r"""
             WITH p AS (

@@ -304,3 +304,47 @@ def test_write_training_shards_on_disk_order(spark, tmp_path):
                 assert expect[(shard, pos)] == doc
                 seen += 1
     assert seen == 500
+
+
+def test_upsample_epochs_counts_and_determinism(spark):
+    from validr_spark.operators.sampling import upsample_epochs
+    df = spark.createDataFrame(
+        [(f"d{i}", "web" if i < 400 else "wiki") for i in range(500)],
+        "doc_id string, source string")
+    up = upsample_epochs(df, {"wiki": 3.0, "web": 0.5},
+                         source_col="source", key="doc_id")
+    rows = up.groupBy("source", "epoch").count().collect()
+    by = {(r["source"], r["epoch"]): r["count"] for r in rows}
+    # wiki x3 exact full epochs
+    assert by[("wiki", 0)] == by[("wiki", 1)] == by[("wiki", 2)] == 100
+    # web 0.5: one fractional epoch, ~200 of 400 (binomial-ish via md5)
+    assert set(e for s, e in by if s == "web") == {0}
+    assert 150 < by[("web", 0)] < 250
+    # deterministic: identical on rerun
+    again = {(r["source"], r["epoch"]): r["count"]
+             for r in upsample_epochs(df, {"wiki": 3.0, "web": 0.5},
+                                      "source", "doc_id")
+             .groupBy("source", "epoch").count().collect()}
+    assert again == by
+
+
+def test_upsample_epochs_invariants(spark):
+    import pytest
+    from validr_spark.operators.sampling import upsample_epochs
+    df = spark.createDataFrame(
+        [(f"d{i}", "a") for i in range(50)], "doc_id string, source string")
+    up = upsample_epochs(df, {"a": 2.5}, "source", "doc_id")
+    # epoch 0 recovers the original corpus exactly
+    assert up.filter(F.col("epoch") == 0).count() == 50
+    # (key, epoch) unique
+    assert up.groupBy("doc_id", "epoch").count() \
+        .filter("count > 1").count() == 0
+    # unlisted source default keeps exactly one epoch
+    other = spark.createDataFrame([("x", "b")], "doc_id string, source string")
+    kept = upsample_epochs(other, {"a": 2.0}, "source", "doc_id").collect()
+    assert len(kept) == 1 and kept[0]["epoch"] == 0
+    # rate 0 drops the source entirely
+    assert upsample_epochs(other, {"b": 0.0}, "source",
+                           "doc_id").count() == 0
+    with pytest.raises(ValueError):
+        upsample_epochs(df, {"a": -1}, "source", "doc_id")

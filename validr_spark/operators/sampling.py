@@ -36,6 +36,7 @@ __all__ = [
     "hash_prefix", "fraction_threshold", "hash_sample", "split_assign",
     "weighted_mix", "stratified_sample", "sample_report",
     "temperature_weights", "write_training_shards",
+    "upsample_epochs",
 ]
 
 _PREFIX_LEN = 8          # 8 hex chars = 32 bits of the md5 digest
@@ -257,3 +258,53 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     (ordered.repartition(shards, "shard")
      .sortWithinPartitions("shard", "pos")
      .write.mode("overwrite").partitionBy("shard").format(fmt).save(path))
+
+
+def upsample_epochs(df: DataFrame, rates: dict[str, float],
+                    source_col: str, key: str, seed: str = "42",
+                    default_rate: float = 1.0,
+                    epoch_col: str = "epoch") -> DataFrame:
+    """Deterministic per-source UPSAMPLING — the other half of
+    :func:`weighted_mix` (which caps rates at 1 and points rates > 1
+    here): a rate of 2.5 yields two full copies of every row plus a
+    deterministic hash-chosen half, each copy tagged with an ``epoch``
+    number (0, 1, 2, ...).
+
+    The explicit epoch column is the point: downstream dedup/uniqueness
+    invariants stay intact (``(key, epoch)`` is unique; filtering
+    ``epoch = 0`` recovers the original corpus), and a data loader can
+    interleave epochs instead of replaying them back-to-back.
+
+    Fractional tails reuse the :func:`hash_prefix` variate with the
+    epoch folded into the seed, so epoch k's tail membership is
+    independent of epoch j's, yet every run/engine picks the same rows.
+    Map-side only — a ``sequence()`` explode per row, no shuffle, no RNG.
+    """
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError("default_rate must be >= 0")
+    src = F.col(source_col)
+    rate = None
+    for s, r in rates.items():
+        cond = src == F.lit(s)
+        rate = (F.when(cond, F.lit(float(r))) if rate is None
+                else rate.when(cond, F.lit(float(r))))
+    rate = (F.lit(float(default_rate)) if rate is None
+            else rate.otherwise(F.lit(float(default_rate))))
+    n_epochs = F.ceil(rate).cast("int")
+    out = (df.withColumn("_rate", rate)
+           .filter(F.col("_rate") > 0)
+           .withColumn(epoch_col,
+                       F.explode(F.sequence(F.lit(0), n_epochs - 1))))
+    # epoch e keeps the row iff rate - e >= 1 (full epoch) or the hash
+    # variate (salted with e) falls under the fractional remainder
+    frac = F.col("_rate") - F.col(epoch_col)
+    h = hash_prefix(
+        F.concat_ws("|", F.col(epoch_col).cast("string"),
+                    F.col(key).cast("string")), seed)
+    space = float(16 ** _PREFIX_LEN)
+    keep = (frac >= 1.0) | (h < F.lpad(F.lower(F.hex(
+        F.floor(frac * space).cast("long"))), _PREFIX_LEN, "0"))
+    return out.filter(keep).drop("_rate")
