@@ -683,6 +683,24 @@ def q_table_fp(spark, sf):
     return table_fingerprint(li)
 
 
+def q_fuzzy_ref(spark, sf):
+    """Typo-tolerant referential check (operators/referential.py
+    fuzzy_orphans, deletion-neighborhood equi-join): sources corrupted
+    deterministically (doc_id%13 appends a char, %17 becomes garbage)
+    against the clean source dimension — near-misses get the suggested
+    correction, true orphans don't.  DuckDB verifies by brute-force
+    levenshtein over the small dimension."""
+    from validr_spark.operators.referential import fuzzy_orphans
+    df = _load(spark, sf, "documents")
+    corrupted = df.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 13 == 0, F.concat("source", F.lit("x")))
+        .when(F.col("doc_id") % 17 == 0, F.lit("zzz"))
+        .otherwise(F.col("source")))
+    dim = df.select("source").distinct()
+    return fuzzy_orphans(corrupted, dim, "source")
+
+
 def q_upsample(spark, sf):
     """Deterministic epoch upsampling (operators/sampling.py
     upsample_epochs): src0 at 2.5 epochs, src1 at 0.4, everything else
@@ -1750,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_quantile": q_psi_quantile,
         "table_fp": q_table_fp,
         "upsample": q_upsample,
+        "fuzzy_ref": q_fuzzy_ref,
         "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
@@ -2512,6 +2531,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "fuzzy_ref": r"""
+            WITH dim AS (SELECT DISTINCT source FROM documents),
+            c AS (
+              SELECT CASE WHEN doc_id % 13 = 0 THEN source || 'x'
+                          WHEN doc_id % 17 = 0 THEN 'zzz'
+                          ELSE source END AS value
+              FROM documents),
+            vals AS (
+              SELECT value, count(*) AS n_rows FROM c
+              WHERE value IS NOT NULL GROUP BY 1),
+            miss AS (
+              SELECT * FROM vals
+              WHERE value NOT IN (SELECT source FROM dim)),
+            sugg AS (
+              SELECT m.value, min(d.source) AS suggestion
+              FROM miss m JOIN dim d
+                ON levenshtein(m.value, d.source) <= 1
+              GROUP BY 1)
+            SELECT m.value, m.n_rows,
+                   CASE WHEN s.suggestion IS NOT NULL
+                        THEN 'near_miss' ELSE 'orphan' END AS status,
+                   s.suggestion
+            FROM miss m LEFT JOIN sugg s ON m.value = s.value
+            ORDER BY m.value
         """,
         "upsample": r"""
             WITH rated AS (

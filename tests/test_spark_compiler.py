@@ -379,3 +379,60 @@ def test_top_k_per_group_partial_limit_plan(spark):
     assert sorted(r["rk"] for r in rows if r["g"] == 0) == [1, 2, 3]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_orphans_near_miss_vs_orphan(spark):
+    from validr_spark.operators.referential import fuzzy_orphans
+    dim = spark.createDataFrame(
+        [("wikipedia",), ("github",), ("arxiv",)], "source string")
+    df = spark.createDataFrame(
+        [("wikipedia",), ("wikipedai",),    # transposition = 2 edits
+         ("wikipedi",),                     # 1 deletion -> near miss
+         ("githb",), ("gith",),            # 1 del near-miss, 2-del orphan
+         ("qqqq",), ("arxiv1",)],           # orphan; 1 insert near-miss
+        "source string")
+    rows = {r["value"]: r for r in fuzzy_orphans(df, dim, "source").collect()}
+    assert "wikipedia" not in rows                 # exact match: not listed
+    assert rows["wikipedi"]["status"] == "near_miss"
+    assert rows["wikipedi"]["suggestion"] == "wikipedia"
+    assert rows["githb"]["status"] == "near_miss"
+    assert rows["arxiv1"]["status"] == "near_miss"
+    assert rows["wikipedai"]["status"] == "orphan"  # lev 2: not suggested
+    assert rows["gith"]["status"] == "orphan"
+    assert rows["qqqq"]["status"] == "orphan"
+
+
+def test_fuzzy_orphans_matches_brute_force(spark):
+    import random
+    from validr_spark.operators.referential import fuzzy_orphans
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[-1][-1]
+
+    rng = random.Random(11)
+    alphabet = "abc"
+    dims = list({"".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(2, 5)))
+                 for _ in range(30)})
+    keys = list({"".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(2, 5)))
+                 for _ in range(60)})
+    dim = spark.createDataFrame([(d,) for d in dims], "source string")
+    df = spark.createDataFrame([(k,) for k in keys], "source string")
+    got = {r["value"]: r["status"]
+           for r in fuzzy_orphans(df, dim, "source").collect()}
+    for k in keys:
+        if k in dims:
+            assert k not in got
+        else:
+            near = any(lev(k, d) <= 1 for d in dims)
+            assert got[k] == ("near_miss" if near else "orphan"), k
