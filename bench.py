@@ -202,7 +202,8 @@ HEADLINE = [
     "knn_join", "domain_audit", "domain_cap", "chunk_text",
     "numeric_corr", "bm25_topk", "collocations", "edit_sim", "nfc_audit",
     "join_fanout", "resample_daily", "containment", "temperature_mix",
-    "psi_quantile", "table_fp", "file_layout",
+    "psi_quantile", "table_fp", "file_layout", "vocab", "upsample",
+    "fuzzy_ref", "asof_forward", "image_audit",
 ]
 
 

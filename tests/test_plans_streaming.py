@@ -556,3 +556,23 @@ def test_windowed_violation_rates_stream(spark, tmp_path):
     # 1-of-3 bad: same point rate ballpark, but the lo bound collapses —
     # an "rate_lo > SLO" alert cannot fire off a 3-row window
     assert tiny["rate_lo"] < 0.07 < big["rate_lo"]
+
+
+def test_testing_helpers_assert_plan(spark):
+    import pytest
+    from validr_spark.testing import (assert_no_python, assert_no_shuffle,
+                                      assert_plan, count_exchanges)
+    mapside = spark.range(100).selectExpr("id * 2 AS x").filter("x > 10")
+    assert_no_shuffle(mapside)
+    assert_no_python(mapside)
+    grouped = spark.range(100).groupBy((F.col("id") % 3).alias("g")).count()
+    assert count_exchanges(grouped) >= 1
+    with pytest.raises(AssertionError, match="forbidden"):
+        assert_plan(grouped, absent=["Exchange"])
+    with pytest.raises(AssertionError, match="expected"):
+        assert_plan(mapside, contains=["SortMergeJoin"])
+    # a pandas-UDF plan is caught by assert_no_python
+    from validr_spark.operators.encoding import is_nfc
+    udfy = spark.createDataFrame([("é",)], "t string").select(is_nfc("t"))
+    with pytest.raises(AssertionError):
+        assert_no_python(udfy)
