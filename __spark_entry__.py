@@ -683,6 +683,23 @@ def q_table_fp(spark, sf):
     return table_fingerprint(li)
 
 
+def q_source_overlap(spark, sf):
+    """Cross-source duplication matrix (operators/dedup.py
+    source_overlap) over documents with deterministic cross-source
+    duplication injected (docs with doc_id%10<2 share text across
+    sources via a modular rewrite both engines perform identically)."""
+    from validr_spark.operators.dedup import source_overlap
+    df = _load(spark, sf, "documents")
+    # inject overlap: every doc_id%10<2 row replaces its text with a
+    # shared blob keyed by doc_id%7 (same rule in the oracle)
+    shared = F.concat(F.lit("shared blob "),
+                      (F.col("doc_id") % 7).cast("string"))
+    df = df.withColumn(
+        "text", F.when(F.col("doc_id") % 10 < 2, shared)
+        .otherwise(F.col("text")))
+    return source_overlap(df)
+
+
 def q_fuzzy_ref(spark, sf):
     """Typo-tolerant referential check (operators/referential.py
     fuzzy_orphans, deletion-neighborhood equi-join): sources corrupted
@@ -1769,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fp": q_table_fp,
         "upsample": q_upsample,
         "fuzzy_ref": q_fuzzy_ref,
+        "source_overlap": q_source_overlap,
         "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
@@ -2531,6 +2549,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "source_overlap": r"""
+            WITH t AS (
+              SELECT CASE WHEN doc_id % 10 < 2
+                          THEN 'shared blob ' || (doc_id % 7)::VARCHAR
+                          ELSE text END AS text,
+                     source
+              FROM documents),
+            fp AS (
+              SELECT DISTINCT
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fp,
+                     source AS src
+              FROM t WHERE text IS NOT NULL),
+            tot AS (SELECT src, count(*) AS n_distinct FROM fp GROUP BY 1),
+            p AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     count(*) AS n_shared
+              FROM fp a JOIN fp b
+                ON a.fp = b.fp AND a.src <> b.src
+              GROUP BY 1, 2)
+            SELECT source_a, source_b, n_shared,
+                   round(n_shared::DOUBLE / n_distinct, 6) AS frac_of_a
+            FROM p JOIN tot ON tot.src = p.source_a
+            ORDER BY source_a, source_b
         """,
         "fuzzy_ref": r"""
             WITH dim AS (SELECT DISTINCT source FROM documents),

@@ -529,3 +529,24 @@ def test_detect_media_kind_router(spark):
         "id", detect_media_kind("content").alias("k")).collect()}
     assert got == {1: "image", 2: "image", 3: "audio", 4: "audio",
                    5: "video", 6: "video", 7: None, 8: "video"}
+
+
+def test_source_overlap_matrix(spark):
+    from validr_spark.operators.dedup import source_overlap
+    df = spark.createDataFrame(
+        [(1, "Dup One", "a"), (2, "dup  one", "b"),   # same after norm
+         (3, "unique a", "a"), (4, "unique a2", "a"),
+         (5, "dup one", "c"), (6, "only c", "c")],
+        "doc_id long, text string, source string")
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in source_overlap(df).collect()}
+    # a has 3 distinct contents, 1 shared with b and with c
+    assert rows[("a", "b")]["n_shared"] == 1
+    assert abs(rows[("a", "b")]["frac_of_a"] - 1 / 3) < 1e-6
+    # b has only 1 distinct content, fully contained in a and c
+    assert rows[("b", "a")]["frac_of_a"] == 1.0
+    assert rows[("b", "c")]["frac_of_a"] == 1.0
+    # c: 2 distinct, 1 shared -> 0.5
+    assert abs(rows[("c", "a")]["frac_of_a"] - 0.5) < 1e-6
+    # disjoint-only pairs are absent, not zero-rows
+    assert ("a", "a") not in rows

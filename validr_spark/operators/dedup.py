@@ -423,3 +423,42 @@ def lsh_parameters(threshold: float, num_hashes: int = 64) -> dict:
         "false_negative_at_threshold": 1.0 - p_cand(threshold),
         "p_candidate_at_half_threshold": p_cand(threshold / 2),
     }
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a, b), how many of a's DISTINCT content fingerprints also appear in
+    b (``n_shared``), as a fraction of a's distinct contents
+    (``frac_of_a``) — the provenance-overlap question ("how much of this
+    new crawl is already inside CommonCrawl?") answered corpus-wide.
+
+    Asymmetric on purpose: a 1k-doc source fully contained in a 1B-doc
+    source shows frac_of_a = 1.0 one way and ~0 the other.
+
+    Scale shape: one scan → distinct (fingerprint, source) projection
+    (hash-agg, shuffle ≤ distinct pairs) → self-join ON FINGERPRINT
+    (co-partitioned by the same key, so the join reuses the aggregation
+    exchange) → pair-sized count matrix joined to per-source distinct
+    totals.  Only rows whose fingerprint occurs in BOTH sources ever
+    reach the pair count — disjoint content never joins.
+    """
+    fp = (df.filter(F.col(text_col).isNotNull())
+          .select(F.md5(normalize_text(F.col(text_col))).alias("fp"),
+                  F.col(source_col).alias("src"))
+          .distinct())
+    totals = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n_distinct"))
+    pairs = (fp.alias("a")
+             .join(fp.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.src") != F.col("b.src")))
+             .groupBy(F.col("a.src").alias("source_a"),
+                      F.col("b.src").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (pairs.join(totals.select(F.col("src").alias("source_a"),
+                                     "n_distinct"), "source_a")
+            .select("source_a", "source_b", "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_distinct"), 6)
+                    .alias("frac_of_a"))
+            .orderBy("source_a", "source_b"))
