@@ -683,6 +683,21 @@ def q_table_fp(spark, sf):
     return table_fingerprint(li)
 
 
+def q_value_variants(spark, sf):
+    """Enum-rot detector (operators/suggest.py value_variants) on the
+    documents lang column with deterministic case/whitespace corruption
+    (doc_id%11==0 uppercases, ==1 appends a space); DuckDB rebuilds the
+    clusters with an ordered list aggregate."""
+    from validr_spark.operators.suggest import value_variants
+    df = _load(spark, sf, "documents")
+    corrupted = df.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("lang"))
+        .when(F.col("doc_id") % 11 == 1, F.concat("lang", F.lit(" ")))
+        .otherwise(F.col("lang")))
+    return value_variants(corrupted, "lang")
+
+
 def q_source_overlap(spark, sf):
     """Cross-source duplication matrix (operators/dedup.py
     source_overlap) over documents with deterministic cross-source
@@ -1787,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": q_upsample,
         "fuzzy_ref": q_fuzzy_ref,
         "source_overlap": q_source_overlap,
+        "value_variants": q_value_variants,
         "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
@@ -2549,6 +2565,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "value_variants": r"""
+            WITH c AS (
+              SELECT CASE WHEN doc_id % 11 = 0 THEN upper(lang)
+                          WHEN doc_id % 11 = 1 THEN lang || ' '
+                          ELSE lang END AS raw
+              FROM documents WHERE lang IS NOT NULL),
+            cnt AS (SELECT raw, count(*) AS n FROM c GROUP BY 1),
+            keyed AS (
+              SELECT raw, n,
+                     regexp_replace(lower(trim(raw)), '\s+', ' ', 'g')
+                       AS key,
+                     row_number() OVER (
+                       PARTITION BY regexp_replace(lower(trim(raw)),
+                                                   '\s+', ' ', 'g')
+                       ORDER BY n DESC, raw) AS rk
+              FROM cnt)
+            SELECT key,
+                   min(CASE WHEN rk = 1 THEN raw END) AS canonical,
+                   count(*) AS n_variants,
+                   sum(n) AS n_rows,
+                   list(raw ORDER BY rk) FILTER (WHERE rk <= 8)
+                     AS variants
+            FROM keyed GROUP BY key HAVING count(*) > 1
+            ORDER BY sum(n) DESC, key
         """,
         "source_overlap": r"""
             WITH t AS (

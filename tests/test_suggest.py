@@ -61,3 +61,36 @@ def test_draft_flags_out_of_envelope_rows(spark, df):
 def test_enum_not_suggested_for_high_cardinality(spark, df):
     els = suggest_elements(df, enum_max=2)
     assert els["lang"].startswith("str.")  # 3 distinct > 2 → plain str
+
+
+def test_value_variants_clusters(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from validr_spark.operators.suggest import value_variants
+    df = spark.createDataFrame(
+        [("US",), ("US",), ("us",), ("US ",),
+         ("uk",), ("UK",), ("UK",),
+         ("DE",), (None,)],
+        "country string")
+    rows = {r["key"]: r for r in value_variants(df, "country").collect()}
+    assert set(rows) == {"us", "uk"}        # DE has one form; NULL ignored
+    us = rows["us"]
+    assert us["canonical"] == "US"          # most frequent raw form
+    assert us["n_variants"] == 3 and us["n_rows"] == 4
+    assert us["variants"][0] == "US"        # rank order preserved
+    uk = rows["uk"]
+    assert uk["canonical"] == "UK" and uk["n_variants"] == 2
+
+
+def test_value_variants_bounded_sample(spark):
+    from validr_spark.operators.suggest import value_variants
+    # 50 raw forms of one key: sample capped, counts still exact
+    # forms "v<2k spaces>x" for k=1..49 all normalize to "v x" (the
+    # k=0 form "vx" is its own single-variant cluster and is filtered)
+    df = spark.createDataFrame(
+        [(f"v{'  ' * (i % 50)}x",) for i in range(200)], "c string")
+    rows = value_variants(df, "c", max_variants_shown=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "v x"
+    assert r["n_variants"] == 49 and r["n_rows"] == 196
+    assert len(r["variants"]) == 5

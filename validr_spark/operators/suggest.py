@@ -33,7 +33,7 @@ from pyspark.sql import types as st
 
 from validr_spark.schema import Schema
 
-__all__ = ["suggest_schema", "suggest_elements"]
+__all__ = ["suggest_schema", "suggest_elements", "value_variants"]
 
 _SUGGESTABLE_ENUM = (st.StringType, st.LongType, st.IntegerType,
                      st.ShortType, st.ByteType)
@@ -186,3 +186,47 @@ def suggest_schema(df: DataFrame, enum_max: int = 12,
     iso = suggest_elements(df, enum_max=enum_max, enum_min_rows=enum_min_rows)
     iso["$self"] = "dict"
     return Schema.parse_isomorph_schema(iso)
+
+
+def value_variants(df: DataFrame, col: str,
+                   max_variants_shown: int = 8) -> DataFrame:
+    """Spelling/casing/whitespace variant clusters in a categorical
+    column: values that are IDENTICAL after casefold+trim+space-collapse
+    but differ raw ("US", "us ", " u s"?no — "US"/"us"/"US ") — the
+    enum-rot an `enum` validator then rejects row by row.  One row per
+    cluster that has >1 raw form: the suggested canonical (most frequent
+    raw form, ties to the lexicographically smallest), total rows,
+    variant count, and a bounded sample of the raw forms with counts.
+
+    Feed the output to a `regexp_replace`/`when` repair map, then pin the
+    column with `T.enum(...)` (operators/suggest.suggest_elements will
+    propose it once the variants collapse).
+
+    Scale shape: one hash-agg on the raw value (shuffle ≤ distinct raw
+    values), then a normalized-key agg over that value-sized table;
+    the per-cluster variant list is bounded by ``max_variants_shown``
+    via the same windowed-null trick as ``exact_duplicates`` — no
+    unbounded collect state even if a key has 10^6 raw forms.
+    """
+    from pyspark.sql import Window
+    raw = (df.filter(F.col(col).isNotNull())
+           .groupBy(F.col(col).alias("raw"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("raw"))), r"\s+", " ")
+    keyed = raw.withColumn("key", norm)
+    w = Window.partitionBy("key").orderBy(F.desc("n"), "raw")
+    ranked = keyed.withColumn("_rk", F.row_number().over(w))
+    return (ranked.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.sum("n").alias("n_rows"),
+                 F.first(F.when(F.col("_rk") == 1, F.col("raw")),
+                         ignorenulls=True).alias("canonical"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rk") <= max_variants_shown,
+                            F.struct(F.col("_rk"), F.col("raw"),
+                                     F.col("n"))))).alias("_vs"))
+            .filter(F.col("n_variants") > 1)
+            .select("key", "canonical", "n_variants", "n_rows",
+                    F.transform("_vs", lambda s: s["raw"])
+                    .alias("variants"))
+            .orderBy(F.desc("n_rows"), "key"))
