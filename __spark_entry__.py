@@ -683,6 +683,18 @@ def q_table_fp(spark, sf):
     return table_fingerprint(li)
 
 
+def q_psi_groups(spark, sf):
+    """Per-group PSI in one pass (operators/drift.py psi_by_group):
+    even event_ids as reference vs odd as new, grouped by event_type —
+    the fleet-monitoring shape (two aggregates for all groups, not two
+    jobs per group)."""
+    from validr_spark.operators.drift import psi_by_group
+    ev = _load(spark, sf, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_by_group(ref, new, "value", by="event_type", bins=10)
+
+
 def q_value_variants(spark, sf):
     """Enum-rot detector (operators/suggest.py value_variants) on the
     documents lang column with deterministic case/whitespace corruption
@@ -1803,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_ref": q_fuzzy_ref,
         "source_overlap": q_source_overlap,
         "value_variants": q_value_variants,
+        "psi_groups": q_psi_groups,
         "vocab": q_vocab,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
@@ -2565,6 +2578,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.01
             ORDER BY id_a, id_b
+        """,
+        "psi_groups": r"""
+            WITH rng AS (
+              SELECT event_type AS grp, min(value) AS lo, max(value) AS hi
+              FROM events
+              WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+            rb AS (
+              SELECT r.grp,
+                     CASE WHEN r.hi > r.lo
+                          THEN least(greatest(CAST(floor((e.value - r.lo)
+                            / ((r.hi - r.lo) / 10)) AS INT), 0), 9)
+                          ELSE 0 END AS bin,
+                     count(*)::BIGINT AS n_ref
+              FROM events e JOIN rng r ON e.event_type = r.grp
+              WHERE e.event_id % 2 = 0 AND e.value IS NOT NULL
+              GROUP BY 1, 2),
+            nb AS (
+              SELECT r.grp,
+                     CASE WHEN r.hi > r.lo
+                          THEN least(greatest(CAST(floor((e.value - r.lo)
+                            / ((r.hi - r.lo) / 10)) AS INT), 0), 9)
+                          ELSE 0 END AS bin,
+                     count(*)::BIGINT AS n_new
+              FROM events e JOIN rng r ON e.event_type = r.grp
+              WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+              GROUP BY 1, 2),
+            j AS (
+              SELECT coalesce(rb.grp, nb.grp) AS grp,
+                     coalesce(rb.bin, nb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_new, 0) AS n_new
+              FROM rb FULL OUTER JOIN nb
+                ON rb.grp = nb.grp AND rb.bin = nb.bin),
+            tot AS (SELECT grp, sum(n_ref)::DOUBLE AS tr,
+                           sum(n_new)::DOUBLE AS tn FROM j GROUP BY 1)
+            SELECT j.grp AS event_type,
+                   CASE WHEN any_value(tn) > 0 THEN
+                     round(sum((greatest(n_ref / tr, 1e-6)
+                                - greatest(n_new / tn, 1e-6))
+                           * ln(greatest(n_ref / tr, 1e-6)
+                                / greatest(n_new / tn, 1e-6))), 6)
+                   END AS psi,
+                   any_value(tr)::BIGINT AS n_ref_rows,
+                   any_value(tn)::BIGINT AS n_new_rows
+            FROM j JOIN tot ON tot.grp = j.grp
+            GROUP BY j.grp ORDER BY 1
         """,
         "value_variants": r"""
             WITH c AS (

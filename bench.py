@@ -203,7 +203,8 @@ HEADLINE = [
     "numeric_corr", "bm25_topk", "collocations", "edit_sim", "nfc_audit",
     "join_fanout", "resample_daily", "containment", "temperature_mix",
     "psi_quantile", "table_fp", "file_layout", "vocab", "upsample",
-    "fuzzy_ref", "asof_forward", "image_audit",
+    "fuzzy_ref", "asof_forward", "image_audit", "source_overlap",
+    "value_variants",
 ]
 
 

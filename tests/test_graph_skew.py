@@ -384,3 +384,29 @@ def test_drift_report_matches_standalone_ops(spark):
     assert abs(rep["c"]["jsd"] - round(jd, 6)) < 2e-6
     assert rep["c"]["ks"] is None and rep["v"]["jsd"] is None
     assert (rep["v"]["n_ref"], rep["v"]["n_new"]) == (60, 40)
+
+
+def test_psi_by_group_matches_standalone(spark):
+    from validr_spark.operators.drift import psi, psi_by_group
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)]
+        + [("b", float(i * 2)) for i in range(80)]
+        + [("c", 5.0)] * 10,                 # ref-only group
+        "g string, v double")
+    new = spark.createDataFrame(
+        [("a", float(i) + 20) for i in range(50)]
+        + [("b", float(i * 2)) for i in range(80)],
+        "g string, v double")
+    got = {r["g"]: r for r in psi_by_group(ref, new, "v", "g").collect()}
+    for grp in ("a", "b"):
+        solo = psi(ref.filter(F.col("g") == grp),
+                   new.filter(F.col("g") == grp), "v").collect()[0]["psi"]
+        assert abs(got[grp]["psi"] - round(solo, 6)) < 2e-6, grp
+    assert abs(got["b"]["psi"]) < 1e-9        # identical dist
+    assert got["c"]["psi"] is None            # no new rows: no statement
+    assert got["c"]["n_new_rows"] == 0
+    # new-only groups (no reference range) are absent entirely
+    extra = new.unionByName(
+        spark.createDataFrame([("z", 1.0)], "g string, v double"))
+    assert "z" not in {r["g"] for r in
+                       psi_by_group(ref, extra, "v", "g").collect()}

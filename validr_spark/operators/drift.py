@@ -354,3 +354,55 @@ def drift_report(df_ref: DataFrame, df_new: DataFrame,
     if not parts:
         raise ValueError("drift_report: pass numeric_cols and/or cat_cols")
     return _reduce(DataFrame.unionByName, parts).orderBy("column")
+
+
+def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
+                 by: str, bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """PSI per group in ONE pass per side — the fleet-monitoring shape:
+    one row per ``by`` value with its PSI over equal-width bins of that
+    group's REFERENCE range.
+
+    Calling :func:`psi` in a loop over 10,000 sources costs 20,000 scan
+    jobs; this computes identical per-group statistics with two
+    aggregates (group-range, then (group, bin) counts on both sides
+    joined full-outer) — shuffles carry |groups| and |groups|·bins rows.
+    Groups present on only one side get NULL psi (no reference = no
+    statement, not zero drift).
+    """
+    g = F.col(by).alias("grp")
+    rng = (df_ref.filter(F.col(col).isNotNull()).groupBy(g)
+           .agg(F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi")))
+
+    def binned(df, nname):
+        src = F.col(col).cast("double")
+        x = F.col("x")
+        w = (F.col("hi") - F.col("lo")) / bins
+        raw = F.floor((x - F.col("lo")) / w).cast("int")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        safe = F.when(F.col("hi") > F.col("lo"), b).otherwise(F.lit(0))
+        return (df.filter(src.isNotNull()).select(g, src.alias("x"))
+                .join(rng, "grp")           # inner: drops no-ref groups
+                .groupBy("grp", safe.alias("bin"))
+                .agg(F.count(F.lit(1)).alias(nname)))
+
+    r = binned(df_ref, "n_ref")
+    n = binned(df_new, "n_new")
+    j = (r.join(n, ["grp", "bin"], "full_outer")
+         .fillna(0, subset=["n_ref", "n_new"]))
+    tot = j.groupBy("grp").agg(F.sum("n_ref").alias("tr"),
+                               F.sum("n_new").alias("tn"))
+    # try_divide: a ref-only group has tn = 0 — its psi is NULLed below,
+    # but under ANSI a plain 0/0 would kill the whole job first
+    p = F.greatest(F.try_divide("n_ref", "tr"), F.lit(eps))
+    q = F.greatest(F.try_divide("n_new", "tn"), F.lit(eps))
+    return (j.join(tot, "grp")
+            .groupBy("grp")
+            .agg(F.when(F.first("tn") > 0,
+                        F.round(F.sum((p - q) * F.log(p / q)), 6))
+                 .alias("psi"),
+                 F.first("tr").alias("n_ref_rows"),
+                 F.first("tn").alias("n_new_rows"))
+            .select(F.col("grp").alias(by), "psi",
+                    "n_ref_rows", "n_new_rows")
+            .orderBy(by))
