@@ -2752,11 +2752,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_fp": r"""
             SELECT count(*) AS n_rows,
-                   bit_xor(('0x' || substr(md5(concat_ws('|',
-                       coalesce(l_orderkey::VARCHAR, ' NULL'),
-                       coalesce(l_partkey::VARCHAR, ' NULL'),
-                       coalesce(l_linenumber::VARCHAR, ' NULL'),
-                       coalesce(l_returnflag, ' NULL'))),
+                   bit_xor(('0x' || substr(md5(
+                       CASE WHEN l_orderkey IS NULL THEN 'N'
+                            ELSE length(l_orderkey::VARCHAR)::VARCHAR
+                                 || ':' || l_orderkey::VARCHAR END ||
+                       CASE WHEN l_partkey IS NULL THEN 'N'
+                            ELSE length(l_partkey::VARCHAR)::VARCHAR
+                                 || ':' || l_partkey::VARCHAR END ||
+                       CASE WHEN l_linenumber IS NULL THEN 'N'
+                            ELSE length(l_linenumber::VARCHAR)::VARCHAR
+                                 || ':' || l_linenumber::VARCHAR END ||
+                       CASE WHEN l_returnflag IS NULL THEN 'N'
+                            ELSE length(l_returnflag)::VARCHAR
+                                 || ':' || l_returnflag END),
                      1, 15))::BIGINT) AS fingerprint
             FROM lineitem
         """,

@@ -550,3 +550,63 @@ def test_source_overlap_matrix(spark):
     assert abs(rows[("c", "a")]["frac_of_a"] - 0.5) < 1e-6
     # disjoint-only pairs are absent, not zero-rows
     assert ("a", "a") not in rows
+
+
+def _wav18(rate=48000, ch=1, bits=16, data_len=96000):
+    import struct
+    byte_rate = rate * ch * bits // 8
+    return (b"RIFF" + struct.pack("<I", 38 + data_len) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHHH", 18, 1, ch, rate,
+                                    byte_rate, ch * bits // 8, bits, 0)
+            + b"data" + struct.pack("<I", data_len) + b"\x00" * 16)
+
+
+def test_wav_18_byte_fmt_and_non_data_chunk(spark):
+    import struct
+    from validr_spark.operators.multimodal import wav_properties
+    # a LIST chunk where data was expected: must yield NULLs, not garbage
+    lst = (b"RIFF" + struct.pack("<I", 1000) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                   96000, 2, 16)
+           + b"LIST" + struct.pack("<I", 100) + b"\x00" * 16)
+    df = spark.createDataFrame(
+        [(1, _wav18(48000, 1, 16, 96000)), (2, lst)],
+        "id long, content binary")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", wav_properties(df).alias("p")).collect()}
+    assert tuple(got[1]) == (48000, 1, 16, 1000)   # 18-byte fmt parsed
+    assert tuple(got[2]) == (None, None, None, None)
+
+
+def _bmp_core(w, h):
+    import struct
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+            + struct.pack("<HH", w, h) + b"\x00" * 8)
+
+
+def test_bmp_core_header_and_unknown_dib(spark):
+    import struct
+    from validr_spark.operators.multimodal import image_dimensions
+    weird = b"BM" + b"\x00" * 12 + struct.pack("<I", 99) + b"\x00" * 12
+    df = spark.createDataFrame(
+        [(1, _bmp_core(100, 100)), (2, weird)], "id long, content binary")
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", image_dimensions(df).alias("d")).collect()}
+    assert tuple(got[1]) == ("bmp", 100, 100)      # OS/2 core header
+    assert tuple(got[2]) == (None, None, None)     # unknown DIB: no guess
+
+
+def test_jpeg_fill_bytes_and_eoi(spark):
+    import struct
+    from validr_spark.operators.multimodal import jpeg_dimensions
+    # legal 0xFF fill padding before the SOF marker
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 77, 99) + b"\x01\x11\x00")
+    padded = b"\xff\xd8" + b"\xff" * 7 + sof0 + b"\xff\xda\x00\x02"
+    # EOI before any SOF: walk must stop cleanly with NULLs
+    eoi = b"\xff\xd8\xff\xd9" + b"garbage" * 10
+    df = spark.createDataFrame(
+        [(1, padded), (2, eoi)], "id long, content binary")
+    got = {r["id"]: r["jpeg_dims"] for r in jpeg_dimensions(df).collect()}
+    assert tuple(got[1]) == (99, 77)
+    assert tuple(got[2]) == (None, None)

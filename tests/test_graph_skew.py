@@ -410,3 +410,15 @@ def test_psi_by_group_matches_standalone(spark):
         spark.createDataFrame([("z", 1.0)], "g string, v double"))
     assert "z" not in {r["g"] for r in
                        psi_by_group(ref, extra, "v", "g").collect()}
+
+
+def test_psi_empty_side_yields_null_not_error(spark):
+    # review finding: plain / threw DIVIDE_BY_ZERO under ANSI and killed
+    # the whole job (incl. any drift_report containing the column)
+    from validr_spark.operators.drift import drift_report, psi, psi_quantile
+    ref = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    assert psi(ref, empty, "v").collect()[0]["psi"] is None
+    assert psi_quantile(ref, empty, "v").collect()[0]["psi"] is None
+    rep = drift_report(ref, empty, numeric_cols=["v"]).collect()[0]
+    assert rep["psi"] is None and rep["n_new"] == 0

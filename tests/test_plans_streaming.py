@@ -576,3 +576,21 @@ def test_testing_helpers_assert_plan(spark):
     udfy = spark.createDataFrame([("é",)], "t string").select(is_nfc("t"))
     with pytest.raises(AssertionError):
         assert_no_python(udfy)
+
+
+def test_assert_no_python_catches_grouped_agg_pandas_udf(spark):
+    # review finding: ArrowAggregatePython was missing from the deny-list
+    import pandas as pd
+    import pytest
+    from pyspark.sql.functions import pandas_udf
+    from validr_spark.testing import assert_no_python
+
+    @pandas_udf("double")
+    def mean_udf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    df = (spark.range(100)
+          .groupBy((F.col("id") % 3).alias("g"))
+          .agg(mean_udf(F.col("id").cast("double"))))
+    with pytest.raises(AssertionError):
+        assert_no_python(df)

@@ -176,3 +176,31 @@ def test_file_report_rowcounts_match_duckdb(spark, tmp_path):
         f"SELECT file_name, num_rows FROM "
         f"parquet_file_metadata('{d}/*.parquet')").fetchall())
     assert rep == {k: v for k, v in duck.items()}
+
+
+def test_file_report_includes_zero_row_files(spark, tmp_path):
+    from validr_spark.operators.files import file_report, small_file_advice
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "z")
+    spark.range(10).repartition(2).write.parquet(d)
+    # footer-only empty part files (what a heavily-filtered write leaves
+    # behind): zero _metadata scan rows, but very much on disk
+    for i in range(3):
+        pq.write_table(pa.table({"id": pa.array([], type=pa.int64())}),
+                       f"{d}/part-empty-{i}.parquet")
+    rep = file_report(spark, d).collect()
+    assert len(rep) == 5                       # all physical part files
+    assert sum(r["n_rows"] for r in rep) == 10
+    assert sum(1 for r in rep if r["n_rows"] == 0) == 3
+    adv = small_file_advice(spark, d, target_bytes=1 << 20).collect()[0]
+    assert adv["n_files"] == 5                 # empty files counted
+
+
+def test_corrupt_col_rejected_for_parquet(spark, tmp_path):
+    # review finding: silently ignored for self-describing formats
+    from validr_spark.sources.tables import read_table
+    p = str(tmp_path / "t2")
+    spark.createDataFrame([(1,)], "x long").write.parquet(p)
+    with pytest.raises(ValueError, match="JSON/CSV"):
+        read_table(spark, p, corrupt_col="_bad")

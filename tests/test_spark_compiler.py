@@ -436,3 +436,17 @@ def test_fuzzy_orphans_matches_brute_force(spark):
         else:
             near = any(lev(k, d) <= 1 for d in dims)
             assert got[k] == ("near_miss" if near else "orphan"), k
+
+
+def test_table_fingerprint_boundary_and_null_unambiguous(spark):
+    # review finding: 'a|b','c' vs 'a','b|c' collided; ' NULL' vs NULL too
+    from validr_spark.operators.stats import table_fingerprint
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    fa = table_fingerprint(a).collect()[0]["fingerprint"]
+    fb = table_fingerprint(b).collect()[0]["fingerprint"]
+    assert fa != fb
+    c = spark.createDataFrame([(" NULL",)], "x string")
+    d = spark.createDataFrame([(None,)], "x string")
+    assert table_fingerprint(c).collect()[0]["fingerprint"] \
+        != table_fingerprint(d).collect()[0]["fingerprint"]

@@ -172,10 +172,13 @@ def psi(df_ref: DataFrame, df_new: DataFrame, col: str,
     j = (r.join(n, "bin", "full_outer")
          .fillna(0, subset=["n_ref", "n_new"]))
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
-    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(eps))
-    q = F.greatest(F.col("n_new") / F.col("tn"), F.lit(eps))
+    # try_divide + NULL-out: an empty side (total 0) must yield psi NULL,
+    # not a DIVIDE_BY_ZERO that kills the job under ANSI (default-on)
+    p = F.greatest(F.try_divide("n_ref", "tr"), F.lit(eps))
+    q = F.greatest(F.try_divide("n_new", "tn"), F.lit(eps))
     return (j.crossJoin(F.broadcast(tot))
-            .agg(F.sum((p - q) * F.log(p / q)).alias("psi"),
+            .agg(F.when((F.min("tr") > 0) & (F.min("tn") > 0),
+                        F.sum((p - q) * F.log(p / q))).alias("psi"),
                  F.count(F.lit(1)).alias("n_bins")))
 
 
@@ -300,10 +303,13 @@ def psi_quantile(df_ref: DataFrame, df_new: DataFrame, col: str,
     j = (r.join(n, "bin", "full_outer")
          .fillna(0, subset=["n_ref", "n_new"]))
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
-    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(eps))
-    q = F.greatest(F.col("n_new") / F.col("tn"), F.lit(eps))
+    # try_divide + NULL-out: an empty side (total 0) must yield psi NULL,
+    # not a DIVIDE_BY_ZERO that kills the job under ANSI (default-on)
+    p = F.greatest(F.try_divide("n_ref", "tr"), F.lit(eps))
+    q = F.greatest(F.try_divide("n_new", "tn"), F.lit(eps))
     return (j.crossJoin(F.broadcast(tot))
-            .agg(F.sum((p - q) * F.log(p / q)).alias("psi"),
+            .agg(F.when((F.min("tr") > 0) & (F.min("tn") > 0),
+                        F.sum((p - q) * F.log(p / q))).alias("psi"),
                  F.count(F.lit(1)).alias("n_bins")))
 
 

@@ -22,31 +22,56 @@ from pyspark.sql import functions as F
 __all__ = ["file_report", "small_file_advice"]
 
 
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(uri, bytes) for every data file under ``path``, via the Hadoop
+    FileSystem API — driver-side metadata listing (the same O(files)
+    cost any compaction tool pays), works for local and HDFS-style URIs.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        base = name.rsplit("/", 1)[-1]
+        if base.startswith("_") or base.startswith("."):
+            continue            # _SUCCESS, _metadata, hidden files
+        out.append((name, int(st.getLen())))
+    return out
+
+
 def file_report(spark: SparkSession, paths: str | list[str],
                 count_rows: bool = True) -> DataFrame:
     """One row per physical parquet file under ``paths``: file name,
     bytes, and (optionally) row count.
 
-    Sources with different schemas can be mixed (each path is scanned
-    separately and only ``_metadata`` is kept, so the union always
-    aligns).  With ``count_rows=False`` the scan touches footers and
-    file listings only; with it, the count uses the normal vectorized
-    parquet reader (columns are pruned to zero data fields).
+    The file LIST comes from a filesystem listing, not from scan rows —
+    a zero-row part file (empty partitions, heavily-filtered writes:
+    exactly the fragmentation this tool hunts) produces no ``_metadata``
+    rows and would silently vanish from a scan-derived report; here it
+    appears with ``n_rows = 0``.  Sources with different schemas can be
+    mixed.  ``count_rows=True`` adds per-file counts from a
+    zero-data-column scan joined back on the file URI.
     """
     if isinstance(paths, str):
         paths = [paths]
+    listed = [f for p in paths for f in _list_files(spark, p)]
+    base = spark.createDataFrame(listed, "file string, bytes long")
+    if not count_rows:
+        return base.orderBy("file")
     parts = []
     for p in paths:
         d = spark.read.parquet(p).select(
-            F.col("_metadata.file_path").alias("file"),
-            F.col("_metadata.file_size").alias("bytes"))
+            F.col("_metadata.file_path").alias("file"))
         parts.append(d)
     u = reduce(DataFrame.unionAll, parts)
-    if count_rows:
-        return (u.groupBy("file", "bytes")
-                .agg(F.count(F.lit(1)).alias("n_rows"))
-                .orderBy("file"))
-    return u.dropDuplicates(["file"]).orderBy("file")
+    counts = u.groupBy("file").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (base.join(counts, "file", "left")
+            .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+            .orderBy("file"))
 
 
 def small_file_advice(spark: SparkSession, paths: str | list[str],

@@ -239,22 +239,31 @@ def image_dimensions(df: DataFrame, content_col: str = "content"):
     head = F.hex(F.substring(c, 1, 8))
     is_png = head == "89504E470D0A1A0A"
     is_gif = head.startswith("474946383761") | head.startswith("474946383961")
-    is_bmp = head.startswith("424D")
+    # BMP dimension offsets depend on the DIB header size at byte 15:
+    # 40 (BITMAPINFOHEADER) and the 52/56/108/124 extensions share i32
+    # width/height at 19/23; the OS/2 12-byte BITMAPCOREHEADER stores
+    # u16 at 19/21.  Anything else (or a truncated header) -> NULLs.
+    dib = _le(c, 15, 4)
+    is_bmp_info = (head.startswith("424D") & (n >= 26)
+                   & dib.isin(40, 52, 56, 108, 124))
+    is_bmp_core = head.startswith("424D") & (n >= 22) & (dib == 12)
     is_jpeg = head.startswith("FFD8FF")
     fmt = (F.when(is_png & (n >= 24), "png")
            .when(is_gif & (n >= 10), "gif")
-           .when(is_bmp & (n >= 26), "bmp")
+           .when(is_bmp_info | is_bmp_core, "bmp")
            .when(is_jpeg, "jpeg"))
     width = (F.when(is_png & (n >= 24), _be(c, 17, 4))
              .when(is_gif & (n >= 10), _le(c, 7, 2))
-             .when(is_bmp & (n >= 26), _le(c, 19, 4)))
+             .when(is_bmp_info, _le(c, 19, 4))
+             .when(is_bmp_core, _le(c, 19, 2)))
     height = (F.when(is_png & (n >= 24), _be(c, 21, 4))
               .when(is_gif & (n >= 10), _le(c, 9, 2))
-              # BMP height is signed; negative = top-down row order
-              .when(is_bmp & (n >= 26),
+              # BITMAPINFOHEADER height is signed; negative = top-down
+              .when(is_bmp_info,
                     F.abs(F.when(_le(c, 23, 4) >= (1 << 31),
                                  _le(c, 23, 4) - (1 << 32))
-                          .otherwise(_le(c, 23, 4)))))
+                          .otherwise(_le(c, 23, 4))))
+              .when(is_bmp_core, _le(c, 21, 2)))
     return F.struct(fmt.alias("format"), width.cast("int").alias("width"),
                     height.cast("int").alias("height"))
 
@@ -318,14 +327,23 @@ def wav_properties(df: DataFrame, content_col: str = "content"):
     """
     c = F.col(content_col)
     n = F.octet_length(c)
-    canonical = ((F.hex(F.substring(c, 1, 4)) == "52494646")
-                 & (F.hex(F.substring(c, 9, 8)) == "57415645666D7420")
-                 & (n >= 44))
+    riff_wave = ((F.hex(F.substring(c, 1, 4)) == "52494646")
+                 & (F.hex(F.substring(c, 9, 8)) == "57415645666D7420"))
+    fmt_size = _le(c, 17, 4)
+    # fmt chunk is 16 bytes for plain PCM, 18 for the cbSize=0 variant
+    # virtually every other encoder writes; the data chunk header then
+    # sits right after it — VERIFY its magic, or a LIST/fact chunk in
+    # that slot would make the size field garbage
+    canon16 = (riff_wave & (fmt_size == 16) & (n >= 44)
+               & (F.hex(F.substring(c, 37, 4)) == "64617461"))
+    canon18 = (riff_wave & (fmt_size == 18) & (n >= 46)
+               & (F.hex(F.substring(c, 39, 4)) == "64617461"))
+    canonical = canon16 | canon18
     rate = _le(c, 25, 4)
     channels = _le(c, 23, 2)
     bits = _le(c, 35, 2)
     byte_rate = _le(c, 29, 4)
-    data_sz = _le(c, 41, 4)
+    data_sz = F.when(canon16, _le(c, 41, 4)).when(canon18, _le(c, 43, 4))
     dur = F.when(byte_rate > 0,
                  F.round(data_sz * 1000.0 / byte_rate).cast("int"))
     return F.struct(
@@ -365,11 +383,17 @@ def jpeg_dimensions(df: DataFrame, content_col: str = "content",
                         i += 1
                         continue
                     marker = buf[i + 1]
+                    if marker == 0xFF:
+                        i += 1          # 0xFF fill byte (T.81 B.1.1.2)
+                        continue
                     if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                         i += 2          # standalone markers, no length
                         continue
-                    if marker == 0xDA:  # start of scan: frame header passed
-                        break
+                    if marker in (0xDA, 0xD9):
+                        break           # start-of-scan / end-of-image
+                    if marker == 0x00:
+                        i += 2          # byte-stuffed 0xFF00: literal data
+                        continue
                     (seg_len,) = _struct.unpack(">H", buf[i + 2:i + 4])
                     # SOF0-15 except DHT(C4)/DAC(CC) carry dimensions
                     if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xCC):

@@ -278,21 +278,28 @@ def table_fingerprint(df: DataFrame,
     changed/unchanged in one scan, without a row-level diff
     (operators/diff.py is the tool when it DID change).
 
-    Per-row hash = first 15 hex chars of md5 over a pipe-joined,
-    null-tagged rendering of ``cols`` (md5, not xxhash64, so any engine
-    can recompute it — the DuckDB twin is asserted in the oracle),
-    combined with the ``bit_xor`` aggregate: commutative/associative,
-    overflow-free under ANSI, map-side partial-aggregated — the shuffle
-    carries one long per partition.  XOR cancels PAIRS of identical
-    rows, so two tables differing by an even count of the same
-    duplicated row collide on ``fingerprint`` alone; ``n_rows`` is part
-    of this output for exactly that reason, and exact duplicate
-    analysis is ``exact_duplicates``'s job.
+    Per-row hash = first 15 hex chars of md5 over a LENGTH-PREFIXED
+    rendering of ``cols`` (`len:value` per cell, `N` for NULL — length
+    prefixes make cell boundaries unambiguous, so a value containing
+    the separator can never alias another row, and NULL can never alias
+    any string).  md5, not xxhash64, so any engine can recompute it —
+    the DuckDB twin is asserted in the oracle.  Hashes combine with the
+    ``bit_xor`` aggregate: commutative/associative, overflow-free under
+    ANSI, map-side partial-aggregated — the shuffle carries one long
+    per partition.  XOR cancels PAIRS of identical rows, so two tables
+    differing by an even count of the same duplicated row collide on
+    ``fingerprint`` alone; ``n_rows`` is part of this output for
+    exactly that reason, and exact duplicate analysis is
+    ``exact_duplicates``'s job.
     """
     cols = cols or df.columns
-    rendered = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(" NULL"))
-               for c in cols])
+    parts = []
+    for c in cols:
+        cs = F.col(c).cast("string")
+        parts.append(F.when(cs.isNull(), F.lit("N"))
+                     .otherwise(F.concat(F.length(cs).cast("string"),
+                                         F.lit(":"), cs)))
+    rendered = F.concat(*parts)
     h = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
     return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),

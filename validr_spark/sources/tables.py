@@ -152,6 +152,10 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto",
     if fmt == "auto":
         fmt = "table" if _looks_like_catalog_ident(spark, location) \
             else "parquet"
+    if corrupt_col is not None and fmt not in ("json", "csv"):
+        raise ValueError(
+            f"corrupt_col only applies to JSON/CSV parsing (fmt={fmt!r}): "
+            "self-describing formats have no parser-corrupt-record notion")
     if fmt == "table" or (fmt == "iceberg" and iceberg_available(spark)):
         df = spark.table(location)
     elif fmt == "parquet" or fmt == "iceberg":  # iceberg fallback

@@ -25,9 +25,12 @@ from pyspark.sql import DataFrame
 __all__ = ["physical_plan", "assert_plan", "assert_no_python",
            "assert_no_shuffle", "count_exchanges"]
 
-#: markers of Python evaluation nodes (row-at-a-time AND Arrow-batched)
-PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                "FlatMapGroupsInPandas")
+#: markers of Python evaluation nodes.  Spark grows new node kinds per
+#: release (ArrowAggregatePython appeared for grouped-agg pandas UDFs,
+#: MapInArrow for arrow UDFs), so the deny-list is substring markers
+#: covering every family — row-at-a-time Python, Arrow/pandas batched,
+#: grouped/cogrouped/windowed variants — rather than exact node names.
+PYTHON_NODES = ("EvalPython", "Python", "InPandas", "InArrow")
 
 
 def physical_plan(df: DataFrame) -> str:
@@ -52,7 +55,10 @@ def assert_plan(df: DataFrame, contains: list[str] | None = None,
 
 def assert_no_python(df: DataFrame) -> str:
     """Assert the plan contains NO Python evaluation node of any kind —
-    the 'hot path stays JVM-side' guarantee."""
+    the 'hot path stays JVM-side' guarantee.  Matches marker substrings
+    (see :data:`PYTHON_NODES`), so a column literally named e.g.
+    ``myPythonCol`` could false-positive; rename it or use
+    :func:`assert_plan` with exact node names in that corner."""
     return assert_plan(df, absent=list(PYTHON_NODES))
 
 
