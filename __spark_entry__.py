@@ -710,6 +710,24 @@ def q_value_variants(spark, sf):
     return value_variants(corrupted, "lang")
 
 
+def q_split_leakage(spark, sf):
+    """Cross-split near-dup leakage (operators/contamination.py
+    split_leakage) over a DETERMINISTIC corpus: docs < 100 rewritten to
+    one of 7 shared blobs, split by parity (7 odd, so every blob group spans both parities) — every same-blob
+    cross-parity pair must surface with jaccard 1.0 (exact dups always
+    share all LSH bands, so candidate recall is exact here and the
+    DuckDB twin can enumerate the pairs directly)."""
+    from validr_spark.operators.contamination import split_leakage
+    df = (_load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+          .withColumn("text", F.concat(F.lit("leak blob "),
+                                       (F.col("doc_id") % 7).cast("string")))
+          .withColumn("split", F.when(F.col("doc_id") % 2 == 0, "train")
+                      .otherwise(F.lit("test"))))
+    return (split_leakage(df, threshold=0.8)
+            .select("id_a", "id_b", "split_a", "split_b",
+                    F.round("score", 6).alias("score")))
+
+
 def q_source_overlap(spark, sf):
     """Cross-source duplication matrix (operators/dedup.py
     source_overlap) over documents with deterministic cross-source
@@ -1814,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": q_upsample,
         "fuzzy_ref": q_fuzzy_ref,
         "source_overlap": q_source_overlap,
+        "split_leakage": q_split_leakage,
         "value_variants": q_value_variants,
         "psi_groups": q_psi_groups,
         "vocab": q_vocab,
@@ -2649,6 +2668,21 @@ def oracle_sql() -> dict[str, str]:
                      AS variants
             FROM keyed GROUP BY key HAVING count(*) > 1
             ORDER BY sum(n) DESC, key
+        """,
+        "split_leakage": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'leak blob ' || (doc_id % 7)::VARCHAR AS text,
+                     CASE WHEN doc_id % 2 = 0 THEN 'train'
+                          ELSE 'test' END AS split
+              FROM documents WHERE doc_id < 100)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.split AS split_a, b.split AS split_b,
+                   1.0::DOUBLE AS score
+            FROM t a JOIN t b
+              ON a.doc_id < b.doc_id AND a.text = b.text
+             AND a.split <> b.split
+            ORDER BY id_a, id_b
         """,
         "source_overlap": r"""
             WITH t AS (

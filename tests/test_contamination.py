@@ -111,3 +111,26 @@ def test_decontaminate_min_hits_threshold(spark, corpus, bench_set):
     loose = decontaminate(corpus, bench_set, n=8, min_hits=1).count()
     tight = decontaminate(corpus, bench_set, n=8, min_hits=50).count()
     assert loose <= tight               # higher bar drops fewer docs
+
+
+def test_split_leakage_cross_split_only(spark):
+    from validr_spark.operators.contamination import (leakage_report,
+                                                      split_leakage)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with some extra words to make shingling meaningful here")
+    df = spark.createDataFrame(
+        [(1, base, "train"),
+         (2, base + " tail", "test"),          # near-dup ACROSS splits
+         (3, base + " tail2", "train"),        # near-dup within train
+         (4, "completely different text about spark plans and shuffles "
+             "nothing shared with the fox sentences at all", "test")],
+        "doc_id long, text string, split string")
+    got = split_leakage(df, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs and (2, 3) in pairs   # cross-split dups
+    assert (1, 3) not in pairs                   # same-split: dedup's job
+    assert all(r["split_a"] != r["split_b"] for r in got)
+    rep = leakage_report(df, threshold=0.5).collect()
+    assert sum(r["n_pairs"] for r in rep) == len(got)
+    edit = split_leakage(df, threshold=0.5, verify="edit").collect()
+    assert {(r["id_a"], r["id_b"]) for r in edit} >= {(1, 2)}

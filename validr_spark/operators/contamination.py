@@ -169,3 +169,66 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
            .select(F.col(id_col).alias("_bad_id")))
     return (corpus.join(bad, corpus[id_col].eqNullSafe(F.col("_bad_id")),
                         "left_anti"))
+
+
+def split_leakage(df: DataFrame, split_col: str = "split",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8, ngram: int = 3,
+                  verify: str = "jaccard", **lsh_kwargs) -> DataFrame:
+    """Near-duplicate pairs that CROSS split boundaries — the leakage an
+    exact-dedup-then-split pipeline still ships (a paraphrased or
+    lightly-edited copy of a train document sitting in test silently
+    inflates eval).  Run it AFTER :func:`~validr_spark.operators.sampling.
+    split_assign`; a clean pipeline returns zero rows.
+
+    Output: (id_a, id_b, split_a, split_b, score) — only pairs with
+    ``split_a != split_b``, scored by exact word-n-gram Jaccard
+    (``verify='jaccard'``) or normalized edit similarity
+    (``verify='edit'``) over LSH candidates.
+
+    Scale shape: identical to the dedup path (bucketed MinHash LSH
+    candidates → candidates-only verify); the split columns ride in on
+    two id-keyed broadcast-size joins against the candidate set, never a
+    corpus shuffle.  Same-split near-dups are dedup's business and are
+    filtered before the verify compute.
+    """
+    from .dedup import (edit_distance_verify, jaccard_verify,
+                        minhash_candidates)
+    cand = minhash_candidates(df, text_col, id_col, **lsh_kwargs)
+    splits = df.select(F.col(id_col).alias("_sid"),
+                       F.col(split_col).alias("_split"))
+    tagged = (cand
+              .join(splits.select(F.col("_sid").alias("id_a"),
+                                  F.col("_split").alias("split_a")), "id_a")
+              .join(splits.select(F.col("_sid").alias("id_b"),
+                                  F.col("_split").alias("split_b")), "id_b")
+              .filter(F.col("split_a") != F.col("split_b")))
+    if verify == "jaccard":
+        scored = jaccard_verify(df, tagged.select("id_a", "id_b"),
+                                text_col, id_col, ngram, threshold)
+        score = F.col("jaccard")
+    elif verify == "edit":
+        scored = edit_distance_verify(df, tagged.select("id_a", "id_b"),
+                                      text_col, id_col, threshold)
+        score = F.col("edit_sim")
+    else:
+        raise ValueError("verify must be 'jaccard' or 'edit'")
+    return (scored.join(tagged.select("id_a", "id_b",
+                                      "split_a", "split_b"),
+                        ["id_a", "id_b"])
+            .select("id_a", "id_b", "split_a", "split_b",
+                    score.alias("score"))
+            .orderBy("id_a", "id_b"))
+
+
+def leakage_report(df: DataFrame, split_col: str = "split",
+                   **kwargs) -> DataFrame:
+    """One row per (split_a, split_b) direction: leaked pair count +
+    distinct leaked docs on each side — the go/no-go summary for a
+    split before training starts."""
+    pairs = split_leakage(df, split_col, **kwargs)
+    return (pairs.groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("id_a").alias("n_docs_a"),
+                 F.countDistinct("id_b").alias("n_docs_b"))
+            .orderBy("split_a", "split_b"))
