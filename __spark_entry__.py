@@ -710,6 +710,23 @@ def q_value_variants(spark, sf):
     return value_variants(corrupted, "lang")
 
 
+def q_position_stats(spark, sf):
+    """Per-position token distribution (operators/sequences.py
+    position_token_stats — the template detector for pre-tokenized
+    corpora) over sequences derived deterministically from documents
+    (position 0/1 near-uniform, position 2/3 low-cardinality); DuckDB
+    re-derives the same arrays and per-position aggregates."""
+    from validr_spark.operators.sequences import position_token_stats
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+    d = F.col("doc_id")
+    toks = F.array((d % 97 + 10).cast("int"),
+                   (F.col("n_chars") % 89 + 10).cast("int"),
+                   (d % 7).cast("int"), (d % 5).cast("int"))
+    seq = df.select(toks.alias("tokens"))
+    return position_token_stats(seq, max_pos=4)
+
+
 def q_split_leakage(spark, sf):
     """Cross-split near-dup leakage (operators/contamination.py
     split_leakage) over a DETERMINISTIC corpus: docs < 100 rewritten to
@@ -1833,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_ref": q_fuzzy_ref,
         "source_overlap": q_source_overlap,
         "split_leakage": q_split_leakage,
+        "position_stats": q_position_stats,
         "value_variants": q_value_variants,
         "psi_groups": q_psi_groups,
         "vocab": q_vocab,
@@ -2668,6 +2686,34 @@ def oracle_sql() -> dict[str, str]:
                      AS variants
             FROM keyed GROUP BY key HAVING count(*) > 1
             ORDER BY sum(n) DESC, key
+        """,
+        "position_stats": r"""
+            WITH seq AS (
+              SELECT [doc_id % 97 + 10, n_chars % 89 + 10,
+                      doc_id % 7, doc_id % 5] AS tokens
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            pt AS (
+              SELECT g.pos, g.tok AS token, count(*) AS c
+              FROM (SELECT unnest(list_transform(
+                      generate_series(1, 4),
+                      i -> {'pos': i - 1, 'tok': tokens[i]})) AS g
+                    FROM seq)
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT pos, token, c,
+                     row_number() OVER (PARTITION BY pos
+                                        ORDER BY c DESC, token) AS rk
+              FROM pt)
+            SELECT pos,
+                   sum(c) AS n_seqs,
+                   count(*) AS n_distinct_tokens,
+                   min(CASE WHEN rk = 1 THEN token END) AS top_token,
+                   round(max(c)::DOUBLE / sum(c), 6) AS top_share,
+                   round(log2(sum(c)::DOUBLE)
+                         - sum(c * log2(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+                     AS entropy
+            FROM ranked GROUP BY pos ORDER BY pos
         """,
         "split_leakage": r"""
             WITH t AS (

@@ -98,3 +98,30 @@ def test_report_attributes_unknown_source_token_violations(spark):
     assert by_src["mystery"]["n_token_violations"] == 3
     assert by_src[None]["n_token_violations"] == 1
     assert by_src["web"]["n_token_violations"] == 0
+
+
+def test_position_token_stats_template_detection(spark):
+    import math
+    from validr_spark.operators.sequences import position_token_stats
+    # 64 sequences: position 0 constant (template header), position 1
+    # has 2 values, position 2 unique per row
+    rows = [([7, i % 2, i],) for i in range(64)]
+    df = spark.createDataFrame(rows, "tokens array<int>")
+    got = {r["pos"]: r for r in position_token_stats(df).collect()}
+    assert got[0]["entropy"] == 0.0 and got[0]["top_share"] == 1.0
+    assert got[0]["top_token"] == 7 and got[0]["n_distinct_tokens"] == 1
+    assert abs(got[1]["entropy"] - 1.0) < 1e-6       # fair coin
+    assert abs(got[2]["entropy"] - math.log2(64)) < 1e-6
+    assert all(r["n_seqs"] == 64 for r in got.values())
+
+
+def test_position_token_stats_bounds_and_ragged(spark):
+    from validr_spark.operators.sequences import position_token_stats
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([1],), ([1, 9],), (None,)], "tokens array<int>")
+    got = {r["pos"]: r for r in position_token_stats(df, max_pos=2).collect()}
+    assert set(got) == {0, 1}                         # max_pos respected
+    assert got[0]["n_seqs"] == 3                      # null row excluded
+    assert got[1]["n_seqs"] == 2                      # ragged tails ok
+    # deterministic tie-break: counts 1/1 at pos 1 -> smaller token wins
+    assert got[1]["top_token"] == 2

@@ -363,3 +363,41 @@ def frame_violations(df: DataFrame, *, id_col: str = "doc_id",
             .select(id_col, F.explode("_v").alias("_e"))
             .select(id_col, "_e.rule_id", "_e.position", "_e.message",
                     "_e.value"))
+
+
+def position_token_stats(df: DataFrame, tokens_col: str = "tokens",
+                         max_pos: int = 64) -> DataFrame:
+    """Per-POSITION token distribution over the sequence corpus: for each
+    of the first ``max_pos`` positions — sequences covering it, distinct
+    tokens, top token + its share, and Shannon entropy (bits).
+
+    The template detector for pre-tokenized data: a corpus whose first
+    40 positions have entropy ≈ 0 (every sequence opens with the same
+    boilerplate header) wastes context window and skews loss; a
+    position whose top-token share suddenly jumps mid-corpus marks
+    injected template data.  Normal text shows high entropy at every
+    position after BOS.
+
+    Shape at scale: ``slice`` BEFORE ``posexplode`` bounds the explode
+    at ``max_pos`` rows per sequence regardless of sequence length; two
+    chained hash-aggs ((pos, token) then pos — map-side partials, the
+    shuffle carries distinct (pos, token) pairs ≤ max_pos·vocab); the
+    per-position top token rides the same aggregate via ``max_by``.
+    All codegen, no lambda HOFs, no Python.
+    """
+    pre = (df.filter(F.col(tokens_col).isNotNull())
+           .select(F.posexplode(F.slice(tokens_col, 1, max_pos))
+                   .alias("pos", "token")))
+    per_tok = (pre.groupBy("pos", "token")
+               .agg(F.count(F.lit(1)).alias("c")))
+    cnt = F.col("c").cast("double")
+    n = F.sum("c").cast("double")
+    return (per_tok.groupBy("pos")
+            .agg(F.sum("c").alias("n_seqs"),
+                 F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.max_by("token", F.struct(F.col("c"), -F.col("token")))
+                 .alias("top_token"),
+                 F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+                 F.round(F.log2(n) - F.sum(cnt * F.log2(cnt)) / n, 6)
+                 .alias("entropy"))
+            .orderBy("pos"))
