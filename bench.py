@@ -204,7 +204,7 @@ HEADLINE = [
     "join_fanout", "resample_daily", "containment", "temperature_mix",
     "psi_quantile", "table_fp", "file_layout", "vocab", "upsample",
     "fuzzy_ref", "asof_forward", "image_audit", "source_overlap",
-    "value_variants",
+    "value_variants", "psi_groups", "split_leakage", "position_stats",
 ]
 
 
