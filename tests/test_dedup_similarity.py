@@ -610,3 +610,15 @@ def test_jpeg_fill_bytes_and_eoi(spark):
     got = {r["id"]: r["jpeg_dims"] for r in jpeg_dimensions(df).collect()}
     assert tuple(got[1]) == (99, 77)
     assert tuple(got[2]) == (None, None)
+
+
+def test_minhash_candidates_autotune_equals_advisor_bands(spark, docs):
+    from validr_spark.operators.dedup import (lsh_parameters,
+                                              minhash_candidates)
+    manual_bands = lsh_parameters(0.9, 64)["bands"]
+    assert manual_bands != 16                  # actually retunes
+    auto = sorted((r["id_a"], r["id_b"]) for r in minhash_candidates(
+        docs, target_threshold=0.9).collect())
+    manual = sorted((r["id_a"], r["id_b"]) for r in minhash_candidates(
+        docs, bands=manual_bands).collect())
+    assert auto == manual

@@ -169,12 +169,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        bands: int = 16, shingle_k: int = 5,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       target_threshold: float | None = None) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, n_bands_matched).
 
     rows/band = num_hashes // bands; two docs collide in a band iff that
     slice of their signatures is identical — P(collide) ≈ jaccard^(rows).
+
+    Pass ``target_threshold`` to auto-tune ``bands`` from the closed-form
+    S-curve knee (:func:`lsh_parameters`) instead of hand-picking — the
+    default 16 bands (knee ≈ 0.5) over-generates candidates for a 0.9
+    dedup threshold and under-recalls at 0.3.
     """
+    if target_threshold is not None:
+        bands = lsh_parameters(target_threshold, num_hashes)["bands"]
     rows = num_hashes // bands
     # the groupBy inside minhash_signatures is also the optimizer barrier:
     # band expressions below reference the aggregated sig array, never
