@@ -710,6 +710,27 @@ def q_value_variants(spark, sf):
     return value_variants(corrupted, "lang")
 
 
+def q_clean_text(spark, sf):
+    """Text repair pass (operators/encoding.py clean_text) over documents
+    with deterministic mess injected (doc_id%7==0: leading control char,
+    trailing zero-width + decomposed accent); per-source doc count and
+    total cleaned length — DuckDB reruns the identical regex chain and
+    its native nfc_normalize."""
+    from validr_spark.operators.encoding import clean_text
+    df = _load(spark, sf, "documents")
+    t = F.col("text")
+    messy = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("\x01  "), t,
+                 F.lit("  \u200b e\u0301")))\
+        .otherwise(t)
+    cleaned = clean_text(df.withColumn("text", messy))
+    return (cleaned.groupBy("source")
+            .agg(F.count("text").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("source"))
+
+
 def q_position_stats(spark, sf):
     """Per-position token distribution (operators/sequences.py
     position_token_stats — the template detector for pre-tokenized
@@ -1851,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "split_leakage": q_split_leakage,
         "position_stats": q_position_stats,
+        "clean_text": q_clean_text,
         "value_variants": q_value_variants,
         "psi_groups": q_psi_groups,
         "vocab": q_vocab,
@@ -2686,6 +2708,28 @@ def oracle_sql() -> dict[str, str]:
                      AS variants
             FROM keyed GROUP BY key HAVING count(*) > 1
             ORDER BY sum(n) DESC, key
+        """,
+        "clean_text": r"""
+            WITH messy AS (
+              SELECT source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN chr(1) || '  ' || text || '  '
+                               || chr(8203) || ' e' || chr(769)
+                          ELSE text END AS text
+              FROM documents),
+            cleaned AS (
+              SELECT source, nfc_normalize(trim(
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(text,
+                    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]',
+                    '', 'g'),
+                  '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+                  '[ \t\r]*\n[ \t\r\n]*', chr(10), 'g'),
+                  '[ \t\r]+', ' ', 'g'))) AS text
+              FROM messy)
+            SELECT source, count(text) AS n_docs,
+                   sum(length(text)) AS total_chars
+            FROM cleaned GROUP BY source ORDER BY source
         """,
         "position_stats": r"""
             WITH seq AS (

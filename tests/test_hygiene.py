@@ -491,3 +491,26 @@ def test_nfc_audit_counts(spark):
     b = rows["b"]
     assert (b["n_docs"], b["n_not_nfc"]) == (0, 0)
     assert b["not_nfc_frac"] is None
+
+
+def test_clean_text_repairs_and_idempotent(spark):
+    from validr_spark.operators.encoding import clean_text, encoding_scan
+    df = spark.createDataFrame(
+        [(1, "hello\x00 world​!"),           # control + zero-width
+         (2, "a  b\t c \n\n  d  "),               # whitespace runs
+         (3, "café ok"),                     # decomposed NFC target
+         (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in clean_text(df).collect()}
+    assert got[1] == "hello world!"
+    assert got[2] == "a b c\nd"                    # line structure kept
+    assert got[3] == "café ok"
+    assert got[4] is None
+    # idempotent
+    once = clean_text(df)
+    twice = {r["doc_id"]: r["text"] for r in clean_text(once).collect()}
+    assert twice == got
+    # post-clean scan is clean for the repairable classes
+    scan = encoding_scan(clean_text(df)).collect()
+    assert all(r["n_control"] == 0 and r["n_zero_width"] == 0
+               for r in scan if r["n_control"] is not None)

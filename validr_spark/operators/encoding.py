@@ -39,7 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ENCODING_PATTERNS", "encoding_counts", "encoding_scan",
-           "encoding_report", "is_nfc", "nfc_normalize_text", "nfc_audit"]
+           "encoding_report", "is_nfc", "nfc_normalize_text", "nfc_audit",
+           "clean_text"]
 
 # A UTF-8 continuation byte (0x80-0xBF) mis-decoded shows up as its
 # Latin-1 image (U+0080-U+00BF) OR, far more often in the wild, its
@@ -130,7 +131,7 @@ def is_nfc(col: Column | str) -> Column:
     quick-check; batch-vectorized, never per-row Python dispatch).
     NULL in → NULL out.
 
-    Scale note (PERF.md Finding 12): wrapping the UDF in an ASCII
+    Scale note (PERF.md Finding 13): wrapping the UDF in an ASCII
     ``when`` screen does NOT avoid the Python round-trip — Spark
     extracts Python UDFs out of conditionals and evaluates them on
     EVERY row (measured: identical wall time with and without the
@@ -173,7 +174,7 @@ def nfc_normalize_text(df: DataFrame, text_col: str = "text",
     two codegen scans (with pushdown) are far cheaper than one Arrow
     round-trip of 100 TB of text; a ``when``-guarded single pass would
     NOT help — Spark evaluates extracted Python UDFs on every row
-    (PERF.md Finding 12).  ``prefilter=False`` gives the single-scan
+    (PERF.md Finding 13).  ``prefilter=False`` gives the single-scan
     shape for already-materialized (cached) inputs.  Map-side only, no
     shuffle; the union preserves no order (none is promised).
     """
@@ -198,7 +199,7 @@ def nfc_audit(df: DataFrame, text_col: str = "text",
     to non-ASCII first (ASCII is NFC by definition), so the Arrow
     channel carries the non-ASCII minority, not the corpus — the filter,
     unlike a ``when`` screen, truly bounds what reaches Python (PERF.md
-    Finding 12).  Both shuffles carry |groups| rows.
+    Finding 13).  Both shuffles carry |groups| rows.
     """
     c = F.col(text_col)
     keys = [by] if by else []
@@ -223,3 +224,43 @@ def nfc_audit(df: DataFrame, text_col: str = "text",
         F.round(F.try_divide(F.coalesce("n_not_nfc", F.lit(0)), "n_docs"),
                 6).alias("not_nfc_frac"))
     return out.orderBy(*keys) if keys else out
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               strip_controls: bool = True, strip_zero_width: bool = True,
+               collapse_whitespace: bool = True,
+               nfc: bool = True) -> DataFrame:
+    """The repair counterpart of :func:`encoding_scan`: apply the SAFE
+    subset of fixes in one pass — strip C0 controls/DEL, strip
+    zero-width chars (ZWSP/ZWNJ/ZWJ/in-body BOM), collapse whitespace
+    runs (preserving single newlines as line structure), and NFC-
+    normalize.  Mojibake and U+FFFD are deliberately NOT "fixed": the
+    original bytes are unrecoverable, so those rows belong in the
+    quarantine path (``encoding_scan``'s ``is_clean`` filter), not under
+    a silent rewrite.
+
+    Order matters and is fixed: controls/zero-width out first (so a
+    control char between two spaces collapses to ONE space), whitespace
+    second, NFC last.  Idempotent: cleaning cleaned text is a no-op
+    (asserted in tests).  Everything except the NFC step is codegen
+    `regexp_replace`; NFC routes only the non-ASCII minority through
+    Arrow (:func:`nfc_normalize_text` plan-structure gating).
+    """
+    c = F.col(text_col)
+    if strip_controls:
+        c = F.regexp_replace(
+            c, r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}"
+               r"\x{007F}]", "")
+    if strip_zero_width:
+        c = F.regexp_replace(c, r"[\x{200B}-\x{200D}\x{FEFF}]", "")
+    if collapse_whitespace:
+        # runs containing a newline become one newline (keep paragraph/
+        # line structure); pure horizontal runs become one space; then
+        # trim the ends
+        c = F.regexp_replace(c, r"[ \t\r]*\n[ \t\r\n]*", "\n")
+        c = F.regexp_replace(c, r"[ \t\r]+", " ")
+        c = F.trim(c)
+    out = df.withColumn(text_col, c)
+    if nfc:
+        out = nfc_normalize_text(out, text_col)
+    return out
