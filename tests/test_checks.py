@@ -151,3 +151,31 @@ def test_new_checks_stay_single_pass(spark):
     plan = suite.run(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2
     assert "Join" not in plan
+
+
+def test_drift_gate_pass_fail_and_union(spark):
+    from validr_spark.operators.checks import Check, CheckSuite, drift_gate
+    ref = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(100)],
+        "v double, c string")
+    same = spark.createDataFrame(
+        [(float(i), "a" if i % 2 else "b") for i in range(100)],
+        "v double, c string")
+    rep = drift_gate(ref, same, numeric_cols=["v"], cat_cols=["c"])
+    assert CheckSuite.verdict(rep) is True
+    shifted = same.withColumn("v", F.col("v") + 500)
+    rep2 = drift_gate(ref, shifted, numeric_cols=["v"], cat_cols=["c"],
+                      max_psi=0.25)
+    rows = {r["check_id"]: r for r in rep2.collect()}
+    assert rows["drift_psi"]["passed"] is False
+    assert "expect psi <=" in rows["drift_psi"]["message"]
+    assert rows["drift_jsd"]["passed"] is True
+    # vanished data FAILS, never silently passes
+    empty = spark.createDataFrame([], "v double, c string")
+    rep3 = drift_gate(ref, empty, numeric_cols=["v"])
+    r3 = rep3.collect()[0]
+    assert r3["passed"] is False and "no data" in r3["message"]
+    # same schema as CheckSuite: the reports union and gate together
+    suite = CheckSuite("s", [Check.row_count(min=1)]).run(same)
+    combined = suite.unionByName(rep)
+    assert CheckSuite.verdict(combined) is True

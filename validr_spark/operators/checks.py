@@ -227,3 +227,56 @@ class CheckSuite:
         """Collects ONE boolean (aggregated, never row data)."""
         return bool(report.agg(
             F.min(F.col("passed").cast("int"))).first()[0])
+
+
+def drift_gate(df_ref: DataFrame, df_new: DataFrame,
+               numeric_cols: list[str] | None = None,
+               cat_cols: list[str] | None = None,
+               max_psi: float = 0.25, max_jsd: float = 0.1,
+               max_ks: float | None = None,
+               bins: int = 10, round_digits: int = 6) -> DataFrame:
+    """Distribution-drift constraints as CI-gate rows — the two-table
+    companion of :class:`CheckSuite` (whose single-agg-pass design is
+    one-table by construction): per numeric column a PSI bound (and
+    optionally KS), per categorical column a JSD bound, emitted in the
+    SAME report schema (check_id, column, observed, lo, hi, passed,
+    message) so the rows union with a CheckSuite report and
+    :meth:`CheckSuite.verdict` gates the combined table.
+
+    A NULL metric (empty new side, no reference range) FAILS the gate
+    with an explicit "no data" message — a monitor that silently passes
+    when the data vanished is worse than none.
+
+    Cost: the underlying drift operators' aggregates per column
+    (sketch-based at scale); nothing row-shaped is collected.
+    """
+    from .drift import drift_report
+    rep = drift_report(df_ref, df_new, numeric_cols=numeric_cols,
+                       cat_cols=cat_cols, bins=bins)
+    rows = []
+    gates = [("psi", "psi", max_psi), ("jsd", "jsd", max_jsd)]
+    if max_ks is not None:
+        gates.append(("ks", "ks", max_ks))
+    for check_id, metric_col, hi in gates:
+        v = F.round(F.col(metric_col).cast("double"), round_digits)
+        applicable = ((F.col("kind") == "numeric")
+                      if metric_col in ("psi", "ks")
+                      else (F.col("kind") == "categorical"))
+        passed = v.isNotNull() & (v <= float(hi))
+        msg = (F.when(passed, F.lit(None).cast("string"))
+               .when(v.isNull(),
+                     F.lit(f"expect {check_id} <= {hi!r}, but no data"))
+               .otherwise(F.concat(
+                   F.lit(f"expect {check_id} <= {hi!r}, but "),
+                   v.cast("string"))))
+        rows.append(rep.filter(applicable).select(
+            F.lit(f"drift_{check_id}").alias("check_id"),
+            F.col("column").cast("string").alias("column"),
+            v.alias("observed"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            passed.alias("passed"),
+            msg.alias("message")))
+    from functools import reduce as _reduce
+    return _reduce(DataFrame.unionByName, rows).orderBy("check_id",
+                                                        "column")
