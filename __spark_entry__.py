@@ -672,6 +672,17 @@ def q_vocab(spark, sf):
     return build_vocab(df, top_v=200)
 
 
+def q_vocab_coverage(spark, sf):
+    """Per-source OOV report (operators/tokenize.py vocab_coverage) for
+    the top-200 learned vocabulary against the full documents corpus —
+    DuckDB rebuilds the same vocab CTE and counts OOV piece occurrences
+    per source."""
+    from validr_spark.operators.tokenize import build_vocab, vocab_coverage
+    df = _load(spark, sf, "documents")
+    vocab = build_vocab(df, top_v=200)
+    return vocab_coverage(df, vocab, by="source")
+
+
 def q_table_fp(spark, sf):
     """Order-insensitive table fingerprint (operators/stats.py
     table_fingerprint) of four lineitem columns (ints + a flag string —
@@ -1876,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_variants": q_value_variants,
         "psi_groups": q_psi_groups,
         "vocab": q_vocab,
+        "vocab_coverage": q_vocab_coverage,
         "token_counts": q_token_counts,
         "lang_hist": q_lang_hist,
         "ann_topk": q_ann_topk,
@@ -2845,6 +2857,28 @@ def oracle_sql() -> dict[str, str]:
                                      * 4294967296.0) AS BIGINT))), 8, '0'))
             SELECT source, epoch::INT AS epoch, count(*) AS n
             FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "vocab_coverage": r"""
+            WITH p0 AS (
+              SELECT unnest(regexp_extract_all(
+                text, '[A-Za-z]{1,4}|\d|[^\w\s]')) AS piece
+              FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT piece, count(*) AS cnt FROM p0 GROUP BY 1),
+            top AS (SELECT piece FROM c
+                    ORDER BY cnt DESC, piece LIMIT 200),
+            p AS (
+              SELECT source, unnest(regexp_extract_all(
+                text, '[A-Za-z]{1,4}|\d|[^\w\s]')) AS piece
+              FROM documents WHERE text IS NOT NULL)
+            SELECT source,
+                   count(*) AS n_pieces,
+                   sum(CASE WHEN piece NOT IN (SELECT piece FROM top)
+                       THEN 1 ELSE 0 END) AS n_oov,
+                   round(sum(CASE WHEN piece NOT IN
+                                  (SELECT piece FROM top)
+                             THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS oov_rate
+            FROM p GROUP BY source ORDER BY source
         """,
         "vocab": r"""
             WITH p AS (

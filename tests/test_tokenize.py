@@ -118,3 +118,21 @@ def test_tokenize_with_vocab_order_preserved_long_doc(spark):
     expect = [vmap.get(p, vmap["<unk>"])
               for p in re.findall(PIECE_REGEX, text)]
     assert got["tokens"] == expect          # exact order through the shuffle
+
+
+def test_vocab_coverage_oov_rates(spark):
+    from validr_spark.operators.tokenize import build_vocab, vocab_coverage
+    train = spark.createDataFrame(
+        [(1, "aa bb aa bb cc")], "doc_id long, text string")
+    vocab = build_vocab(train, top_v=2)          # keeps aa, bb only
+    corpus = spark.createDataFrame(
+        [("s1", "aa bb aa"), ("s1", "aa zz"), ("s2", "zz yy xx")],
+        "source string, text string")
+    rows = {r["source"]: r for r in vocab_coverage(corpus, vocab).collect()}
+    # s1: pieces aa bb aa aa zz -> 1 OOV of 5
+    assert (rows["s1"]["n_pieces"], rows["s1"]["n_oov"]) == (5, 1)
+    assert abs(rows["s1"]["oov_rate"] - 0.2) < 1e-6
+    # s2: all 3 OOV
+    assert rows["s2"]["oov_rate"] == 1.0
+    total = vocab_coverage(corpus, vocab, by=None).collect()[0]
+    assert (total["n_pieces"], total["n_oov"]) == (8, 4)

@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["PIECE_REGEX", "bpe_pieces", "hash_tokens",
-           "tokenize_documents", "build_vocab", "tokenize_with_vocab"]
+           "tokenize_documents", "build_vocab", "tokenize_with_vocab",
+           "vocab_coverage"]
 
 # same alternation as textstats.bpe_ish_token_count: short letter runs,
 # single digits, standalone punctuation (Java ∩ RE2 dialect — the DuckDB
@@ -174,3 +175,33 @@ def tokenize_with_vocab(df: DataFrame, vocab_df: DataFrame,
     return out.select("doc_id", "tokens",
                       F.size("tokens").alias("n_tok"),
                       *(["source"] if source_col is not None else []))
+
+
+def vocab_coverage(df: DataFrame, vocab_df: DataFrame,
+                   text_col: str = "text",
+                   by: str | None = "source") -> DataFrame:
+    """OOV report for a vocabulary against a corpus, optionally per
+    ``by`` group: total piece occurrences, OOV occurrences, OOV rate —
+    the acceptance test before committing to a vocab ("32k ids leave
+    0.8% OOV on web but 9% on code" means the code slice needs its own
+    merges).  Works with :func:`build_vocab` output or any table with a
+    ``piece`` column.
+
+    Shape at scale: explode pieces → BROADCAST left-anti-style join
+    against the vocab (vocab-sized by construction) → per-group counts;
+    the shuffle carries |groups| rows, pieces never shuffle.
+    """
+    keys = [by] if by else []
+    pieces = (df.filter(F.col(text_col).isNotNull())
+              .select(*keys, F.explode(bpe_pieces(F.col(text_col)))
+                      .alias("piece")))
+    known = (vocab_df.select("piece").dropDuplicates(["piece"])
+             .withColumn("_known", F.lit(1)))
+    marked = pieces.join(F.broadcast(known), "piece", "left")
+    g = marked.groupBy(*keys) if keys else marked.groupBy()
+    out = g.agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.sum(F.col("_known").isNull().cast("long")).alias("n_oov"),
+        F.round(F.try_divide(F.sum(F.col("_known").isNull().cast("long")),
+                             F.count(F.lit(1))), 6).alias("oov_rate"))
+    return out.orderBy(*keys) if keys else out
