@@ -179,3 +179,27 @@ def test_drift_gate_pass_fail_and_union(spark):
     suite = CheckSuite("s", [Check.row_count(min=1)]).run(same)
     combined = suite.unionByName(rep)
     assert CheckSuite.verdict(combined) is True
+
+
+def test_drift_gate_bounds_raw_metric_not_rounded(spark):
+    # ADVICE.md round-2 finding: gating on round(metric, 6) let a value
+    # up to 5e-7 above the bound pass.  The gate must compare the RAW
+    # metric; rounding is presentation-only.
+    from validr_spark.operators.checks import drift_gate
+    from validr_spark.operators.drift import psi_quantile
+    ref = spark.createDataFrame([(float(i),) for i in range(200)],
+                                "v double")
+    new = spark.createDataFrame([(float(i) + 3,) for i in range(200)],
+                                "v double")
+    raw = psi_quantile(ref, new, "v", bins=10).collect()[0]["psi"]
+    # bound a hair BELOW the raw value but ABOVE its 6-digit rounding
+    # floor — a rounded-gate implementation would pass, the raw gate
+    # must fail
+    bound = raw - 2e-9
+    rep = drift_gate(ref, new, numeric_cols=["v"], max_psi=bound)
+    r = {x["check_id"]: x for x in rep.collect()}["drift_psi"]
+    assert r["passed"] is False
+    # and a bound a hair above the raw value passes
+    rep2 = drift_gate(ref, new, numeric_cols=["v"], max_psi=raw + 2e-9)
+    r2 = {x["check_id"]: x for x in rep2.collect()}["drift_psi"]
+    assert r2["passed"] is True

@@ -622,3 +622,88 @@ def test_minhash_candidates_autotune_equals_advisor_bands(spark, docs):
     manual = sorted((r["id_a"], r["id_b"]) for r in minhash_candidates(
         docs, bands=manual_bands).collect())
     assert auto == manual
+
+
+# --- all_pairs_above: hot-bucket triangle blocking (VERDICT r02 item 3) ----
+
+def test_all_pairs_above_blocked_equals_unblocked(spark):
+    """Splitting buckets into triangle cells must not change the result:
+    same pairs, same cosines, regardless of max_bucket_rows."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    base = {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
+            for r in similarity.all_pairs_above(
+                df, threshold=0.6, nbits=4,
+                max_bucket_rows=10**6).collect()}
+    split = {(r["id_a"], r["id_b"]): round(r["cosine"], 9)
+             for r in similarity.all_pairs_above(
+                 df, threshold=0.6, nbits=4,
+                 max_bucket_rows=8).collect()}
+    assert base == split
+    assert len(base) > 0          # the threshold actually selects pairs
+
+
+def test_all_pairs_above_matches_bruteforce_within_bucket(spark):
+    """Recall contract: the candidate set is exactly the same-bucket pairs
+    — verified against a numpy brute force over the bucketed rows."""
+    import itertools
+    import math
+    import random
+    rnd = random.Random(11)
+    dim, nbits = 6, 3
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    buckets = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", similarity.lsh_bucket_col(
+            F.col("embedding"), dim, nbits, 42).alias("b")).collect()}
+    vec = dict(rows)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = {(a, b) for a, b in itertools.combinations(sorted(vec), 2)
+                if buckets[a] == buckets[b]
+                and cos(vec[a], vec[b]) >= 0.5}
+    got = {(r["id_a"], r["id_b"]) for r in similarity.all_pairs_above(
+        df, threshold=0.5, nbits=nbits, max_bucket_rows=16).collect()}
+    assert got == expected
+
+
+def test_all_pairs_above_hot_bucket_bounded_cells(spark):
+    """10^3-scale near-identical vectors (one hot bucket): every pair must
+    still be emitted exactly once, and the work must be spread across
+    s(s+1)/2 triangle cells with a bounded per-cell pair count — not one
+    quadratic task."""
+    n, max_rows = 1200, 200
+    import math
+    s = math.ceil(n / max_rows)                     # 6 sub-blocks
+    base = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, [x + i * 1e-9 for x in base]) for i in range(n)]
+    df = (spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+          .repartition(8))
+    out = similarity.all_pairs_above(df, threshold=0.999, nbits=4,
+                                     max_bucket_rows=max_rows)
+    # recompute each id's sub-block with the operator's own formula and
+    # check the per-cell pair distribution
+    cells = (out.select(
+        F.least(F.pmod(F.xxhash64(F.col("id_a").cast("int"),
+                                  F.lit(42 + 31)), F.lit(s)),
+                F.pmod(F.xxhash64(F.col("id_b").cast("int"),
+                                  F.lit(42 + 31)), F.lit(s))).alias("i"),
+        F.greatest(F.pmod(F.xxhash64(F.col("id_a").cast("int"),
+                                     F.lit(42 + 31)), F.lit(s)),
+                   F.pmod(F.xxhash64(F.col("id_b").cast("int"),
+                                     F.lit(42 + 31)), F.lit(s))).alias("j"))
+        .groupBy("i", "j").count().collect())
+    total = sum(c["count"] for c in cells)
+    assert total == n * (n - 1) // 2               # every pair, once
+    assert len(cells) == s * (s + 1) // 2          # full triangle of cells
+    # hash-balanced blocks: no cell should exceed ~(2n/s)² pairs
+    cap = (2 * n / s) ** 2
+    assert max(c["count"] for c in cells) <= cap

@@ -405,11 +405,20 @@ def test_psi_by_group_matches_standalone(spark):
     assert abs(got["b"]["psi"]) < 1e-9        # identical dist
     assert got["c"]["psi"] is None            # no new rows: no statement
     assert got["c"]["n_new_rows"] == 0
-    # new-only groups (no reference range) are absent entirely
+    # new-only groups (no reference range) surface with NULL psi and
+    # n_ref_rows=0 — a brand-new source is the loudest drift signal and
+    # must not vanish from the monitor (ADVICE.md round-2 finding)
     extra = new.unionByName(
-        spark.createDataFrame([("z", 1.0)], "g string, v double"))
-    assert "z" not in {r["g"] for r in
-                       psi_by_group(ref, extra, "v", "g").collect()}
+        spark.createDataFrame([("z", 1.0), ("z", 2.0)],
+                              "g string, v double"))
+    got2 = {r["g"]: r for r in
+            psi_by_group(ref, extra, "v", "g").collect()}
+    assert got2["z"]["psi"] is None
+    assert got2["z"]["n_ref_rows"] == 0
+    assert got2["z"]["n_new_rows"] == 2
+    # and the two-sided groups are unchanged by the union-back path
+    for grp in ("a", "b"):
+        assert got2[grp]["psi"] == got[grp]["psi"]
 
 
 def test_psi_empty_side_yields_null_not_error(spark):

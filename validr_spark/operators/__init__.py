@@ -17,8 +17,8 @@ from .drift import (chi_square_counts, drift_report, jsd, ks_approx,
                     wasserstein1)
 from .dsir import dsir_select, dsir_weights, importance_sample
 from .embedding import dim_moments, embedding_drift, embedding_hygiene
-from .encoding import (encoding_report, encoding_scan, is_nfc,
-                       nfc_audit, nfc_normalize_text)
+from .encoding import (clean_text, encoding_report, encoding_scan,
+                       is_nfc, nfc_audit, nfc_normalize_text)
 from .graph import (connected_components, connected_components_star,
                     dedup_by_components, dedup_clusters)
 from .incremental import (build_fingerprint_bloom, incremental_dedup,
@@ -61,7 +61,7 @@ __all__ = [
     "compression_ratio", "compression_report",
     "bm25_scores", "bm25_join", "bm25_topk",
     "psi_quantile", "drift_report",
-    "is_nfc", "nfc_audit", "nfc_normalize_text",
+    "is_nfc", "nfc_audit", "nfc_normalize_text", "clean_text",
     "join_fanout_report", "top_k_per_group", "table_fingerprint",
     "file_report", "small_file_advice",
 ]

@@ -251,20 +251,27 @@ def drift_gate(df_ref: DataFrame, df_new: DataFrame,
     (sketch-based at scale); nothing row-shaped is collected.
     """
     from .drift import drift_report
+    # round_digits=None: the gate needs RAW metrics — drift_report's
+    # display rounding would re-introduce the rounded-gate hole.
     rep = drift_report(df_ref, df_new, numeric_cols=numeric_cols,
-                       cat_cols=cat_cols, bins=bins)
+                       cat_cols=cat_cols, bins=bins, round_digits=None)
     rows = []
     gates = [("psi", "psi", max_psi), ("jsd", "jsd", max_jsd)]
     if max_ks is not None:
         gates.append(("ks", "ks", max_ks))
     for check_id, metric_col, hi in gates:
-        v = F.round(F.col(metric_col).cast("double"), round_digits)
+        # Gate on the RAW metric: rounding first would let a value up to
+        # 5e-7 over the bound slip through a 6-digit round (ADVICE.md
+        # round-2 finding).  round_digits only shapes the REPORTED
+        # observed/message columns.
+        raw = F.col(metric_col).cast("double")
+        v = F.round(raw, round_digits)
         applicable = ((F.col("kind") == "numeric")
                       if metric_col in ("psi", "ks")
                       else (F.col("kind") == "categorical"))
-        passed = v.isNotNull() & (v <= float(hi))
+        passed = raw.isNotNull() & (raw <= float(hi))
         msg = (F.when(passed, F.lit(None).cast("string"))
-               .when(v.isNull(),
+               .when(raw.isNull(),
                      F.lit(f"expect {check_id} <= {hi!r}, but no data"))
                .otherwise(F.concat(
                    F.lit(f"expect {check_id} <= {hi!r}, but "),

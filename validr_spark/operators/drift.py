@@ -316,7 +316,8 @@ def psi_quantile(df_ref: DataFrame, df_new: DataFrame, col: str,
 def drift_report(df_ref: DataFrame, df_new: DataFrame,
                  numeric_cols: list[str] | None = None,
                  cat_cols: list[str] | None = None,
-                 bins: int = 10) -> DataFrame:
+                 bins: int = 10,
+                 round_digits: int | None = 6) -> DataFrame:
     """One-stop per-column drift scorecard between two table versions:
     one row per column with every applicable metric —
 
@@ -330,8 +331,17 @@ def drift_report(df_ref: DataFrame, df_new: DataFrame,
     on a sampled or filtered slice when the column list is wide.  Spark
     evaluates the per-column jobs lazily within one action when the
     caller collects the unioned result.
+
+    ``round_digits`` shapes the REPORTED metric columns; pass ``None``
+    for raw doubles — anything that GATES on these values (drift_gate)
+    must consume the raw form, since a pre-rounded metric can sit up to
+    half an ulp-of-the-last-digit past a bound and still look equal.
     """
     from functools import reduce as _reduce
+
+    def _r(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
     parts: list[DataFrame] = []
     for c in numeric_cols or []:
         ks = ks_approx(df_ref, df_new, c).select(
@@ -344,8 +354,8 @@ def drift_report(df_ref: DataFrame, df_new: DataFrame,
         parts.append(
             ks.crossJoin(w).crossJoin(ps).select(
                 F.lit(c).alias("column"), F.lit("numeric").alias("kind"),
-                F.round("ks", 6).alias("ks"), "w1",
-                F.round("psi", 6).alias("psi"),
+                _r(F.col("ks")).alias("ks"), "w1",
+                _r(F.col("psi")).alias("psi"),
                 F.lit(None).cast("double").alias("jsd"),
                 "n_ref", "n_new"))
     for c in cat_cols or []:
@@ -355,7 +365,7 @@ def drift_report(df_ref: DataFrame, df_new: DataFrame,
             F.lit(None).cast("double").alias("ks"),
             F.lit(None).cast("double").alias("w1"),
             F.lit(None).cast("double").alias("psi"),
-            F.round(F.col("jsd").cast("double"), 6).alias("jsd"),
+            _r(F.col("jsd").cast("double")).alias("jsd"),
             F.col("n_ref"), F.col("n_new")))
     if not parts:
         raise ValueError("drift_report: pass numeric_cols and/or cat_cols")
@@ -373,7 +383,11 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
     aggregates (group-range, then (group, bin) counts on both sides
     joined full-outer) — shuffles carry |groups| and |groups|·bins rows.
     Groups present on only one side get NULL psi (no reference = no
-    statement, not zero drift).
+    statement, not zero drift): ref-only groups report their counts with
+    n_new_rows=0, and new-only groups — the loudest drift signal, a
+    brand-new source the reference has never seen — are unioned back in
+    with psi NULL and n_ref_rows=0 rather than silently dropped by the
+    range join (round-3 fix of an ADVICE.md finding).
     """
     g = F.col(by).alias("grp")
     rng = (df_ref.filter(F.col(col).isNotNull()).groupBy(g)
@@ -402,7 +416,7 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
     # but under ANSI a plain 0/0 would kill the whole job first
     p = F.greatest(F.try_divide("n_ref", "tr"), F.lit(eps))
     q = F.greatest(F.try_divide("n_new", "tn"), F.lit(eps))
-    return (j.join(tot, "grp")
+    main = (j.join(tot, "grp")
             .groupBy("grp")
             .agg(F.when(F.first("tn") > 0,
                         F.round(F.sum((p - q) * F.log(p / q)), 6))
@@ -410,5 +424,18 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
                  F.first("tr").alias("n_ref_rows"),
                  F.first("tn").alias("n_new_rows"))
             .select(F.col("grp").alias(by), "psi",
-                    "n_ref_rows", "n_new_rows")
-            .orderBy(by))
+                    "n_ref_rows", "n_new_rows"))
+    # Groups that exist ONLY in df_new never reach the range join (it is
+    # inner on the REFERENCE range table) — union them back with psi
+    # NULL / n_ref_rows 0 so a brand-new source is visible, not hidden.
+    # left_anti against the (already computed, |groups|-sized) range
+    # table; the extra shuffle carries |new-only groups| rows.
+    new_only = (df_new.filter(F.col(col).isNotNull()).select(g)
+                .groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n_new_rows"))
+                .join(rng.select("grp"), "grp", "left_anti")
+                .select(F.col("grp").alias(by),
+                        F.lit(None).cast("double").alias("psi"),
+                        F.lit(0).cast("bigint").alias("n_ref_rows"),
+                        F.col("n_new_rows")))
+    return main.unionByName(new_only).orderBy(by)
