@@ -22,3 +22,10 @@ def spark():
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "backend_matrix: dual-backend (expression vs pandas-UDF) parity "
+        "lane — run alone with `pytest -m backend_matrix`")

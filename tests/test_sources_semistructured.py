@@ -22,10 +22,54 @@ def test_validr_read_schema_shape():
     assert st.simpleString() == ("struct<doc_id:string,score:string,"
                                  "tags:array<string>,"
                                  "meta:struct<lang:string>>")
-    with pytest.raises(NotImplementedError):
-        validr_read_schema(T.dict(u=T.union([T.int, T.list(T.int)])))
+    # shape-form union → variant (runtime per-row dispatch)
+    st2 = validr_read_schema(T.dict(u=T.union([T.int, T.list(T.int)])))
+    assert st2.simpleString() == "struct<u:variant>"
+    # tagged union → struct of the tag + union of branch fields
+    st3 = validr_read_schema(T.dict(ev=T.union(
+        click=T.dict(x=T.int), view=T.dict(ms=T.int)).by("kind")))
+    assert st3.simpleString() == \
+        "struct<ev:struct<kind:string,x:string,ms:string>>"
     with pytest.raises(TypeError):
         validr_read_schema(T.int.min(0))
+
+
+def test_union_json_roundtrip_end_to_end(spark, tmp_path):
+    """VERDICT r02 item 5: isomorph-JSON union rows must ingest through
+    validr_read_schema's variant leaf and come out of the compiled plan
+    as per-shape violations with correct positions."""
+    from validr_spark import SparkCompiler
+    p = tmp_path / "u.jsonl"
+    p.write_text("\n".join([
+        '{"id": 0, "val": 5}',
+        '{"id": 1, "val": [1, 2, 99]}',
+        '{"id": 2, "val": {"a": 7}}',
+        '{"id": 3, "val": {"a": -1}}',
+        '{"id": 4, "val": "abc"}',
+        '{"id": 5, "val": null}',
+    ]) + "\n")
+    schema = T.dict(id=T.int,
+                    val=T.union([
+                        T.int.min(0).max(9),
+                        T.list(T.int.min(0).max(10)),
+                        T.dict(a=T.int.min(0)),
+                    ]).optional)
+    df = read_table(spark, str(p), schema=schema)
+    assert dict(df.dtypes)["val"] == "variant"
+    res = (SparkCompiler().compile(schema)
+           .apply(df.withColumn("_id", F.col("id").cast("long")),
+                  id_cols=["_id"]))
+    v = {r["_id"]: r for r in res.violations().collect()}
+    assert set(v) == {1, 3, 4}
+    assert v[1]["position"] == "val[2]"          # element index survives
+    assert v[1]["message"] == "value must <= 10"
+    assert v[3]["position"] == "val.a"           # dict branch, field pos
+    assert v[3]["message"] == "value must >= 0"
+    assert v[4]["rule_id"] == "val.type"         # scalar branch rejects
+    clean = {r["_id"]: r["val"] for r in res.clean().collect()}
+    assert clean[0]["scalar"] == 5
+    assert clean[2]["dict"]["a"] == 7
+    assert clean[5] is None                      # JSON null + optional
 
 
 def test_json_numbers_and_strings_coerce_identically(spark, tmp_path):

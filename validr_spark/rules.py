@@ -255,6 +255,16 @@ def build_bool(sc, schema, input_type, path):
 
 
 def build_float(sc, schema, input_type, path):
+    """DOCUMENTED DIVERGENCE (NaN): the reference ACCEPTS NaN through any
+    bound (pyx:838-861 — Python NaN comparisons are all False, so its
+    min/max checks can never fire), an artifact that would let NaN slip
+    past every numeric gate into downstream aggregates at 10^12-row
+    scale.  Under Spark's ordering NaN sorts ABOVE every double, so the
+    same bound checks fire with an arbitrary bound message instead.
+    Both are wrong in different ways; this engine rejects NaN explicitly
+    and deterministically as 'invalid float' in BOTH backends (the
+    pandas backend mirrors it in build_pyudf_rule — Arrow's NaN→null
+    conversion would otherwise misreport it as 'required')."""
     lo = float(schema.params.get("min", -1.7976931348623157e308))
     hi = float(schema.params.get("max", 1.7976931348623157e308))
     exmin, exmax = schema.params.get("exmin", False), schema.params.get("exmax", False)
@@ -264,11 +274,12 @@ def build_float(sc, schema, input_type, path):
         hi, exmax = float(exmax), True
 
     def coerce(col):
-        return col.try_cast("double")
+        v = col.try_cast("double")
+        return F.when(~F.isnan(v), v)
 
     def error(col, pos):
-        v = coerce(col)
-        checks = [(v.isNull(), "type", "invalid float")]
+        v = col.try_cast("double")
+        checks = [(v.isNull() | F.isnan(v), "type", "invalid float")]
         if exmin:
             checks.append((v <= lo, "min", "value must > %d" % lo))
         else:
@@ -472,6 +483,13 @@ _IPV4_RE = (r"\A((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
 
 
 def build_ipv4(sc, schema, input_type, path):
+    """DOCUMENTED DIVERGENCE (message text only): the reference re-raises
+    ``str(ipaddress.AddressValueError)`` verbatim (pyx:1067-1071) —
+    CPython-internal strings ("Expected 4 octets in '0'", "Unexpected
+    '/' in …") that change across CPython versions.  This backend emits
+    the stable 'invalid ipv4 address' for every failure class; the
+    accept/reject VERDICT is identical (tests/test_backend_matrix.py
+    compares verdicts on ipv4 fields for this reason)."""
     def coerce(col):
         s = _py_strip(col)
         return F.when(s.rlike(_IPV4_RE), s)
@@ -620,8 +638,18 @@ def build_pyudf_rule(sc, schema, input_type, path, output_type=None,
                 messages.append(None)
                 continue
             try:
-                values.append(py_validate(raw))
-                messages.append(None)
+                v = py_validate(raw)
+                # NaN-rejection mirror of the expression backend (see
+                # build_float's DOCUMENTED DIVERGENCE): pyvalidate keeps
+                # the reference's accept-NaN artifact, and Arrow's
+                # NaN→null conversion would silently turn it into a
+                # 'required' misreport here — reject it explicitly.
+                if isinstance(v, float) and v != v:
+                    values.append(None)
+                    messages.append(f"invalid {validator_name}")
+                else:
+                    values.append(v)
+                    messages.append(None)
             except Invalid as ex:
                 values.append(None)
                 messages.append(ex.message or f"invalid {validator_name}")

@@ -60,19 +60,30 @@ def validr_read_schema(schema):
     both validate to the same long.
 
     Containers map structurally: fixed ``dict`` → struct, ``list`` →
-    array, dynamic ``dict`` (``.key()/.value()``) → map<string,string>.
-    ``union``/``model`` have no unambiguous raw shape → unsupported here
-    (read those with an explicit DDL schema instead).
+    array, dynamic ``dict`` (``.key()/.value()``) → map<string,string>,
+    ``model`` → the struct of its declared fields (a model IS a dict
+    schema with attribute access), and ``union`` → **variant**: the one
+    Spark type that defers the shape decision to runtime, exactly what a
+    sum type needs.  Spark 4's JSON reader parses a ``VariantType`` field
+    natively (no inference pass), and the compiler's
+    ``_union_variant_core`` path then does true per-row shape dispatch
+    via ``schema_of_variant``/``try_variant_get`` — so an isomorph-JSON
+    union schema (reference schema.py:308-350 shape forms) round-trips
+    file → variant column → per-shape violations end-to-end.
     """
     from pyspark.sql import types as st
 
-    from validr_spark.schema import Schema, _as_schema
+    from validr_spark.schema import Schema, T, _as_schema
 
     def node(s) -> st.DataType:
         s = _as_schema(s)
         if not isinstance(s, Schema):
             raise TypeError(f"not a schema: {s!r}")
         v = s.validator
+        if v == "model":
+            # same unwrap the compiler does (compiler.py compile_node):
+            # a model reads as the struct of its declared fields
+            return node(T(s.items).__schema__)
         if v == "dict":
             if isinstance(s.items, dict) and s.items:
                 return st.StructType([
@@ -82,10 +93,23 @@ def validr_read_schema(schema):
             inner = s.items if s.items is not None else None
             return st.ArrayType(node(inner) if inner is not None
                                 else st.StringType())
-        if v in ("union", "model"):
-            raise NotImplementedError(
-                f"validr_read_schema: no unambiguous raw input shape for "
-                f"{v!r}; pass an explicit DDL schema to read_table instead")
+        if v == "union":
+            if isinstance(s.items, dict):
+                # tagged form dispatches on the `by` field of a STRUCT:
+                # read the union of every branch's fields (all-string
+                # leaves; absent fields parse as null) plus the tag
+                by = s.params.get("by")
+                fields: dict[str, st.DataType] = {by: st.StringType()}
+                for sub in s.items.values():
+                    body = (sub if sub.validator == "dict"
+                            else T(sub.items).__schema__)
+                    for k, c in (body.items or {}).items():
+                        fields.setdefault(k, node(c))
+                return st.StructType([st.StructField(k, t)
+                                      for k, t in fields.items()])
+            # shape (list) form: variant defers the shape decision to
+            # runtime — _union_variant_core dispatches per row
+            return st.VariantType()
         return st.StringType()
 
     root = node(schema)
