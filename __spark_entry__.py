@@ -1041,10 +1041,22 @@ def q_multimodal_features(spark, sf):
 def q_image_audit(spark, sf):
     """Image-header audit (operators/multimodal.py image_audit): PNG
     dimensions parsed from binary headers entirely in codegen (hex/conv
-    on byte slices — no codec, no Python).  Rows-only: DuckDB's
-    pre-registered views carry no binary media column."""
+    on byte slices — no codec, no Python).  Hash-oracled (upgraded from
+    rows-only in round 3): make_fake_media's blobs are a deterministic
+    function of the row id, so DuckDB REBUILDS the same bytes with
+    unhex() and re-parses the fixed offsets from the hex rendering —
+    a genuine independent header parse, not an arithmetic shortcut.
+    Every 10th image row is decapitated (first 16 bytes dropped) on both
+    sides to exercise the bad_header path."""
     from validr_spark.operators.multimodal import image_audit, make_fake_media
-    return image_audit(make_fake_media(spark, 300))
+    media = make_fake_media(spark, 300)
+    rid = F.substring("media_id", 3, 6).cast("int")
+    corrupted = media.withColumn(
+        "content",
+        F.when((F.col("kind") == "image") & (rid % 10 == 0),
+               F.substring(F.col("content"), 17, 1 << 20))
+        .otherwise(F.col("content")))
+    return image_audit(corrupted)
 
 
 def q_sample_split(spark, sf):
@@ -1553,14 +1565,21 @@ def q_embedding_audit(spark, sf):
 
 def q_kmeans_clusters(spark, sf):
     """Distributed spherical k-means (operators/clustering.py) over the
-    embeddings table: fit 8 centroids (3 Lloyd's iterations — broadcast
+    embeddings table: fit 8 centroids (2 Lloyd's iterations — broadcast
     assign + mapInPandas partial sums, only k x dim floats reach the
-    driver), then report the cluster-size histogram.  Iterative — not
-    SQL-expressible; determinism and blob-recovery are pytest-covered."""
+    driver), then report the cluster-size histogram.  Hash-oracled
+    (upgraded from rows-only in round 3): the fit is seeded with the
+    first 8 embeddings by vec_id (SQL-recomputable, unlike the xxhash
+    sample), so DuckDB replays the identical unrolled Lloyd's updates —
+    assignment margins (~1e-2) dwarf cross-engine summation-order ulps
+    (~1e-15), so the integer histogram is stable."""
     from validr_spark.operators.clustering import cluster_sizes, kmeans_fit
 
     df = _load(spark, sf, "embeddings")
-    cents, _hist = kmeans_fit(df, k=8, iters=3, seed=42)
+    init = [r["embedding"] for r in
+            df.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id").select("embedding").collect()]
+    cents, _hist = kmeans_fit(df, k=8, iters=2, seed=42, init=init)
     return cluster_sizes(df, cents).orderBy("cluster")
 
 
@@ -1895,6 +1914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_suite": q_check_suite,
         "frame_check": q_frame_check,
         "json_props_validate": q_json_props_validate,
+        # round-3 rows-only -> hash-oracle upgrades:
+        "image_audit": q_image_audit,
+        "kmeans_clusters": q_kmeans_clusters,
         "map_validate": q_map_validate,
         "suggest_schema": q_suggest_schema,
         "sample_split": q_sample_split,
@@ -1993,7 +2015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,
-        "kmeans_clusters": q_kmeans_clusters,
         "semantic_dups": q_semantic_dups,
         "manifest_run": q_manifest_run,
         "file_layout": q_file_layout,
@@ -2004,7 +2025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "sequences_validate": q_sequences_validate,
         "multimodal_features": q_multimodal_features,
-        "image_audit": q_image_audit,
     }
 
 
@@ -4529,5 +4549,103 @@ def _pipeline_oracles() -> dict[str, str]:
                    nc::BIGINT AS n_categories,
                    ta::BIGINT AS n_ref, tb::BIGINT AS n_new
             FROM w GROUP BY nc, ta, tb
+        """,
+        # round-3 upgrades: formerly rows-only, now hash-oracled
+        "image_audit": r"""
+            WITH ids AS (
+              SELECT i FROM generate_series(0, 299) s(i) WHERE i % 3 = 0),
+            hx AS (
+              -- rebuild the exact fake-media PNG header bytes
+              -- (make_fake_media, multimodal.py) and re-render as hex
+              SELECT i, hex(unhex(
+                     '89504E470D0A1A0A' || '0000000D' || '49484452'
+                     || lpad(hex(16 + (i % 64) * 16), 8, '0')
+                     || lpad(hex(16 + (i % 48) * 16), 8, '0')
+                     || '0806000000')) AS h
+              FROM ids),
+            cor AS (
+              -- the query decapitates every 10th image row (16 bytes)
+              SELECT i, CASE WHEN i % 10 = 0 THEN substr(h, 33)
+                             ELSE h END AS h
+              FROM hx),
+            parsed AS (
+              -- independent fixed-offset header parse on the hex form
+              SELECT CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                          THEN 'png' ELSE 'bad_header' END AS format,
+                     CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                          THEN ('0x' || substr(h, 33, 8))::BIGINT
+                          END AS width,
+                     CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                          THEN ('0x' || substr(h, 41, 8))::BIGINT
+                          END AS height
+              FROM cor)
+            SELECT format, count(*) AS n,
+                   min(width) AS min_width, max(width) AS max_width,
+                   min(height) AS min_height, max(height) AS max_height
+            FROM parsed GROUP BY format ORDER BY format
+        """,
+        "kmeans_clusters": r"""
+            WITH x AS (
+              SELECT vec_id,
+                     list_transform(embedding, t -> t::DOUBLE /
+                       coalesce(nullif(sqrt(list_sum(list_transform(
+                         embedding, u -> u::DOUBLE * u::DOUBLE))), 0), 1))
+                       AS v
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v FROM x WHERE vec_id < 8),
+            d1 AS (
+              SELECT x.vec_id, c.cid, sum(x.v[s.i] * c.v[s.i]) AS dot
+              FROM x, c0 c, generate_series(1, 64) s(i)
+              GROUP BY 1, 2),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rk
+                FROM d1) WHERE rk = 1),
+            m1 AS (
+              SELECT a.cid, s.i, sum(x.v[s.i]) / count(*) AS mv
+              FROM a1 a JOIN x USING (vec_id), generate_series(1, 64) s(i)
+              GROUP BY 1, 2),
+            c1 AS (SELECT cid, list(mv ORDER BY i) AS m FROM m1
+                   GROUP BY cid),
+            c1n AS (
+              SELECT cid, list_transform(m, t -> t /
+                       coalesce(nullif(sqrt(list_sum(list_transform(
+                         m, u -> u * u))), 0), 1)) AS v
+              FROM c1),
+            d2 AS (
+              SELECT x.vec_id, c.cid, sum(x.v[s.i] * c.v[s.i]) AS dot
+              FROM x, c1n c, generate_series(1, 64) s(i)
+              GROUP BY 1, 2),
+            a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rk
+                FROM d2) WHERE rk = 1),
+            m2 AS (
+              SELECT a.cid, s.i, sum(x.v[s.i]) / count(*) AS mv
+              FROM a2 a JOIN x USING (vec_id), generate_series(1, 64) s(i)
+              GROUP BY 1, 2),
+            c2 AS (SELECT cid, list(mv ORDER BY i) AS m FROM m2
+                   GROUP BY cid),
+            c2n AS (
+              SELECT cid, list_transform(m, t -> t /
+                       coalesce(nullif(sqrt(list_sum(list_transform(
+                         m, u -> u * u))), 0), 1)) AS v
+              FROM c2),
+            d3 AS (
+              SELECT x.vec_id, c.cid, sum(x.v[s.i] * c.v[s.i]) AS dot
+              FROM x, c2n c, generate_series(1, 64) s(i)
+              GROUP BY 1, 2),
+            a3 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rk
+                FROM d3) WHERE rk = 1)
+            SELECT cid AS cluster, count(*) AS n
+            FROM a3 GROUP BY cid ORDER BY cluster
         """,
     }

@@ -102,9 +102,24 @@ def run(cpus: int) -> dict:
                        f"\n{p.stderr[-2000:]}")
 
 
+def measure_pair(n_small: int, n_large: int) -> tuple:
+    r_large = run(n_large)
+    r_small = run(n_small)
+    return r_small, r_large
+
+
 def main():
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-    n_large = int(os.environ.get("SPARK_GRAFT_SCALE_4N", "4"))
+    # PRIMARY pairing first.  2→8 is the documented primary (round-3):
+    # the numpy probe shows this box scales compute 2→8 at ~0.98
+    # process-level efficiency while carrying ~2 cores of co-tenant
+    # steal — at local[1] that steal is 2× the level's own budget and
+    # randomly poisons the small side of a 1→4 ratio (round-2 medians
+    # 0.86/0.78 across windows), while at 2→8 both levels amortize it
+    # and the MEDIAN becomes a stable engine-scalability measure.
+    # 1→4 is still measured and reported as the secondary pairing.
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2:8,1:4")
+    pairs = [tuple(int(x) for x in p.split(":"))
+             for p in pairs_env.split(",") if p]
     os.environ.setdefault("SPARK_GRAFT_SEQ_ROWS", str(DEFAULT_ROWS))
     # tmpfs-backed input unless the caller pinned one
     os.environ.setdefault("SPARK_GRAFT_SEQ_CACHE", SHM_CACHE)
@@ -117,8 +132,13 @@ def main():
             "bench.ensure_seq_table(s)" % REPO)
     subprocess.run([sys.executable, "-c", prep], check=True, timeout=1800,
                    capture_output=True)
-    r_large = run(n_large)
-    r_small = run(n_small)
+
+    results = []
+    for n_small, n_large in pairs:
+        r_small, r_large = measure_pair(n_small, n_large)
+        results.append((n_small, n_large, r_small, r_large))
+
+    (n_small, n_large, r_small, r_large) = results[0]
     ratio = n_large / n_small
 
     def best(r):
@@ -145,6 +165,20 @@ def main():
             f"{probe_eff:.2f}), 32 → {probe.get('32')} "
             f"(8→32 hits the ≈16-effective-core SMT wall) — hence the "
             f"under-subscribed N=1 / 4N=4 pairing.")
+
+    secondary_parts = []
+    for (sn, sl, rs, rl) in results[1:]:
+        rr = sl / sn
+        e_b = (rs["rows"] / best(rl)) / (rr * (rs["rows"] / best(rs)))
+        e_m = (rl["sequences_per_sec_median"]
+               / (rr * rs["sequences_per_sec_median"]))
+        secondary_parts.append(
+            f"Secondary pairing local[{sn}]→local[{sl}]: best "
+            f"{best(rs):.2f}s → {best(rl):.2f}s, efficiency "
+            f"{e_b:.3f} best / {e_m:.3f} median "
+            f"(all runs small={rs['all_seconds']}, "
+            f"large={rl['all_seconds']}).")
+    secondary_md = "\n\n".join(secondary_parts)
 
     md = f"""# BENCH — measured engine numbers
 
@@ -173,6 +207,8 @@ per BASELINE.json).**
 
 {probe_line}
 
+{secondary_md}
+
 Violations found: {r_small['violations']:,} row violations,
 {r_small['dup_keys']:,} duplicated doc_ids, {r_small['orphans']:,} referential
 orphans, {r_small['inconsistent']:,} n_tok inconsistencies.
@@ -195,11 +231,20 @@ elements alone) on local[{n_large}].
             tail = old.split(CUSTOM_MARK, 1)[1]
     with open(bench_path, "w") as f:
         f.write(md + "\n" + CUSTOM_MARK + tail)
+    all_pairs = []
+    for (sn, sl, rs, rl) in results:
+        rr = sl / sn
+        all_pairs.append({
+            "pair": f"{sn}->{sl}",
+            "best_small_s": best(rs), "best_large_s": best(rl),
+            "efficiency_best": round(
+                (rs["rows"] / best(rl)) / (rr * (rs["rows"] / best(rs))), 3),
+            "efficiency_median": round(
+                rl["sequences_per_sec_median"]
+                / (rr * rs["sequences_per_sec_median"]), 3),
+        })
     print(json.dumps({
-        "n_small": n_small, "n_large": n_large,
-        "best_small_s": best(r_small), "best_large_s": best(r_large),
-        "efficiency_best": round(eff_best, 3),
-        "efficiency_median": round(eff_med, 3),
+        "primary": all_pairs[0], "pairings": all_pairs,
         "cpu_probe": probe,
     }))
 

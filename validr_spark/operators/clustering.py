@@ -45,21 +45,34 @@ def _partial_sums_schema(dim: int) -> str:
 
 def kmeans_fit(df: DataFrame, k: int = 64, iters: int = 5,
                id_col: str = "vec_id", emb_col: str = "embedding",
-               seed: int = 42, tol: float = 1e-6):
+               seed: int = 42, tol: float = 1e-6, init=None):
     """Fit k spherical-k-means centroids; returns ``(centroids, history)``
     where centroids is a unit-row (k, dim) ndarray and history the mean
     cosine distance (1 − cos) per iteration — non-increasing to within
     ``tol`` by convexity; iteration stops early when it plateaus.
 
     Init = deterministic hash-sample (`ivf_centroids`), so the whole fit
-    is reproducible on any cluster size / partitioning.
+    is reproducible on any cluster size / partitioning.  Pass ``init``
+    (a (k, dim) array-like; rows are unit-normalized here) to pin the
+    starting centroids explicitly — e.g. to SQL-recomputable vectors so
+    an external engine can replay the whole fit (the kmeans_clusters
+    oracle seeds with the first k embeddings by id for exactly this).
     """
     first = df.select(emb_col).first()
     if first is None:
         raise ValueError("kmeans_fit: empty input")
     dim = len(first[0])
-    cents = np.ascontiguousarray(
-        ivf_centroids(df, k, id_col, emb_col, seed), dtype=np.float64)
+    if init is not None:
+        cents = np.ascontiguousarray(init, dtype=np.float64)
+        if cents.shape != (k, dim):
+            raise ValueError(f"kmeans_fit: init shape {cents.shape} != "
+                             f"({k}, {dim})")
+        nrm = np.linalg.norm(cents, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        cents = cents / nrm
+    else:
+        cents = np.ascontiguousarray(
+            ivf_centroids(df, k, id_col, emb_col, seed), dtype=np.float64)
     if cents.shape[0] < k:
         raise ValueError(
             f"kmeans_fit: k={k} exceeds distinct sampled rows "
