@@ -1917,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 rows-only -> hash-oracle upgrades:
         "image_audit": q_image_audit,
         "kmeans_clusters": q_kmeans_clusters,
+        "text_profile": q_text_profile,
         "map_validate": q_map_validate,
         "suggest_schema": q_suggest_schema,
         "sample_split": q_sample_split,
@@ -2011,7 +2012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_quantiles": q_chars_quantiles,
         "orphan_rows": q_orphan_rows,
         "dup_keys_salted": q_dup_keys_salted,
-        "text_profile": q_text_profile,
         # rows-only (no SQL oracle)
         "compression_stats": q_compression_stats,
         "pack_stats": q_pack_stats,

@@ -248,3 +248,32 @@ def test_corrupt_col_rejected_for_parquet(spark, tmp_path):
     spark.createDataFrame([(1,)], "x long").write.parquet(p)
     with pytest.raises(ValueError, match="JSON/CSV"):
         read_table(spark, p, corrupt_col="_bad")
+
+
+def test_tagged_union_json_roundtrip(spark, tmp_path):
+    """Tagged-form unions read as the struct of tag + union-of-branch
+    fields (validr_read_schema) and dispatch on the tag at validate."""
+    from validr_spark import SparkCompiler
+    p = tmp_path / "ev.jsonl"
+    p.write_text("\n".join([
+        '{"id": 0, "ev": {"kind": "click", "x": "3"}}',
+        '{"id": 1, "ev": {"kind": "view", "ms": "250"}}',
+        '{"id": 2, "ev": {"kind": "hover"}}',
+        '{"id": 3, "ev": {"kind": "click", "x": "-1"}}',
+    ]) + "\n")
+    schema = T.dict(id=T.int,
+                    ev=T.union(click=T.dict(x=T.int.min(0)),
+                               view=T.dict(ms=T.int)).by("kind"))
+    df = read_table(spark, str(p), schema=schema)
+    assert dict(df.dtypes)["ev"] == \
+        "struct<kind:string,x:string,ms:string>"
+    res = (SparkCompiler().compile(schema)
+           .apply(df.withColumn("_id", F.col("id").cast("long")),
+                  id_cols=["_id"]))
+    v = {r["_id"]: r for r in res.violations().collect()}
+    assert v[2]["rule_id"] == "ev.kind.enum"
+    assert v[3]["position"] == "ev.x"
+    assert v[3]["message"] == "value must >= 0"
+    clean = {r["_id"]: r["ev"] for r in res.clean().collect()}
+    assert clean[0]["kind"] == "click" and clean[0]["x"] == 3
+    assert clean[1]["kind"] == "view" and clean[1]["ms"] == 250
