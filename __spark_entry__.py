@@ -771,7 +771,7 @@ def q_position_stats(spark, sf):
     INTEGER columns are hashed: top_share/entropy are log- and
     division-derived doubles whose last ulp differs across engine
     versions (the round-2 hash-FAIL mode) — they are pytest-pinned with
-    tolerance in tests/test_sequences.py instead."""
+    tolerance in tests/test_sequences_fastpath.py instead."""
     from validr_spark.operators.sequences import position_token_stats
     df = _load(spark, sf, "documents").filter(
         F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
