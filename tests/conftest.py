@@ -29,3 +29,7 @@ def pytest_configure(config):
         "markers",
         "backend_matrix: dual-backend (expression vs pandas-UDF) parity "
         "lane — run alone with `pytest -m backend_matrix`")
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-JVM / spark-submit end-to-end tests (~1-2 min); "
+        "deselect with `pytest -m 'not slow'`")
