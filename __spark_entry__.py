@@ -544,6 +544,72 @@ def q_minhash_pairs(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def q_minhash_oracle(spark, sf):
+    """Portable-family minhash LSH candidate pairs (operators/dedup.py
+    minhash_candidates_portable): md5-derived integer shingle hashes,
+    affine-mod-p signature family, value-string band buckets — every
+    step reproducible by an independent SQL engine, so DuckDB rebuilds
+    the EXACT candidate-pair set.  This differentially proves the whole
+    banding pipeline (shingle -> signature -> band -> bucket self-join
+    -> pair agg); the xxhash64 production family in minhash_pairs has no
+    DuckDB twin and stays rows-only."""
+    df = _load(spark, sf, "documents")
+    return (dedup.minhash_candidates_portable(df, num_hashes=32, bands=8)
+            .filter(F.col("n_bands_matched") >= 2)
+            .orderBy("id_a", "id_b"))
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        seed: int = 42) -> str:
+    """DuckDB twin of q_minhash_oracle, generated from the SAME
+    portable_hash_params constants the Spark operator inlines — one
+    source of truth for the hash family."""
+    p = dedup.MERSENNE31
+    params = dedup.portable_hash_params(num_hashes, seed)
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * m + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(params))
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ',' || ".join(
+                f"h{b * rows + j}::VARCHAR" for j in range(rows)))
+        for b in range(bands))
+    return f"""
+            WITH pre AS (
+              SELECT doc_id AS doc,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+              FROM documents WHERE text IS NOT NULL),
+            pre2 AS (SELECT doc, s FROM pre WHERE length(s) > 0),
+            g AS (
+              SELECT doc,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(s) - 4, 1)),
+                       i -> substr(s, i, 5))) AS gram
+              FROM pre2),
+            m AS (
+              SELECT doc,
+                     ('0x' || substr(md5(gram), 1, 12))::BIGINT
+                       % {p} AS m
+              FROM g),
+            sig AS (
+              SELECT doc,
+                   {mins}
+              FROM m GROUP BY doc),
+            bands AS (
+            {band_rows}
+            ),
+            pairs AS (
+              SELECT l.doc AS id_a, r.doc AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
+            SELECT id_a, id_b, count(*)::BIGINT AS n_bands_matched
+            FROM pairs GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY id_a, id_b
+        """
+
+
 def q_simhash_pairs(spark, sf):
     df = _load(spark, sf, "documents")
     return dedup.simhash_near_dups(df, max_hamming=8).orderBy("id_a", "id_b")
@@ -1923,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "value_variants": q_value_variants,
         # round-3 rows-only -> hash-oracle upgrades:
+        "minhash_oracle": q_minhash_oracle,
         "image_audit": q_image_audit,
         "kmeans_clusters": q_kmeans_clusters,
         "text_profile": q_text_profile,
@@ -2693,6 +2760,7 @@ def oracle_sql() -> dict[str, str]:
                      AS entropy
             FROM pw GROUP BY doc_id ORDER BY doc_id
         """,
+        "minhash_oracle": _minhash_oracle_sql(),
         "jaccard_exact": r"""
             WITH w AS (
               SELECT doc_id,

@@ -220,6 +220,109 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_bands_matched")))
 
 
+MERSENNE31 = 2147483647        # 2^31 - 1, the portable hash-family modulus
+
+
+def portable_hash_params(num_hashes: int, seed: int = 42) -> list:
+    """Deterministic (a_i, b_i) affine coefficients for the PORTABLE
+    minhash family, generated driver-side with a 64-bit LCG so both
+    engines of a differential test receive the same literal constants
+    (no cross-engine RNG parity needed).  a_i < 2^20 keeps
+    a_i * (m % 2^31) inside 2^51 — exact in any engine's int64/ANSI
+    arithmetic."""
+    state = (seed & 0xFFFFFFFFFFFFFFFF) or 1
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        a = (state >> 33) % 1048573 + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        b = (state >> 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_portable(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 32, shingle_k: int = 5,
+                                seed: int = 42) -> DataFrame:
+    """Cross-engine-reproducible minhash signatures.
+
+    Same explode -> groupBy-min whole-stage-codegen shape (and the same
+    CollapseProject barrier) as :func:`minhash_signatures`, but the hash
+    family is engine-neutral instead of Spark's xxhash64: shingle ->
+    ``md5`` hex -> first 12 hex digits as an integer ``m`` (48 bits) ->
+    ``h_i = (a_i * (m % p) + b_i) % p`` with ``p = 2^31-1`` and literal
+    ``(a_i, b_i)`` from :func:`portable_hash_params`.  Every step is
+    integer arithmetic over the md5 of UTF-8 bytes, so ANY engine with
+    md5 + int64 arithmetic (DuckDB, Trino, Python) reproduces the exact
+    signature — this is what lets the LSH candidate-pair OUTPUT be
+    differentially verified against an independent SQL engine, not just
+    row-counted (the xxhash64 family has no DuckDB twin).
+
+    Use the xxhash64 :func:`minhash_signatures` in production hot paths
+    (one hash vs md5 + division chain ≈ 2-3x cheaper per shingle); use
+    this for oracles, audits, and engine-migration equality checks.
+    """
+    params = portable_hash_params(num_hashes, seed)
+    k = shingle_k
+    s = normalize_text(F.col(text_col))
+    # optimizer barrier — see minhash_signatures: without it the
+    # normalization regex re-evaluates per shingle instead of per row.
+    s_once = F.when(F.monotonically_increasing_id() >= 0, s)
+    pre = (df.select(F.col(id_col).alias("doc"), s_once.alias("_s"))
+           .filter(F.col("_s").isNotNull() & (F.char_length("_s") > 0)))
+    n = F.char_length(F.col("_s"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    exploded = pre.select("doc", "_s", F.explode(idx).alias("_i"))
+    gram = F.col("_s").substr(F.col("_i"), F.lit(k))
+    m = (F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long")
+         % F.lit(MERSENNE31))
+    hashed = exploded.select("doc", m.alias("_m"))
+    aggs = [F.min((F.lit(a) * F.col("_m") + F.lit(b)) % F.lit(MERSENNE31))
+            .alias(f"_h{i}") for i, (a, b) in enumerate(params)]
+    return (hashed.groupBy("doc").agg(*aggs)
+            .select("doc", F.array(*[F.col(f"_h{i}")
+                                     for i in range(num_hashes)])
+                    .alias("sig")))
+
+
+def minhash_candidates_portable(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 32, bands: int = 8,
+                                shingle_k: int = 5,
+                                seed: int = 42) -> DataFrame:
+    """LSH candidate pairs over the PORTABLE signature family
+    (:func:`minhash_signatures_portable`): (id_a < id_b,
+    n_bands_matched).  Identical banding plan to
+    :func:`minhash_candidates` — merge-hinted self-join so ReusedExchange
+    computes the signature pipeline once — but the band bucket is the
+    comma-joined slice VALUES (a string), not an xxhash64 of them, so an
+    independent engine reproduces the buckets and therefore the exact
+    pair set."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_portable(df, text_col, id_col, num_hashes,
+                                       shingle_k, seed)
+    band_structs = []
+    for b in range(bands):
+        elems = [F.get(F.col("sig"), b * rows + j).cast("string")
+                 for j in range(rows)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *elems).alias("bucket")))
+    banded = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "bb.band", "bb.bucket").hint("merge")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc") < F.col("r.doc")))
+            .groupBy(F.col("l.doc").alias("id_a"),
+                     F.col("r.doc").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame,
                    text_col: str = "text", id_col: str = "doc_id",
                    ngram: int = 3, threshold: float = 0.8) -> DataFrame:
