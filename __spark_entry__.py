@@ -615,6 +615,66 @@ def q_simhash_pairs(spark, sf):
     return dedup.simhash_near_dups(df, max_hamming=8).orderBy("id_a", "id_b")
 
 
+def q_simhash_oracle(spark, sf):
+    """Portable 48-bit SimHash near-dup pairs (operators/dedup.py
+    simhash_near_dups_portable): md5-derived word hashes, conditional-sum
+    bit votes, 12-bit pigeonhole blocks, bit_count(xor) hamming — all
+    engine-neutral integer arithmetic, so DuckDB reproduces the exact
+    (id_a, id_b, hamming) set.  Differentially proves the simhash
+    block-join pipeline; the production blake2b family in simhash_pairs
+    has no DuckDB twin and stays rows-only."""
+    df = _load(spark, sf, "documents")
+    return (dedup.simhash_near_dups_portable(df, max_hamming=8)
+            .orderBy("id_a", "id_b"))
+
+
+def _simhash_oracle_sql(max_hamming: int = 8, blocks: int = 4) -> str:
+    """DuckDB twin of q_simhash_oracle — same 48-bit md5 word-hash
+    family, bit votes, blocking, and hamming filter."""
+    width = 48 // blocks
+    mask = (1 << width) - 1
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (m >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(48))
+    fp = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(48))
+    block_rows = "\n            UNION ALL ".join(
+        f"SELECT doc, fp, {b} AS block, (fp >> {b * width}) & {mask} AS key"
+        " FROM fps"
+        for b in range(blocks))
+    return f"""
+            WITH pre AS (
+              SELECT doc_id AS doc,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+              FROM documents WHERE text IS NOT NULL),
+            pre2 AS (SELECT doc, s FROM pre WHERE length(s) > 0),
+            w AS (
+              SELECT doc, unnest(string_split(s, ' ')) AS word FROM pre2),
+            m AS (
+              SELECT doc,
+                     ('0x' || substr(md5(word), 1, 12))::BIGINT AS m
+              FROM w WHERE word <> ''),
+            sig AS (
+              SELECT doc,
+                   {votes}
+              FROM m GROUP BY doc),
+            fps AS (
+              SELECT doc, ({fp})::BIGINT AS fp FROM sig),
+            blockt AS (
+            {block_rows}
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc AS id_a, r.doc AS id_b,
+                     bit_count(xor(l.fp, r.fp))::INTEGER AS hamming
+              FROM blockt l JOIN blockt r
+                ON l.block = r.block AND l.key = r.key AND l.doc < r.doc)
+            SELECT id_a, id_b, hamming
+            FROM pairs WHERE hamming <= {max_hamming}
+            ORDER BY id_a, id_b
+        """
+
+
 def q_lsh_topk(spark, sf):
     emb = _load(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1990,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_variants": q_value_variants,
         # round-3 rows-only -> hash-oracle upgrades:
         "minhash_oracle": q_minhash_oracle,
+        "simhash_oracle": q_simhash_oracle,
         "image_audit": q_image_audit,
         "kmeans_clusters": q_kmeans_clusters,
         "text_profile": q_text_profile,
@@ -2761,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pw GROUP BY doc_id ORDER BY doc_id
         """,
         "minhash_oracle": _minhash_oracle_sql(),
+        "simhash_oracle": _simhash_oracle_sql(),
         "jaccard_exact": r"""
             WITH w AS (
               SELECT doc_id,

@@ -467,6 +467,81 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def simhash_portable(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """48-bit cross-engine-reproducible SimHash — pure whole-stage
+    codegen, no Python anywhere (the production :func:`simhash` needs a
+    pandas UDF for its 64-bit blake2b bit-matrix; this variant trades
+    16 bits of resolution for JVM-only execution AND an exact DuckDB/
+    Trino/Python twin).
+
+    Per word ``w`` of the normalized text: ``m = int(md5(w)[:12 hex])``
+    (48 bits); bit ``b`` of the fingerprint is 1 iff
+    ``sum over words of (+1 if (m>>b)&1 else -1) > 0``.  Everything is
+    integer arithmetic over md5, so any engine reproduces the exact
+    fingerprint.  48 bits keeps the fingerprint positive in int64 —
+    no sign-bit portability traps.
+
+    Plan shape: explode words -> 48 conditional-sum aggregates with
+    map-side partials (only 48 longs per doc reach the shuffle) -> one
+    projection folding the sign votes into the fingerprint.
+    """
+    s = normalize_text(F.col(text_col))
+    pre = (df.select(F.col(id_col).alias("doc"), s.alias("_s"))
+           .filter(F.col("_s").isNotNull() & (F.char_length("_s") > 0)))
+    words = pre.select(
+        "doc", F.explode(F.split(F.col("_s"), " ")).alias("_w"))
+    words = words.filter(F.col("_w") != "")
+    m = F.conv(F.substring(F.md5(F.col("_w")), 1, 12), 16, 10).cast("long")
+    hashed = words.select("doc", m.alias("_m"))
+    bit = [F.shiftrightunsigned(F.col("_m"), b).bitwiseAND(F.lit(1))
+           for b in range(48)]
+    aggs = [F.sum(F.when(bit[b] == 1, 1).otherwise(-1)).alias(f"_w{b}")
+            for b in range(48)]
+    fp = None
+    for b in range(48):
+        term = F.when(F.col(f"_w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return (hashed.groupBy("doc").agg(*aggs)
+            .select("doc", fp.cast("long").alias("simhash")))
+
+
+def simhash_near_dups_portable(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               max_hamming: int = 8,
+                               blocks: int = 4) -> DataFrame:
+    """Near-dup pairs over the PORTABLE 48-bit SimHash
+    (:func:`simhash_portable`): same block-permuted pigeonhole bucketing
+    and merge-hinted self-join as :func:`simhash_near_dups`, 12-bit
+    blocks.  Because fingerprint, blocking, and hamming check are all
+    engine-neutral integer arithmetic, an independent SQL engine
+    reproduces the exact (id_a, id_b, hamming) output — see
+    __spark_entry__.py simhash_oracle."""
+    sh = simhash_portable(df, text_col, id_col)
+    width = 48 // blocks
+    mask = (1 << width) - 1
+    block_structs = [
+        F.struct(F.lit(b).alias("block"),
+                 F.shiftrightunsigned(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(blocks)
+    ]
+    blocked = sh.select(
+        "doc", "simhash",
+        F.explode(F.array(*block_structs)).alias("bb"),
+    ).select("doc", "simhash", "bb.block", "bb.key").hint("merge")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (l.join(r, (F.col("l.block") == F.col("r.block"))
+                    & (F.col("l.key") == F.col("r.key"))
+                    & (F.col("l.doc") < F.col("r.doc")))
+             .select(F.col("l.doc").alias("id_a"),
+                     F.col("r.doc").alias("id_b"),
+                     F.bit_count(F.col("l.simhash").bitwiseXOR(
+                         F.col("r.simhash"))).cast("int").alias("hamming"))
+             .distinct())
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def containment_verify(df: DataFrame, candidates: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        ngram: int = 3, threshold: float = 0.8) -> DataFrame:
