@@ -30,7 +30,11 @@ from validr_spark.cli import main
 sys.exit(main(sys.argv[1:]))
 EOF
 
+# SPARK_SUBMIT_FLAGS: optional extra spark-submit flags, e.g.
+#   SPARK_SUBMIT_FLAGS="--driver-memory 8g --conf spark.local.dir=/dev/shm/spark-local"
+# shellcheck disable=SC2086
 exec spark-submit --master "$MASTER" \
     --conf spark.sql.adaptive.enabled=true \
+    ${SPARK_SUBMIT_FLAGS:-} \
     --py-files "$ZIP" \
     "$DRIVER" "$@"

@@ -79,8 +79,15 @@ def cmd_validate(args) -> int:
         batch_parts=args.batch_parts,
         extra_lineage=extra,
         quarantine_path=args.quarantine,
+        output_partitions=args.output_partitions,
     )
+    import time
+    t0 = time.time()
     report = run.run(spark, df, id_cols=args.id_cols)
+    # job wall time (excludes JVM/session start — the constant launch
+    # overhead a long-lived cluster amortizes; includes planning,
+    # validation, violation/manifest writes)
+    report["seconds"] = round(time.time() - t0, 3)
     print(json.dumps(report))
     return 0
 
@@ -286,6 +293,11 @@ def main(argv=None) -> int:
                    help="also write failing rows (coerced shape + "
                         "n_violations) here, partitioned like violations")
     v.add_argument("--batch-parts", type=int, default=64)
+    v.add_argument("--output-partitions", type=int, default=64,
+                   help="cap on files per batch write (violations/"
+                        "quarantine are hash-repartitioned by _part to "
+                        "this width before partitionBy; 0 = keep the "
+                        "scan's task layout)")
     v.add_argument("--fresh", nargs="?", const="", default=None,
                    metavar="TOKEN",
                    help="ignore existing checkpoints: fork the lineage with "

@@ -121,13 +121,17 @@ class ResumableValidation:
 
     def __init__(self, plan, part_col: str, manifest_path: str,
                  violations_path: str, batch_parts: int = 64,
-                 extra_lineage: str = "", quarantine_path: str | None = None):
+                 extra_lineage: str = "", quarantine_path: str | None = None,
+                 output_partitions: int | None = None):
         self.plan = plan
         self.part_col = part_col
         self.manifest_path = manifest_path
         self.violations_path = violations_path
         self.quarantine_path = quarantine_path
         self.batch_parts = max(1, batch_parts)
+        # cap on files per batch write (see _run_batch._shape); None keeps
+        # the scan's task layout (S splits × |parts| files upper bound)
+        self.output_partitions = output_partitions
         self.lineage = lineage_hash(plan, part_col, extra_lineage)
 
     # -- helpers ---------------------------------------------------------
@@ -150,19 +154,31 @@ class ResumableValidation:
     def run(self, spark: SparkSession, df: DataFrame,
             id_cols: list[str] | None = None) -> dict:
         store = ManifestStore(spark, self.manifest_path)
-        pending = self.pending_parts(spark, df)
+        phases = {"parts_scan": 0.0, "manifest_read": 0.0,
+                  "validate_write": 0.0, "metrics": 0.0,
+                  "manifest_commit": 0.0}
+        t0 = time.time()
+        all_parts = self.all_parts(df)       # ONE distinct scan per run
+        phases["parts_scan"] = time.time() - t0
+        t0 = time.time()
+        done = store.done_parts(self.lineage)
+        phases["manifest_read"] = time.time() - t0
+        pending = [p for p in all_parts if p not in done]
         run_id = uuid.uuid4().hex[:12]
         batches = [pending[i:i + self.batch_parts]
                    for i in range(0, len(pending), self.batch_parts)]
         processed: list[str] = []
         for batch in batches:
-            self._run_batch(spark, store, df, batch, id_cols or [], run_id)
+            self._run_batch(spark, store, df, batch, id_cols or [], run_id,
+                            phases)
             processed.extend(batch)
         return {"run_id": run_id, "lineage": self.lineage,
-                "n_parts_total": len(self.all_parts(df)),
+                "n_parts_total": len(all_parts),
                 "n_parts_pending": len(pending),
                 "n_parts_processed": len(processed),
-                "parts": processed}
+                "parts": processed,
+                "phase_seconds": {k: round(v, 3)
+                                  for k, v in phases.items()}}
 
     def _delete_part_dirs(self, spark, parts: list[str],
                           root_path: str | None = None) -> None:
@@ -194,35 +210,53 @@ class ResumableValidation:
                 fs.delete(status.getPath(), True)
 
     def _run_batch(self, spark, store, df, parts: list[str],
-                   id_cols: list[str], run_id: str) -> None:
+                   id_cols: list[str], run_id: str,
+                   phases: dict | None = None) -> None:
+        phases = phases if phases is not None else {}
         keyed = df.withColumn("_part", self._part_key())
         batch_df = keyed.filter(F.col("_part").isin(parts))
         res = self.plan.apply(batch_df, id_cols=["_part", *id_cols])
 
+        def _shape(out):
+            # Bound the files-per-batch: without this, partitionBy from an
+            # S-split scan writes up to S×|parts| files, and the DRIVER
+            # commits (renames) every one of them serially — a file-count
+            # serial term that grows with cluster size.  A by-part hash
+            # repartition of the (small) violations output costs one tiny
+            # shuffle and caps the commit at output_partitions files.
+            if self.output_partitions:
+                return out.repartition(self.output_partitions,
+                                       F.col("_part"))
+            return out
+
         # 1. violations out: replace this batch's partitions exactly —
         #    delete their dirs first (so a now-clean part really has zero
         #    rows on disk), then append fresh rows tagged with provenance.
+        t0 = time.time()
         self._delete_part_dirs(spark, parts)
-        (res.violations()
-            .withColumn("_lineage", F.lit(self.lineage))
-            .withColumn("_run_id", F.lit(run_id))
+        (_shape(res.violations()
+                .withColumn("_lineage", F.lit(self.lineage))
+                .withColumn("_run_id", F.lit(run_id)))
             .write.mode("append")
             .partitionBy("_part")
             .parquet(self.violations_path))
+        phases["validate_write"] = (phases.get("validate_write", 0.0)
+                                    + time.time() - t0)
 
         # 1b. optional quarantine sink: the failing ROWS in coerced shape
         #     (repair-loop input), same delete-then-append idempotence.
         if self.quarantine_path:
             self._delete_part_dirs(spark, parts, self.quarantine_path)
-            (res.bad_rows()
-                .withColumn("_lineage", F.lit(self.lineage))
-                .withColumn("_run_id", F.lit(run_id))
+            (_shape(res.bad_rows()
+                    .withColumn("_lineage", F.lit(self.lineage))
+                    .withColumn("_run_id", F.lit(run_id)))
                 .write.mode("append")
                 .partitionBy("_part")
                 .parquet(self.quarantine_path))
 
         # 2. verdict metrics: cheap count-only scan (reads just part_col
         #    thanks to column pruning) + the small violations we just wrote.
+        t0 = time.time()
         counts = (batch_df.groupBy("_part")
                   .agg(F.count(F.lit(1)).alias("n_rows")))
         # Only a genuinely-absent/empty sink may fall back to "zero
@@ -277,5 +311,9 @@ class ResumableValidation:
                 "verdict": "pass" if n_viol == 0 else "fail",
                 "finished_at": now,
             })
+        phases["metrics"] = (phases.get("metrics", 0.0) + time.time() - t0)
         # 3. manifest append LAST — the commit point for this batch.
+        t0 = time.time()
         store.append(rows)
+        phases["manifest_commit"] = (phases.get("manifest_commit", 0.0)
+                                     + time.time() - t0)
