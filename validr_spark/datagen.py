@@ -50,15 +50,25 @@ def make_sequences(spark: SparkSession, n_rows: int, *, vocab: int = VOCAB,
     i = F.col("id")
 
     def h(*cols):
-        return F.abs(F.hash(F.lit(seed), i, *[F.lit(c) for c in cols]))
+        # widen to long BEFORE abs: abs(int32) throws ARITHMETIC_OVERFLOW
+        # under ANSI when the hash lands exactly on Integer.MIN_VALUE —
+        # a ~1/2^32-per-call event that is near-certain over the ~10^10
+        # hash calls of a large table build.  Numerically identical for
+        # every other value, so generated data is unchanged.
+        return F.abs(F.hash(F.lit(seed), i,
+                            *[F.lit(c) for c in cols]).cast("long"))
 
     bucket = h("src") % 100
     source = _pick_source(bucket)
-    length = (h("len") % maxlen) + 1
+    # cast back to int: a LONG length would make F.sequence produce
+    # array<long>, and the token lambda's hash(seed, i, k) hashes a long
+    # k differently than an int k — changing every generated token
+    length = ((h("len") % maxlen) + 1).cast("int")
     doc_id = F.format_string("%s-%09d", source, i)
     tokens = F.transform(
         F.sequence(F.lit(1), length),
-        lambda k: (F.abs(F.hash(F.lit(seed), i, k)) % vocab).cast("int"))
+        lambda k: (F.abs(F.hash(F.lit(seed), i, k).cast("long"))
+                   % vocab).cast("int"))
 
     df = df.select(
         i.alias("_rid"),
@@ -83,7 +93,8 @@ def make_sequences(spark: SparkSession, n_rows: int, *, vocab: int = VOCAB,
     j = (F.col("_rid") + 1) % n_rows
 
     def hj(*cols):
-        return F.abs(F.hash(F.lit(seed), j, *[F.lit(c) for c in cols]))
+        return F.abs(F.hash(F.lit(seed), j,
+                            *[F.lit(c) for c in cols]).cast("long"))
 
     dup_doc_id = F.format_string("%s-%09d", _pick_source(hj("src") % 100), j)
 
