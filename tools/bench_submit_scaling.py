@@ -77,7 +77,10 @@ def one_run(cpus: int, inp: str, schema: str, tmp: str) -> float:
     out = tempfile.mkdtemp(prefix=f"submit_{cpus}_", dir=tmp)
     env = dict(os.environ)
     env["SPARK_SUBMIT_FLAGS"] = (
-        "--driver-memory 16g "
+        # 48g like the in-process protocol (bench.build_session): at the
+        # larger level the allocation rate is 4x, and an undersized heap
+        # GC-throttles exactly the level being measured
+        "--driver-memory 48g "
         "--conf spark.local.dir=/dev/shm/spark-local "
         # same shuffle width and scan-split policy at both levels — the
         # ratio must measure parallelism, not a different plan
@@ -122,6 +125,17 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="submit_scaling_")
     schema = write_schema(tmp)
 
+    # same-window box compute ceiling (process-based numpy burn, no
+    # GIL/IO) — the launch-shape ratio is read AGAINST this: a shared box
+    # whose raw compute only scales 2->8 at e.g. 0.8 caps any job there
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_scaling import cpu_ceiling_probe
+    probe = cpu_ceiling_probe()
+    probe_eff = round(
+        probe[str(large)] / ((large / small) * probe[str(small)]), 3) \
+        if str(small) in probe and str(large) in probe else None
+    print(f"box ceiling {small}->{large}: {probe_eff}", file=sys.stderr)
+
     times: dict[int, list[float]] = {small: [], large: []}
     # one unmeasured warmup per level primes the OS page cache for the zip
     # + parquet footers (both levels equally)
@@ -147,6 +161,9 @@ def main() -> None:
         "median_large_s": round(med[large], 2),
         "efficiency_best": eff_best,
         "efficiency_median": eff_med,
+        "box_ceiling_same_window": probe_eff,
+        "efficiency_best_vs_ceiling": (round(eff_best / probe_eff, 3)
+                                       if probe_eff else None),
         "runs": {str(c): [round(x, 2) for x in v] for c, v in times.items()},
     }
     print(json.dumps(result))
@@ -171,8 +188,19 @@ included — the CLI's phase_seconds attributes them).
 | local[{large}] (4N) | {best[large]:.2f} | {med[large]:.2f} | [{rows_large}] |
 
 Launch-shape scaling efficiency N->4N: **{eff_best} best / {eff_med}
-median** — the packaged zip-only job scales like the in-process engine
-(primary table above), so the launch form adds no scaling penalty.
+median**, against a same-window box compute ceiling of
+**{probe_eff}** (process-based numpy burn, no GIL/IO — raw compute on
+this shared box only scales {small}->{large} that well while the
+co-tenant is active).  Engine-vs-ceiling ratio:
+**{round(eff_best / probe_eff, 3) if probe_eff else 'n/a'}**.  The
+remaining gap vs the in-process primary protocol is the cold-JVM fixed
+cost (one-time codegen + C2 JIT, PERF.md Findings 2/14) plus the
+memory-bandwidth-heavier write path (violation explode + parquet
+encode) — per-task time inflates {small}->{large} on a shared memory
+bus in a way the steady-state, read-mostly primary job does not.  The
+primary pairing table above remains the engine-scalability evidence;
+this section evidences the END-TO-END packaged launch form at both
+cluster sizes.
 """
     refresh_bench_md(section)
 
