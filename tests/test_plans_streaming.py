@@ -183,6 +183,44 @@ def test_zero_violation_run(spark, tmp_path):
                for r in man)
 
 
+def test_output_partitions_bounds_files_and_spreads_parts(
+        spark, tmp_path, request):
+    # violations-heavy input: 3 sources × 100 all-bad rows — with
+    # output_partitions=12 the salt (range 12//3=4) must spread each
+    # part's rows over multiple write tasks (files) instead of
+    # collapsing every part into one, while the total file count stays
+    # bounded at ~output_partitions.
+    rows = [(f"{s}-{i:04d}", 999, s) for s in "abc" for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, source string")
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"),
+                             output_partitions=12)
+    rv.run(spark, df, id_cols=["doc_id"])
+    v = spark.read.parquet(str(tmp_path / "v"))
+    assert v.count() == 300
+    import glob
+    per_part = {s: glob.glob(str(tmp_path / "v" / f"_part={s}" / "*.parquet"))
+                for s in "abc"}
+    total = sum(len(f) for f in per_part.values())
+    assert total <= 12
+    # parallel, not collapsed: ≥2 files for every part (100 rows across
+    # 4 deterministic xxhash salts — all landing in one salt is ~4^-99)
+    assert all(len(f) >= 2 for f in per_part.values())
+    # determinism of the salted layout: a lineage-forked rerun over the
+    # same rows writes the identical per-part file counts
+    rv2 = ResumableValidation(plan, part_col="source",
+                              manifest_path=str(tmp_path / "m2"),
+                              violations_path=str(tmp_path / "v2"),
+                              output_partitions=12)
+    rv2.run(spark, df, id_cols=["doc_id"])
+    per_part2 = {s: glob.glob(str(tmp_path / "v2" / f"_part={s}"
+                                  / "*.parquet")) for s in "abc"}
+    assert {s: len(f) for s, f in per_part.items()} == \
+        {s: len(f) for s, f in per_part2.items()}
+
+
 def test_null_partition_key(spark, tmp_path):
     df = spark.createDataFrame([("x-1", 5, None), ("x-2", 200, "a")],
                                "doc_id string, n_tok int, source string")

@@ -221,13 +221,27 @@ class ResumableValidation:
             # Bound the files-per-batch: without this, partitionBy from an
             # S-split scan writes up to S×|parts| files, and the DRIVER
             # commits (renames) every one of them serially — a file-count
-            # serial term that grows with cluster size.  A by-part hash
+            # serial term that grows with cluster size.  A hash
             # repartition of the (small) violations output costs one tiny
-            # shuffle and caps the commit at output_partitions files.
-            if self.output_partitions:
-                return out.repartition(self.output_partitions,
-                                       F.col("_part"))
-            return out
+            # shuffle and caps the commit at ~output_partitions files.
+            #
+            # Repartitioning by _part ALONE would collapse each part's
+            # rows into ONE task (≤|parts| non-empty partitions) — with a
+            # handful of sources and TBs of violations that single task
+            # is the straggler.  A deterministic salt with range
+            # output_partitions//|parts| spreads every part over ~equal
+            # task counts while keeping the total file count bounded at
+            # ~output_partitions (partitionBy still writes ≥1 file per
+            # part).  The salt is xxhash64 of the row's columns, NOT
+            # rand(): repartition keys must be deterministic or a task
+            # retry can drop/duplicate rows.
+            if not self.output_partitions:
+                return out
+            salt_n = max(1, self.output_partitions // max(1, len(parts)))
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]),
+                          F.lit(salt_n))
+            return out.repartition(self.output_partitions,
+                                   F.col("_part"), salt)
 
         # 1. violations out: replace this batch's partitions exactly —
         #    delete their dirs first (so a now-clean part really has zero
