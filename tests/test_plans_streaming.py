@@ -541,6 +541,31 @@ def test_resumable_quarantine_sink(spark, seq_df, tmp_path):
     assert n_left == 0      # all rows now pass
 
 
+def test_output_partitions_with_map_quarantine(spark, tmp_path):
+    # the salted output_partitions repartition must skip unhashable
+    # columns: a dynamic-dict field coerces to map<string,string> in the
+    # quarantine rows, and Spark refuses xxhash64 over MAP
+    rows = [(f"a-{i}", {"k": str(i)}, 500, "a") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, attrs map<string,string>, n_tok int, "
+              "source string")
+    schema = T.dict(doc_id=T.str.minlen(1),
+                    attrs=T.dict.key(T.str).value(T.str),
+                    n_tok=T.int.min(1).max(100),
+                    source=T.enum("a b c"))
+    plan = SparkCompiler().compile(schema)
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"),
+                             quarantine_path=str(tmp_path / "q"),
+                             output_partitions=8)
+    rv.run(spark, df, id_cols=["doc_id"])
+    assert spark.read.parquet(str(tmp_path / "v")).count() == 10
+    bad = spark.read.parquet(str(tmp_path / "q"))
+    assert bad.count() == 10
+    assert dict(bad.dtypes)["attrs"] == "map<string,string>"
+
+
 def test_windowed_violation_rates_stream(spark, tmp_path):
     """Wilson-bounded per-window bad-row rates: the interval must cover
     the observed rate and be wide on tiny windows (the no-false-page

@@ -49,6 +49,18 @@ ENGINE_VERSION = "1"
 
 NULL_PART = "__null__"
 
+def _hash_safe(dt: st.DataType) -> bool:
+    """True if xxhash64 accepts the type: Spark prohibits MAP anywhere in
+    the type (same map, different hashcode) and variant is unhashable."""
+    if isinstance(dt, (st.MapType, st.VariantType)):
+        return False
+    if isinstance(dt, st.ArrayType):
+        return _hash_safe(dt.elementType)
+    if isinstance(dt, st.StructType):
+        return all(_hash_safe(f.dataType) for f in dt.fields)
+    return True
+
+
 MANIFEST_SCHEMA = st.StructType([
     st.StructField("lineage", st.StringType()),
     st.StructField("part", st.StringType()),
@@ -238,7 +250,16 @@ class ResumableValidation:
             if not self.output_partitions:
                 return out
             salt_n = max(1, self.output_partitions // max(1, len(parts)))
-            salt = F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]),
+            # Spark refuses to hash MAP columns (same map, different
+            # hashcode) and variant is likewise unhashable — quarantine
+            # rows carry both when the schema uses dynamic dicts or
+            # unions, so salt only over the hash-safe columns.
+            cols = [f.name for f in out.schema.fields
+                    if _hash_safe(f.dataType)]
+            if not cols:
+                return out.repartition(self.output_partitions,
+                                       F.col("_part"))
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                           F.lit(salt_n))
             return out.repartition(self.output_partitions,
                                    F.col("_part"), salt)
