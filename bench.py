@@ -73,10 +73,18 @@ def ensure_seq_table(spark):
     """
     from validr_spark.datagen import make_sequences
 
+    part_by = os.environ.get("SPARK_GRAFT_SEQ_PARTBY")  # e.g. "source":
+    # hive-partitioned layout, the shape a production Iceberg table would
+    # have — enables metadata-only partition discovery (plans/manifest.py
+    # _parts_from_layout) in the launch-shape scaling bench
     marker = os.path.join(SEQ_CACHE, "_SUCCESS")
     if not os.path.exists(marker):
-        (make_sequences(spark, SEQ_ROWS, maxlen=SEQ_MAXLEN, partitions=128)
-         .write.mode("overwrite").parquet(SEQ_CACHE))
+        w = (make_sequences(spark, SEQ_ROWS, maxlen=SEQ_MAXLEN,
+                            partitions=128)
+             .write.mode("overwrite"))
+        if part_by:
+            w = w.partitionBy(part_by)
+        w.parquet(SEQ_CACHE)
     return spark.read.parquet(SEQ_CACHE)
 
 

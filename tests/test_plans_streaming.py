@@ -657,3 +657,86 @@ def test_assert_no_python_catches_grouped_agg_pandas_udf(spark):
           .agg(mean_udf(F.col("id").cast("double"))))
     with pytest.raises(AssertionError):
         assert_no_python(df)
+
+
+# -- metadata-only partition discovery (hive layout fast path) ------------
+
+def test_parts_from_layout_hive_dirs(spark, seq_df, tmp_path):
+    """input_path + hive layout → partition keys come from the directory
+    listing (incl. %XX-escaped and NULL dirs), and the run over the
+    re-read table matches the scan-path run exactly."""
+    inp = str(tmp_path / "seq_parted")
+    weird = seq_df.withColumn(
+        "source", F.when(F.col("source") == "c", F.lit("a b/c=%"))
+                   .otherwise(F.col("source")))
+    weird.write.partitionBy("source").parquet(inp)
+    df = spark.read.parquet(inp)
+
+    plan = SparkCompiler().compile(T.dict(
+        doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(100),
+        source=T.str))
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "manifest"),
+                             violations_path=str(tmp_path / "violations"),
+                             input_path=inp)
+    # the fast path sees the escaped dir name and unescapes it
+    assert rv._parts_from_layout(spark) == ["a", "a b/c=%", "b"]
+    assert rv.all_parts(df) == ["a", "a b/c=%", "b"]
+
+    rep = rv.run(spark, df, id_cols=["doc_id"])
+    assert rep["n_parts_processed"] == 3
+    man = ManifestStore(spark, str(tmp_path / "manifest")).read().collect()
+    assert {r["part"] for r in man} == {"a", "a b/c=%", "b"}
+    assert all(r["n_rows"] == 100 for r in man)
+
+
+def test_parts_from_layout_falls_back(spark, seq_df, tmp_path):
+    """Flat layout (no part dirs) or wrong part column → None, and
+    all_parts falls back to the distinct scan."""
+    flat = str(tmp_path / "seq_flat")
+    seq_df.write.parquet(flat)
+    plan = SparkCompiler().compile(seq_schema())
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"),
+                             input_path=flat)
+    assert rv._parts_from_layout(spark) is None
+    assert rv.all_parts(spark.read.parquet(flat)) == ["a", "b", "c"]
+
+    # partitioned on a DIFFERENT column than part_col → also fall back
+    other = str(tmp_path / "seq_other")
+    seq_df.write.partitionBy("doc_id").parquet(other)
+    rv2 = ResumableValidation(plan, part_col="source",
+                              manifest_path=str(tmp_path / "m2"),
+                              violations_path=str(tmp_path / "v2"),
+                              input_path=other)
+    assert rv2._parts_from_layout(spark) is None
+
+    # no input_path at all (default) → scan path, unchanged behavior
+    rv3 = ResumableValidation(plan, part_col="source",
+                              manifest_path=str(tmp_path / "m3"),
+                              violations_path=str(tmp_path / "v3"))
+    assert rv3._parts_from_layout(spark) is None
+
+
+def test_parts_from_layout_null_partition(spark, tmp_path):
+    """NULL part values: hive spells them __HIVE_DEFAULT_PARTITION__ on
+    disk; the fast path maps them to the scan path's __null__ key."""
+    df = spark.createDataFrame(
+        [("d1", 5, "a"), ("d2", 6, None), ("d3", 7, "a")],
+        "doc_id string, n_tok int, source string")
+    inp = str(tmp_path / "withnull")
+    df.write.partitionBy("source").parquet(inp)
+    plan = SparkCompiler().compile(T.dict(
+        doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(100),
+        source=T.str.optional))
+    rv = ResumableValidation(plan, part_col="source",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"),
+                             input_path=inp)
+    fast = rv._parts_from_layout(spark)
+    scan = (ResumableValidation(plan, part_col="source",
+                                manifest_path=str(tmp_path / "m4"),
+                                violations_path=str(tmp_path / "v4"))
+            .all_parts(spark.read.parquet(inp)))
+    assert fast == scan == ["__null__", "a"]

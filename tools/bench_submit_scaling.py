@@ -51,8 +51,15 @@ def ensure_input() -> str:
     that fixed term caps measurable efficiency at ~0.5; at 64M rows the
     scan dominates and the ratio measures the engine."""
     os.environ.setdefault("SPARK_GRAFT_SEQ_ROWS", "64000000")
-    os.environ.setdefault("SPARK_GRAFT_SEQ_CACHE",
-                          "/dev/shm/validr_spark_seq_scaling64")
+    # hive-partitioned by source — the production table shape (Iceberg
+    # partition spec on `source`); lets the CLI discover partition keys
+    # from the directory listing (--parts-from-layout) instead of a
+    # full-column distinct scan, removing one serial term from every run
+    os.environ.setdefault("SPARK_GRAFT_SEQ_PARTBY", "source")
+    rows = os.environ["SPARK_GRAFT_SEQ_ROWS"]
+    os.environ.setdefault(
+        "SPARK_GRAFT_SEQ_CACHE",
+        f"/dev/shm/validr_spark_seq_scaling{int(rows) // 1000000}p")
     sys.path.insert(0, REPO)
     import bench
     marker = os.path.join(bench.SEQ_CACHE, "_SUCCESS")
@@ -91,6 +98,7 @@ def one_run(cpus: int, inp: str, schema: str, tmp: str) -> float:
     cmd = ["bash", SUBMIT, f"local[{cpus}]", "validate",
            "--input", inp, "--schema", schema,
            "--part-col", "source", "--id-cols", "doc_id",
+           "--parts-from-layout",
            "--violations", f"{out}/viol", "--manifest", f"{out}/manifest"]
     res = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=1800, env=env, cwd=REPO)
@@ -173,7 +181,9 @@ def main() -> None:
     section = f"""{SECTION_HEAD}
 
 The north rule's run form is `spark-submit --py-files validr_spark.zip`
-(tools/submit.sh).  The table below is the SAME 64M-row sequences
+(tools/submit.sh).  The table below is the SAME
+{int(os.environ['SPARK_GRAFT_SEQ_ROWS']) // 1000000}M-row,
+source-partitioned sequences
 validation (schema compile -> validate -> violations + manifest +
 quarantine-free writes, `validr_spark.cli validate`) launched that way —
 a fresh COLD spark-submit JVM per run — at local[{small}] and

@@ -80,6 +80,7 @@ def cmd_validate(args) -> int:
         extra_lineage=extra,
         quarantine_path=args.quarantine,
         output_partitions=args.output_partitions,
+        input_path=args.input if args.parts_from_layout else None,
     )
     import time
     t0 = time.time()
@@ -298,6 +299,12 @@ def main(argv=None) -> int:
                         "quarantine are hash-repartitioned by _part to "
                         "this width before partitionBy; 0 = keep the "
                         "scan's task layout)")
+    v.add_argument("--parts-from-layout", action="store_true",
+                   help="discover partition keys from the input's "
+                        "hive-style part-col=value directory names (one "
+                        "metadata listing) instead of a full-column "
+                        "distinct scan; use only when --part-col IS the "
+                        "table's physical partition column")
     v.add_argument("--fresh", nargs="?", const="", default=None,
                    metavar="TOKEN",
                    help="ignore existing checkpoints: fork the lineage with "

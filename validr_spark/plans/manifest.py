@@ -134,7 +134,8 @@ class ResumableValidation:
     def __init__(self, plan, part_col: str, manifest_path: str,
                  violations_path: str, batch_parts: int = 64,
                  extra_lineage: str = "", quarantine_path: str | None = None,
-                 output_partitions: int | None = None):
+                 output_partitions: int | None = None,
+                 input_path: str | None = None):
         self.plan = plan
         self.part_col = part_col
         self.manifest_path = manifest_path
@@ -144,6 +145,17 @@ class ResumableValidation:
         # cap on files per batch write (see _run_batch._shape); None keeps
         # the scan's task layout (S splits × |parts| files upper bound)
         self.output_partitions = output_partitions
+        # opt-in metadata-only partition discovery: when the input's ROOT
+        # path is given AND its physical layout is hive-partitioned on
+        # part_col (`.../part_col=value/` dirs), partition keys come from
+        # ONE driver-side directory listing instead of a full-column
+        # distinct scan.  At 10^12 rows the distinct scan reads the part
+        # column of every row group just to learn ~10^3 keys; the listing
+        # is O(|parts|).  (An Iceberg catalog's `.partitions` metadata
+        # table is the same idea; this is the plain-parquet analog.)
+        # Opt-in, not auto: the caller asserts part_col really is the
+        # table's physical partition column, untransformed.
+        self.input_path = input_path
         self.lineage = lineage_hash(plan, part_col, extra_lineage)
 
     # -- helpers ---------------------------------------------------------
@@ -152,7 +164,42 @@ class ResumableValidation:
         return F.coalesce(F.col(self.part_col).cast("string"),
                           F.lit(NULL_PART))
 
+    def _parts_from_layout(self, spark: SparkSession) -> list[str] | None:
+        """Partition keys from the hive-style directory names under
+        ``input_path`` — a metadata-only FS listing, no data read.
+
+        Returns None (→ caller falls back to the distinct scan) unless
+        every non-hidden entry under the root is a ``part_col=value``
+        directory, so a flat or differently-partitioned layout can never
+        be silently half-read.  Hive ``%XX``-escapes special characters
+        in value dirs and spells NULL ``__HIVE_DEFAULT_PARTITION__``;
+        both are mapped back to the scan-path's key space.
+        """
+        import urllib.parse
+
+        if not self.input_path:
+            return None
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.input_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        prefix = f"{self.part_col}="
+        vals: set[str] = set()
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue          # _SUCCESS, hidden metadata
+            if not (status.isDirectory() and name.startswith(prefix)):
+                return None       # not (purely) partitioned on part_col
+            v = urllib.parse.unquote(name[len(prefix):])
+            vals.add(NULL_PART if v == "__HIVE_DEFAULT_PARTITION__" else v)
+        return sorted(vals) if vals else None
+
     def all_parts(self, df: DataFrame) -> list[str]:
+        fast = self._parts_from_layout(df.sparkSession)
+        if fast is not None:
+            return fast
         rows = df.select(self._part_key().alias("p")).distinct().collect()
         return sorted(r["p"] for r in rows)
 
