@@ -698,6 +698,31 @@ def _textstats_sql_bits():
     return {lang: inlist(sw) for lang, sw in STOPWORDS.items()}
 
 
+def q_repair_report(spark, sf):
+    """Bulk repair loop (operators/repair.py): strict-validate documents,
+    bulk-repair with the schema's own declared defaults (reference
+    invalid_to_default wrapper semantics, pyx:381-421, lifted to an
+    offline batch step), and report per-rule before/after/repaired
+    counts.  lang and source declare defaults (repairable); n_chars has
+    none (stays irreparable) — integer counts only in the hashed
+    projection."""
+    from validr_spark.operators.repair import repair
+
+    df = _load(spark, sf, "documents")
+    sch = T.dict(
+        lang=T.enum("en de fr").default("en"),
+        n_chars=T.int.min(1).max(400),
+        source=T.str.minlen(1).maxlen(4).default("src0"),
+    )
+    strict_v = (SparkCompiler().compile(sch)
+                .apply(df, id_cols=["doc_id"]).violations())
+    rep = repair(sch, df, id_cols=["doc_id"]).report(strict_v)
+    keep = ["lang.enum", "n_chars.max", "source.maxlen"]
+    return (rep.filter(F.col("rule_id").isin(keep))
+            .select("rule_id", "n_before", "n_after", "n_repaired")
+            .orderBy("rule_id"))
+
+
 def q_text_profile(spark, sf):
     df = _load(spark, sf, "documents")
     prof = textstats.text_profile(df)
@@ -2048,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_stats": q_position_stats,
         "vocab_coverage": q_vocab_coverage,
         "value_variants": q_value_variants,
+        # round-3 additions, never driver-checked:
+        "repair_report": q_repair_report,
         # round-3 rows-only -> hash-oracle upgrades:
         "minhash_oracle": q_minhash_oracle,
         "simhash_oracle": q_simhash_oracle,
@@ -2219,6 +2246,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    round(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS null_rate
             FROM documents
+        """,
+        "repair_report": """
+            WITH c AS (SELECT
+              (SELECT count(*) FROM documents
+               WHERE lang IS NOT NULL AND lang <> ''
+                 AND lang NOT IN ('en', 'de', 'fr')) AS lang_bad,
+              (SELECT count(*) FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 400) AS nchars_bad,
+              (SELECT count(*) FROM documents
+               WHERE source IS NOT NULL AND source <> ''
+                 AND length(source) > 4) AS src_bad)
+            SELECT rule_id, n_before, n_after, n_repaired FROM (
+              SELECT 'lang.enum' AS rule_id,
+                     lang_bad::BIGINT AS n_before, 0::BIGINT AS n_after,
+                     lang_bad::BIGINT AS n_repaired FROM c
+              UNION ALL
+              SELECT 'n_chars.max', nchars_bad::BIGINT,
+                     nchars_bad::BIGINT, 0::BIGINT FROM c
+              UNION ALL
+              SELECT 'source.maxlen', src_bad::BIGINT,
+                     0::BIGINT, src_bad::BIGINT FROM c)
+            ORDER BY rule_id
         """,
         "frame_check": """
             WITH base AS (

@@ -25,6 +25,7 @@ from .incremental import (build_fingerprint_bloom, incremental_dedup,
                           incremental_new_rows)
 from .paradedup import dedup_paragraphs, paragraph_stats
 from .referential import orphan_count, orphans
+from .repair import RepairResult, repair, repairing_schema
 from .skew import (heavy_hitters, join_fanout_report, key_skew_report,
                    salted_join, suggest_salt)
 from .audit import (sampled_violation_rates, violation_triage,
@@ -44,6 +45,7 @@ __all__ = [
     "embedding_hygiene",
     "duplicate_keys", "duplication_report",
     "orphans", "orphan_count",
+    "repair", "repairing_schema", "RepairResult",
     "check_invariants", "fd_violations", "ordering_violations",
     "ks_exact", "ks_approx", "chi_square_counts", "psi", "jsd",
     "wasserstein1",
