@@ -135,3 +135,41 @@ def test_cli_audit_rates_and_gate(spark, table, tmp_path, capsys):
     capsys.readouterr()
     assert main(argv + ["--max-rate", "0.99"]) == 0
     capsys.readouterr()
+
+
+def test_cli_repair_roundtrip(spark, tmp_path, capsys):
+    """repair subcommand: quarantine-shaped input -> repaired/irreparable
+    parquet splits + one JSON report with per-rule accounting."""
+    from validr_spark.cli import main
+
+    rows = [("ok", 10, "en"), ("fix1", 999, "en"),   # n_tok -> default
+            ("fix2", 10, "xx"),                      # lang -> default
+            ("dead", -5, "qq")]                      # n_tok has default,
+    # lang too -> fully repairable;     make one truly dead via doc_id
+    rows.append(("", 10, "en"))                      # doc_id minlen fails
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int, lang string")
+    inp = str(tmp_path / "quar")
+    df.write.parquet(inp)
+    schema_file = str(tmp_path / "schema.json")
+    with open(schema_file, "w") as f:
+        json.dump({"$self": "dict",
+                   "doc_id": "str.minlen(1).maxlen(8)",
+                   "n_tok": "int.min(1).max(100).default(50)",
+                   "lang": ["enum", "en", "de", "fr"]}, f)
+    # multi-item enum list form has no default param -> lang stays
+    # irreparable; n_tok repairs
+    rep_dir = str(tmp_path / "repaired")
+    irr_dir = str(tmp_path / "irrep")
+    assert main(["repair", "--input", inp, "--schema", schema_file,
+                 "--id-cols", "doc_id",
+                 "--repaired", rep_dir, "--irreparable", irr_dir]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_repaired_rows"] == 2           # ok + fix1
+    assert report["n_irreparable_rows"] == 3        # fix2, dead, ""
+    rules = {r["rule_id"]: r for r in report["rules"]}
+    assert rules["n_tok.max"]["n_repaired"] == 1
+    assert rules["n_tok.max"]["n_after"] == 0
+    assert rules["lang.enum"]["n_repaired"] == 0
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(rep_dir).collect()}
+    assert got["fix1"]["n_tok"] == 50

@@ -93,6 +93,40 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_repair(args) -> int:
+    """Bulk-repair rows with the schema's own declared defaults
+    (operators/repair.py) — the offline step between ``validate
+    --quarantine`` and re-ingestion.  Writes now-clean rows to
+    ``--repaired`` (and still-failing ones to ``--irreparable``), prints
+    one JSON report with per-rule before/after/repaired counts.
+    """
+    from .compiler import SparkCompiler
+    from .operators.repair import repair
+    from .schema import T
+    from .sources import TableSource
+
+    with open(args.schema) as f:
+        tschema = T(json.load(f))
+    spark = _build_session(args.master, args.shuffle_partitions)
+    df = TableSource(args.input, fmt=args.format, schema=tschema).load(spark)
+    strict_v = (SparkCompiler().compile(tschema)
+                .apply(df, id_cols=args.id_cols).violations())
+    out = repair(tschema, df, id_cols=args.id_cols,
+                 use_optional_null=args.use_optional_null)
+    out.repaired.write.mode("overwrite").parquet(args.repaired)
+    n_irr = None
+    if args.irreparable:
+        out.irreparable.write.mode("overwrite").parquet(args.irreparable)
+        n_irr = spark.read.parquet(args.irreparable).count()
+    rules = [r.asDict() for r in out.report(strict_v).collect()]
+    print(json.dumps({
+        "n_repaired_rows": spark.read.parquet(args.repaired).count(),
+        "n_irreparable_rows": n_irr,
+        "rules": rules,
+    }))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     """Profile a table and print a drafted validr schema (isomorph JSON)
     — feed the edited draft back to ``validate --schema``."""
@@ -313,6 +347,27 @@ def main(argv=None) -> int:
     v.add_argument("--master", default=None)
     v.add_argument("--shuffle-partitions", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    rr = sub.add_parser("repair", help="bulk-repair quarantined rows with "
+                        "the schema's declared defaults")
+    rr.add_argument("--input", required=True,
+                    help="quarantine dir (or any table in the schema's "
+                         "input shape)")
+    rr.add_argument("--format", default="auto")
+    rr.add_argument("--schema", required=True,
+                    help="isomorph-JSON schema file (same as validate)")
+    rr.add_argument("--id-cols", nargs="*", default=[])
+    rr.add_argument("--repaired", required=True,
+                    help="parquet dir for now-clean rows")
+    rr.add_argument("--irreparable", default=None,
+                    help="parquet dir for rows still failing after repair")
+    rr.add_argument("--use-optional-null", action="store_true",
+                    help="also repair invalid OPTIONAL fields to their "
+                         "null value (loses information a default does "
+                         "not; off by default)")
+    rr.add_argument("--master", default=None)
+    rr.add_argument("--shuffle-partitions", type=int, default=None)
+    rr.set_defaults(fn=cmd_repair)
 
     au = sub.add_parser("audit", help="sampled validation audit: per-rule "
                         "violation rates with Wilson bounds (exit 1 if any "
