@@ -203,3 +203,42 @@ def test_drift_gate_bounds_raw_metric_not_rounded(spark):
     rep2 = drift_gate(ref, new, numeric_cols=["v"], max_psi=raw + 2e-9)
     r2 = {x["check_id"]: x for x in rep2.collect()}["drift_psi"]
     assert r2["passed"] is True
+
+
+def test_drift_gate_observed_never_contradicts_verdict(spark):
+    """A metric a hair over the bound must FAIL *and* display an
+    observed value over the bound: rounding 0.2500000002 to 6 digits
+    shows exactly the bound next to passed=False, which reads as a
+    harness bug (review finding, round 3)."""
+    import math
+
+    from validr_spark.operators.checks import drift_gate
+
+    # engineer psi just above 0.25: two-bin split p=(0.5,0.5) vs
+    # q=(0.5+d, 0.5-d) has psi ~ 4*d^2/... easier: scan d numerically
+    def psi2(d):
+        p, q = (0.5, 0.5), (0.5 + d, 0.5 - d)
+        return sum((a - b) * math.log(a / b) for a, b in zip(p, q))
+
+    lo, hi = 0.0, 0.49
+    for _ in range(60):                      # bisect psi2(d) ~= bound+2e-9
+        mid = (lo + hi) / 2
+        if psi2(mid) < 0.25 + 2e-9:
+            lo = mid
+        else:
+            hi = mid
+    d = hi
+    n = 200000
+    k = int(round(n * (0.5 + d)))
+    ref = spark.createDataFrame([(0.0,)] * (n // 2) + [(10.0,)] * (n // 2),
+                                "x double")
+    new = spark.createDataFrame([(0.0,)] * k + [(10.0,)] * (n - k),
+                                "x double")
+    rows = {r["check_id"]: r for r in
+            drift_gate(ref, new, numeric_cols=["x"], max_psi=0.25,
+                       bins=2).collect()}
+    r = rows["drift_psi"]
+    if not r["passed"]:                      # raw metric over the bound
+        assert r["observed"] > r["hi"], (r["observed"], r["hi"])
+    else:                                    # construction drifted under
+        assert r["observed"] <= r["hi"]

@@ -431,3 +431,31 @@ def test_psi_empty_side_yields_null_not_error(spark):
     assert psi_quantile(ref, empty, "v").collect()[0]["psi"] is None
     rep = drift_report(ref, empty, numeric_cols=["v"]).collect()[0]
     assert rep["psi"] is None and rep["n_new"] == 0
+
+
+def test_psi_by_group_null_group_is_real_group(spark):
+    """NULL group keys are a real group, not a join casualty: without
+    null-safe (struct-wrapped) keys the USING joins dropped the NULL
+    group from the main result and the anti-join misreported it as
+    brand-new even when the reference contains NULL-group rows
+    (review finding, round 3)."""
+    from validr_spark.operators.drift import psi, psi_by_group
+    ref = spark.createDataFrame(
+        [(None, float(i)) for i in range(60)]
+        + [("a", float(i)) for i in range(40)],
+        "g string, v double")
+    new = spark.createDataFrame(
+        [(None, float(i) + 30) for i in range(50)]
+        + [("a", float(i)) for i in range(40)],
+        "g string, v double")
+    got = {r["g"]: r for r in psi_by_group(ref, new, "v", "g").collect()}
+    assert set(got) == {None, "a"}
+    # the NULL group is two-sided: real psi, real ref counts
+    assert got[None]["n_ref_rows"] == 60
+    assert got[None]["n_new_rows"] == 50
+    solo = psi(ref.filter(F.col("g").isNull()),
+               new.filter(F.col("g").isNull()), "v").collect()[0]["psi"]
+    assert abs(got[None]["psi"] - round(solo, 6)) < 2e-6
+    # and it is NOT duplicated by the new-only union-back path
+    assert sum(1 for r in psi_by_group(ref, new, "v", "g").collect()
+               if r["g"] is None) == 1

@@ -740,3 +740,45 @@ def test_parts_from_layout_null_partition(spark, tmp_path):
                                 violations_path=str(tmp_path / "v4"))
             .all_parts(spark.read.parquet(inp)))
     assert fast == scan == ["__null__", "a"]
+
+
+def test_parts_from_layout_typed_inference(spark, tmp_path):
+    """Dir names live in STRING space but the scan's partition column is
+    type-inferred: src=01 and src=1 both scan as int 1, so the raw dir
+    values '01'/'1' would never match the scan key '1' — their rows would
+    be silently skipped while the manifest recorded done/pass with 0
+    rows.  all_parts must round-trip the listing through the scan
+    column's dtype (review finding, round 3)."""
+    inp = str(tmp_path / "typed")
+    one = spark.createDataFrame([("d1", 5)], "doc_id string, n_tok int")
+    one.write.parquet(inp + "/src=01")
+    spark.createDataFrame([("d2", 6)], "doc_id string, n_tok int") \
+        .write.parquet(inp + "/src=1")
+    df = spark.read.parquet(inp)
+    assert df.schema["src"].dataType.simpleString() in ("int", "bigint")
+
+    plan = SparkCompiler().compile(T.dict(
+        doc_id=T.str.minlen(1), n_tok=T.int.min(1).max(100)))
+    rv = ResumableValidation(plan, part_col="src",
+                             manifest_path=str(tmp_path / "m"),
+                             violations_path=str(tmp_path / "v"),
+                             input_path=inp)
+    # raw listing is in dir-name space; all_parts canonicalizes
+    assert rv._parts_from_layout(spark) == ["01", "1"]
+    assert rv.all_parts(df) == ["1"]
+    rep = rv.run(spark, df, id_cols=["doc_id"])
+    assert rep["n_parts_processed"] == 1
+    man = ManifestStore(spark, str(tmp_path / "m")).read().collect()
+    assert len(man) == 1 and man[0]["n_rows"] == 2   # BOTH dirs' rows
+
+    # a dir value the column dtype cannot parse -> never guess: fall
+    # back to the distinct scan's key space
+    typed = df.withColumn("src", F.col("src").cast("int"))
+    rv2 = ResumableValidation(plan, part_col="src",
+                              manifest_path=str(tmp_path / "m2"),
+                              violations_path=str(tmp_path / "v2"),
+                              input_path=str(tmp_path / "badtyped"))
+    os.makedirs(str(tmp_path / "badtyped" / "src=abc"))
+    one.write.parquet(str(tmp_path / "badtyped" / "src=abc" / "x"))
+    # listing sees 'abc'; cast to int nulls it -> canon returns None
+    assert rv2._canon_layout_keys(typed, ["abc", "1"]) is None

@@ -110,3 +110,31 @@ def test_repair_plan_is_scan_side(spark, df):
     out = repair(schema(), df, id_cols=["doc_id"])
     assert_no_python(out.repaired)
     assert_no_shuffle(out.repaired)
+
+
+def test_repairing_schema_recurses_model(spark):
+    """Model-typed schemas repair like their dict equivalent: the model
+    node unwraps to its __schema__ dict and fields with defaults get
+    invalid_to_default (review finding, round 3 — the elif chain
+    previously skipped 'model' entirely, making every failing row
+    irreparable despite declared defaults)."""
+    from validr_spark import T, modelclass
+    from validr_spark.operators.repair import repair, repairing_schema
+
+    @modelclass
+    class Doc:
+        doc_id = T.str.minlen(1).maxlen(8)
+        n_tok = T.int.min(1).max(100).default(50)
+
+    rs = repairing_schema(T(Doc).__schema__)
+    assert rs.validator == "dict"
+    assert rs.items["n_tok"].params.get("invalid_to_default") is True
+    assert "invalid_to_default" not in rs.items["doc_id"].params
+
+    df = spark.createDataFrame([("ok", 10), ("fix", 999), ("", 10)],
+                               "doc_id string, n_tok int")
+    out = repair(Doc, df, id_cols=["doc_id"])
+    rep = {r["doc_id"]: r for r in out.repaired.collect()}
+    assert set(rep) == {"ok", "fix"}
+    assert rep["fix"]["n_tok"] == 50
+    assert out.irreparable.count() == 1

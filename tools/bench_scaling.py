@@ -13,14 +13,14 @@ Protocol notes (each lever measured, see PERF.md Findings 2/2b/5):
   high-variance reads — an IO serial term a real cluster's local SSDs
   don't have.  Scan-split count is identical at both levels (same files,
   same maxPartitionBytes), shuffle.partitions pinned to the same value.
-* **N=1 vs 4N=4**: a process-based numpy burn (no GIL/IO) shows this box
-  scales compute 2→8 at 0.98 efficiency but hits a wall 8→32 (≈16
-  effective cores), and carries ~2 cores of constant co-tenant steal —
-  an under-subscribed 1→4 pair keeps both levels clear of the steal and
-  SMT/bandwidth ceilings, so the ratio measures the ENGINE's
-  scalability, not the box's.  The probe result is embedded in BENCH.md
-  as evidence.  (local[1] also keeps the C2 JIT compiler threads off the
-  task thread — its warmup converges in one run.)
+* **N=2 vs 4N=8 (primary), 1 vs 4 secondary**: a process-based numpy
+  burn (no GIL/IO) shows this box scales compute 2→8 at 0.98 efficiency
+  but hits a wall 8→32 (≈16 effective cores), and carries ~2 cores of
+  constant co-tenant steal.  At local[1] that steal is 2× the level's
+  own CPU budget, randomly poisoning the small side of a 1→4 ratio; at
+  2→8 both levels amortize it and stay clear of the SMT/bandwidth
+  ceilings, so the ratio measures the ENGINE's scalability, not the
+  box's.  The probe result is embedded in BENCH.md as evidence.
 * **Best-of-K over many runs**: co-tenant CPU steal produces 10×+
   run-to-run outliers (all runs listed).  The best run is the
   least-contended estimate of true capacity at each level; the median of
@@ -164,7 +164,8 @@ def main():
             f"{probe.get('8')} (2→8 efficiency "
             f"{probe_eff:.2f}), 32 → {probe.get('32')} "
             f"(8→32 hits the ≈16-effective-core SMT wall) — hence the "
-            f"under-subscribed N=1 / 4N=4 pairing.")
+            f"2→8 primary pairing: both levels amortize the ~2-core "
+            f"co-tenant steal and stay clear of the SMT ceiling.")
 
     secondary_parts = []
     for (sn, sl, rs, rl) in results[1:]:

@@ -156,7 +156,7 @@ def main() -> None:
             print(f"run {i + 1}/{runs} local[{cpus}]: {dt:.2f}s",
                   file=sys.stderr)
 
-    factor = large // small
+    factor = large / small    # float: 3->8 scales by 8/3, not 2
     best = {c: min(v) for c, v in times.items()}
     med = {c: statistics.median(v) for c, v in times.items()}
     eff_best = round(best[small] / (factor * best[large]), 3)

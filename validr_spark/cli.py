@@ -113,15 +113,29 @@ def cmd_repair(args) -> int:
                 .apply(df, id_cols=args.id_cols).violations())
     out = repair(tschema, df, id_cols=args.id_cols,
                  use_optional_null=args.use_optional_null)
-    out.repaired.write.mode("overwrite").parquet(args.repaired)
-    n_irr = None
-    if args.irreparable:
-        out.irreparable.write.mode("overwrite").parquet(args.irreparable)
-        n_irr = spark.read.parquet(args.irreparable).count()
-    rules = [r.asDict() for r in out.report(strict_v).collect()]
+    # Four consumers (two writes, two aggregates) share one lenient
+    # validation: persist the annotated parent so the input is scanned
+    # once per plan (strict + lenient), not once per consumer.
+    out.annotated.persist()
+    try:
+        out.repaired.write.mode("overwrite").parquet(args.repaired)
+        if args.irreparable:
+            out.irreparable.write.mode("overwrite").parquet(
+                args.irreparable)
+        # both counts in ONE job over the persisted parent — no parquet
+        # read-back jobs
+        from pyspark.sql import functions as F
+        bad = F.size(F.col("_violations")) > 0
+        cnt = out.annotated.agg(
+            F.sum(F.when(~bad, 1).otherwise(0)).alias("n_rep"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("n_irr")).first()
+        rules = [r.asDict() for r in out.report(strict_v).collect()]
+    finally:
+        out.annotated.unpersist()
     print(json.dumps({
-        "n_repaired_rows": spark.read.parquet(args.repaired).count(),
-        "n_irreparable_rows": n_irr,
+        "n_repaired_rows": cnt["n_rep"] or 0,
+        "n_irreparable_rows": (cnt["n_irr"] or 0) if args.irreparable
+        else None,
         "rules": rules,
     }))
     return 0

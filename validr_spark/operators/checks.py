@@ -265,7 +265,13 @@ def drift_gate(df_ref: DataFrame, df_new: DataFrame,
         # round-2 finding).  round_digits only shapes the REPORTED
         # observed/message columns.
         raw = F.col(metric_col).cast("double")
-        v = F.round(raw, round_digits)
+        # Display rounding must never contradict the verdict: a metric
+        # 2e-9 over the bound rounds to exactly the bound, and a failing
+        # row whose observed equals its own hi reads as a harness bug.
+        # Report the raw value whenever rounding would cross the bound.
+        rounded = F.round(raw, round_digits)
+        v = F.when((raw > float(hi)) & (rounded <= float(hi)), raw) \
+             .otherwise(rounded)
         applicable = ((F.col("kind") == "numeric")
                       if metric_col in ("psi", "ks")
                       else (F.col("kind") == "categorical"))

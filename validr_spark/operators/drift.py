@@ -388,8 +388,14 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
     brand-new source the reference has never seen — are unioned back in
     with psi NULL and n_ref_rows=0 rather than silently dropped by the
     range join (round-3 fix of an ADVICE.md finding).
+
+    The group key is struct-wrapped so every join on it is null-safe
+    (Spark compares struct fields with null-equals-null ordering): a
+    NULL ``by`` value is a real group — without the wrap the USING
+    joins would drop it from ``main`` and the anti-join would misreport
+    it as brand-new even when the reference contains NULL-group rows.
     """
-    g = F.col(by).alias("grp")
+    g = F.struct(F.col(by).alias("g")).alias("grp")
     rng = (df_ref.filter(F.col(col).isNotNull()).groupBy(g)
            .agg(F.min(F.col(col).cast("double")).alias("lo"),
                 F.max(F.col(col).cast("double")).alias("hi")))
@@ -423,7 +429,7 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
                  .alias("psi"),
                  F.first("tr").alias("n_ref_rows"),
                  F.first("tn").alias("n_new_rows"))
-            .select(F.col("grp").alias(by), "psi",
+            .select(F.col("grp.g").alias(by), "psi",
                     "n_ref_rows", "n_new_rows"))
     # Groups that exist ONLY in df_new never reach the range join (it is
     # inner on the REFERENCE range table) — union them back with psi
@@ -434,7 +440,7 @@ def psi_by_group(df_ref: DataFrame, df_new: DataFrame, col: str,
                 .groupBy("grp")
                 .agg(F.count(F.lit(1)).alias("n_new_rows"))
                 .join(rng.select("grp"), "grp", "left_anti")
-                .select(F.col("grp").alias(by),
+                .select(F.col("grp.g").alias(by),
                         F.lit(None).cast("double").alias("psi"),
                         F.lit(0).cast("bigint").alias("n_ref_rows"),
                         F.col("n_new_rows")))

@@ -40,12 +40,20 @@ def repairing_schema(schema, *, use_optional_null: bool = False) -> Schema:
     (no default) as repairable-to-null; off by default because nulling
     a corrupt value loses information a default does not.
 
-    Containers recurse: dict fields and list items are transformed,
-    union branches are NOT (which branch a repaired value belongs to is
+    Containers recurse: dict fields, list items, and model fields (a
+    ``model`` node is unwrapped to its equivalent dict schema — the
+    compiler compiles both through the same ``_dict_core`` with the same
+    rule_ids, and a model node's items slot can only legally hold a
+    model class, not a transformed schema) are transformed; union
+    branches are NOT (which branch a repaired value belongs to is
     ambiguous — repair unions by repairing the branch schemas before
     composing them).
     """
     s = schema.__schema__ if hasattr(schema, "__schema__") else schema
+    if s.validator == "model" and s.items is not None:
+        from ..schema import T
+        return repairing_schema(T(s.items).__schema__,
+                                use_optional_null=use_optional_null)
     params = dict(s.params)
     items = s.items
     if s.validator == "dict" and isinstance(items, dict):
@@ -70,6 +78,10 @@ class RepairResult:
     repaired: DataFrame      # rows now fully valid, repaired/coerced shape
     irreparable: DataFrame   # rows still failing after repair, coerced
     remaining: DataFrame     # violations that survived the repair pass
+    # the shared annotated parent all three views derive from — persist
+    # THIS before consuming more than one view, or each view re-runs the
+    # whole lenient validation over the input scan
+    annotated: DataFrame | None = None
 
     def report(self, strict_violations: DataFrame) -> DataFrame:
         """Per-rule repair accounting: join the strict pass's violations
@@ -108,4 +120,5 @@ def repair(schema, df: DataFrame, id_cols: list[str] | None = None,
     res = lenient.apply(df, id_cols=id_cols or [])
     return RepairResult(repaired=res.clean(),
                         irreparable=res.bad_rows(),
-                        remaining=res.violations())
+                        remaining=res.violations(),
+                        annotated=res.df)

@@ -196,8 +196,46 @@ class ResumableValidation:
             vals.add(NULL_PART if v == "__HIVE_DEFAULT_PARTITION__" else v)
         return sorted(vals) if vals else None
 
+    def _canon_layout_keys(self, df: DataFrame,
+                           raw: list[str]) -> list[str] | None:
+        """Map raw directory-name values into `_part_key()`'s key space.
+
+        Spark's partition type inference parses dir strings into a typed
+        column (``src=01`` with int inference scans as 1), and
+        ``_part_key()`` stringifies THAT — so the raw dir name ``'01'``
+        would never match the scan key ``'1'`` and its rows would be
+        silently skipped while the manifest records done/pass.  Round-trip
+        each raw value through the scan column's actual dtype
+        (string→dtype→string, the same conversion the scan applies);
+        collapsed duplicates ('01' and '1' → '1') are fine because the
+        batch filter on the canonical key picks up both dirs' rows.
+        Returns None (→ distinct-scan fallback) if any value does not
+        survive the cast, which means the listing and the scan disagree
+        about the column — never guess in that case.
+        """
+        dtype = df.schema[self.part_col].dataType.simpleString()
+        if dtype == "string":
+            return sorted(set(raw))
+        plain = [v for v in raw if v != NULL_PART]
+        keys = set(v for v in raw if v == NULL_PART)
+        if plain:
+            tiny = df.sparkSession.createDataFrame(
+                [(v,) for v in plain], "v string")
+            # try_cast: under ANSI a raw cast of an unparseable dir value
+            # would throw instead of signalling "fall back" via NULL
+            rows = tiny.select(
+                F.col("v").try_cast(dtype).cast("string").alias("k")
+            ).collect()
+            for r in rows:
+                if r["k"] is None:
+                    return None
+                keys.add(r["k"])
+        return sorted(keys)
+
     def all_parts(self, df: DataFrame) -> list[str]:
         fast = self._parts_from_layout(df.sparkSession)
+        if fast is not None:
+            fast = self._canon_layout_keys(df, fast)
         if fast is not None:
             return fast
         rows = df.select(self._part_key().alias("p")).distinct().collect()
@@ -327,7 +365,12 @@ class ResumableValidation:
 
         # 1b. optional quarantine sink: the failing ROWS in coerced shape
         #     (repair-loop input), same delete-then-append idempotence.
+        #     Timed as its own phase — on violation-heavy data the full
+        #     coerced-row write dwarfs the violations write, and leaving
+        #     it out of phase_seconds made the breakdown sum far below
+        #     the wall clock.
         if self.quarantine_path:
+            t0 = time.time()
             self._delete_part_dirs(spark, parts, self.quarantine_path)
             (_shape(res.bad_rows()
                     .withColumn("_lineage", F.lit(self.lineage))
@@ -335,6 +378,8 @@ class ResumableValidation:
                 .write.mode("append")
                 .partitionBy("_part")
                 .parquet(self.quarantine_path))
+            phases["quarantine_write"] = (phases.get("quarantine_write", 0.0)
+                                          + time.time() - t0)
 
         # 2. verdict metrics: cheap count-only scan (reads just part_col
         #    thanks to column pruning) + the small violations we just wrote.
