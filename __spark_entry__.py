@@ -1623,7 +1623,11 @@ def q_fd_check(spark, sf):
 
     doc = (_load(spark, sf, "documents")
            .withColumn("k", F.col("doc_id") % 100))
-    return fd_violations(doc, "k", "lang", sample_values=3).orderBy("k")
+    # '|'-join the sampled array: the driver's canonicalizer cannot
+    # sort/hash list cells (same crash class as r2's value_variants)
+    return (fd_violations(doc, "k", "lang", sample_values=3)
+            .withColumn("values", F.array_join("values", "|"))
+            .orderBy("k"))
 
 
 def q_ordering_check(spark, sf):
@@ -4677,7 +4681,7 @@ def _pipeline_oracles() -> dict[str, str]:
                 count(*) OVER (PARTITION BY k) AS nv
               FROM pre)
             SELECT k, nv::BIGINT AS n_values,
-                   list(v ORDER BY v) AS "values"
+                   string_agg(v, '|' ORDER BY v) AS "values"
             FROM r WHERE nv > 1 AND rk <= 3
             GROUP BY k, nv ORDER BY k
         """,

@@ -217,6 +217,21 @@ HEADLINE = [
 ]
 
 
+# The driver captures only the LAST 2000 chars of stdout and parses the
+# JSON line out of that window (BENCH_r02.json: 76 queries made the line
+# >2000 chars, its head was cut off, and the round's numbers recorded as
+# parsed=null).  So the printed line carries the round-comparable PRIMARY
+# subset + totals, and the full 76-query detail (incl. cold times and the
+# raw throughput runs) goes to BENCH_DETAILS.json next to this script.
+PRIMARY = [
+    "validate_documents", "lineitem_violations", "tpch_q1", "events_chi2",
+    "ks_drift", "dedup_prefix", "token_counts", "ann_topk",
+    "events_validate", "minhash_pairs", "simhash_pairs", "text_profile",
+    "dup_components", "para_dedup", "contamination", "collocations",
+    "frame_check", "psi_groups", "check_suite", "repair_report",
+]
+
+
 def main():
     import __spark_entry__ as entrymod
 
@@ -244,13 +259,25 @@ def main():
     seq = bench_sequences_steady(spark)
     timings["sequences_validate_1m"] = round(seq["best_seconds"], 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "queries": timings,
+            "queries_cold": cold,
+            "sf": SF_DIR,
+            "parallelism": CPUS,
+            "seq": seq,
+        }, f, indent=1)
+    primary = {k: v for k, v in timings.items()
+               if k in PRIMARY or k == "sequences_validate_1m"}
+    line = json.dumps({
         "metric": "headline query wall time (validate/dedup/drift/ann) + "
                   "sequence-validation throughput",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_cold": cold,
+        "queries": primary,
+        "n_queries_total": len(timings),
         "sf": SF_DIR,
         "parallelism": CPUS,
         "seq_rows": seq["rows"],
@@ -260,8 +287,11 @@ def main():
         "tokens_per_sec": round(seq["tokens_per_sec"], 1),
         "sequences_per_sec_median": round(seq["sequences_per_sec_median"], 1),
         "seq_seconds_median": round(seq["seconds"], 3),
-        "seq_all_seconds": seq["all_seconds"],
-    }))
+        "detail_file": "BENCH_DETAILS.json",
+    })
+    assert len(line) < 1900, f"JSON line too long ({len(line)}) for the " \
+        "driver's 2000-char stdout tail"
+    print(line)
 
 
 if __name__ == "__main__":
