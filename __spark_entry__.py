@@ -1899,9 +1899,12 @@ def q_w1_drift(spark, sf):
     from validr_spark.operators.drift import wasserstein1
 
     ev = _load(spark, sf, "events")
-    return wasserstein1(ev.filter(F.col("event_type") == "click"),
-                        ev.filter(F.col("event_type") == "view"),
-                        "value", grid=20, exact=True)
+    # the operator returns the RAW metric (gate contract); the ORACLE
+    # projection rounds to 6, matching the DuckDB twin
+    return (wasserstein1(ev.filter(F.col("event_type") == "click"),
+                         ev.filter(F.col("event_type") == "view"),
+                         "value", grid=20, exact=True)
+            .select(F.round("w1", 6).alias("w1"), "n_a", "n_b"))
 
 
 def q_compression_stats(spark, sf):
@@ -4331,50 +4334,56 @@ def _pipeline_oracles() -> dict[str, str]:
                 ELSE v3 END || '''' AS value
             FROM r WHERE kind IS NOT NULL ORDER BY id, rule_id
         """,
+        # passed gates on the RAW metric (CheckSuite.run contract);
+        # observed is rounded to 4 for reporting, both engines alike
         "check_suite": f"""
             WITH m AS (
               SELECT count(*)::DOUBLE AS n_rows,
-                round(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0
-                          END)::DOUBLE / count(*), 4) AS null_rate,
-                round(min(n_chars)::DOUBLE, 4) AS min_nc,
-                round(max(n_chars)::DOUBLE, 4) AS max_nc,
-                round(avg(n_chars), 4) AS mean_nc,
-                round(count(DISTINCT doc_id)::DOUBLE
-                      / sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END),
-                      4) AS uniq,
-                round(sum(CASE WHEN lang IN ({{langs}}) THEN 1 ELSE 0
-                          END)::DOUBLE
-                      / sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END),
-                      4) AS lang_ratio,
-                round(sum(CASE WHEN regexp_full_match(source, 'src\\d+')
-                          THEN 1 ELSE 0 END)::DOUBLE
-                      / sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END),
-                      4) AS src_ratio,
-                round(quantile_cont(n_chars, 0.5), 4) AS med_nc,
-                round(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0
-                          END)::DOUBLE / count(*), 4) AS cons_ratio
+                sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0
+                    END)::DOUBLE / count(*) AS null_rate,
+                min(n_chars)::DOUBLE AS min_nc,
+                max(n_chars)::DOUBLE AS max_nc,
+                avg(n_chars) AS mean_nc,
+                count(DISTINCT doc_id)::DOUBLE
+                  / sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS uniq,
+                sum(CASE WHEN lang IN ({{langs}}) THEN 1 ELSE 0
+                    END)::DOUBLE
+                  / sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END)
+                  AS lang_ratio,
+                sum(CASE WHEN regexp_full_match(source, 'src\\d+')
+                    THEN 1 ELSE 0 END)::DOUBLE
+                  / sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
+                  AS src_ratio,
+                quantile_cont(n_chars, 0.5) AS med_nc,
+                sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0
+                    END)::DOUBLE / count(*) AS cons_ratio
               FROM documents)
             SELECT * FROM (
               SELECT 'row_count' AS check_id, CAST(NULL AS VARCHAR) AS "column",
                      round(n_rows, 4) AS observed, 1.0::DOUBLE AS lo,
                      CAST(NULL AS DOUBLE) AS hi, n_rows >= 1.0 AS passed FROM m
-              UNION ALL SELECT 'null_rate(text)', 'text', null_rate,
+              UNION ALL SELECT 'null_rate(text)', 'text', round(null_rate, 4),
                      NULL, 0.05, null_rate <= 0.05 FROM m
-              UNION ALL SELECT 'min(n_chars)', 'n_chars', min_nc,
+              UNION ALL SELECT 'min(n_chars)', 'n_chars', round(min_nc, 4),
                      0.0, NULL, min_nc >= 0.0 FROM m
-              UNION ALL SELECT 'max(n_chars)', 'n_chars', max_nc,
+              UNION ALL SELECT 'max(n_chars)', 'n_chars', round(max_nc, 4),
                      NULL, 400.0, max_nc <= 400.0 FROM m
-              UNION ALL SELECT 'mean(n_chars)', 'n_chars', mean_nc,
+              UNION ALL SELECT 'mean(n_chars)', 'n_chars', round(mean_nc, 4),
                      50.0, 400.0, mean_nc >= 50.0 AND mean_nc <= 400.0 FROM m
-              UNION ALL SELECT 'unique_ratio(doc_id,exact)', 'doc_id', uniq,
+              UNION ALL SELECT 'unique_ratio(doc_id,exact)', 'doc_id',
+                     round(uniq, 4),
                      0.999, NULL, uniq >= 0.999 FROM m
-              UNION ALL SELECT 'values_in(lang)', 'lang', lang_ratio,
+              UNION ALL SELECT 'values_in(lang)', 'lang',
+                     round(lang_ratio, 4),
                      0.95, NULL, lang_ratio >= 0.95 FROM m
-              UNION ALL SELECT 'matches(source)', 'source', src_ratio,
+              UNION ALL SELECT 'matches(source)', 'source',
+                     round(src_ratio, 4),
                      1.0, NULL, src_ratio >= 1.0 FROM m
-              UNION ALL SELECT 'q0.5(n_chars)', 'n_chars', med_nc,
+              UNION ALL SELECT 'q0.5(n_chars)', 'n_chars', round(med_nc, 4),
                      100.0, 400.0, med_nc >= 100.0 AND med_nc <= 400.0 FROM m
-              UNION ALL SELECT 'n_chars_consistent', NULL, cons_ratio,
+              UNION ALL SELECT 'n_chars_consistent', NULL,
+                     round(cons_ratio, 4),
                      1.0, NULL, cons_ratio >= 1.0 FROM m
             ) ORDER BY check_id
         """.replace("{langs}",

@@ -118,8 +118,12 @@ class Check:
     @staticmethod
     def matches(column: str, pattern: str, min_ratio: float = 1.0) -> "Check":
         # full-match anchoring, same convention as the rule compiler
+        # (rules.py uses \z: Java's \Z still matches BEFORE a final line
+        # terminator, so 'abc\n' would count as a full match of 'abc' and
+        # this table-gate would disagree with the row validator built
+        # from the same pattern)
         c = F.col(column)
-        ok = c.rlike(f"\\A(?:{pattern})\\Z")
+        ok = c.rlike(f"\\A(?:{pattern})\\z")
         m = F.sum(ok.cast("long")) / F.sum(c.isNotNull().cast("long"))
         return Check(f"matches({column})", column, m, lo=min_ratio)
 
@@ -190,15 +194,25 @@ class CheckSuite:
         self.name = name
         self.checks = list(checks)
 
-    def run(self, df: DataFrame, round_digits: int = 6) -> DataFrame:
+    def run(self, df: DataFrame,
+            round_digits: int | None = 6) -> DataFrame:
         """One aggregation pass → (check_id, column, observed, lo, hi,
-        passed, message)."""
-        aggs = [F.round(c.metric.cast("double"), round_digits)
-                .alias(f"m{i}") for i, c in enumerate(self.checks)]
+        passed, message).
+
+        ``passed`` gates on the RAW metric; ``round_digits`` shapes only
+        the reported ``observed``/``message`` columns (``None`` = raw).
+        A rounded gate would let a value up to half an ulp-of-the-last-
+        digit past a bound still pass — the same hole ``drift_gate``
+        closes by gating raw.
+        """
+        aggs = [c.metric.cast("double").alias(f"m{i}")
+                for i, c in enumerate(self.checks)]
         row = df.agg(*aggs)
         out = []
         for i, c in enumerate(self.checks):
             v = F.col(f"m{i}")
+            v_obs = (F.round(v, round_digits)
+                     if round_digits is not None else v)
             passed = F.lit(True)
             if c.lo is not None:
                 passed = passed & v.isNotNull() & (v >= float(c.lo))
@@ -209,11 +223,11 @@ class CheckSuite:
             bound = f"[{lo_s}, {hi_s}]"
             msg = F.when(passed, F.lit(None).cast("string")).otherwise(
                 F.concat(F.lit(f"expect {c.check_id} in {bound}, but "),
-                         F.coalesce(v.cast("string"), F.lit("null"))))
+                         F.coalesce(v_obs.cast("string"), F.lit("null"))))
             out.append(F.struct(
                 F.lit(c.check_id).alias("check_id"),
                 F.lit(c.column).cast("string").alias("column"),
-                v.alias("observed"),
+                v_obs.alias("observed"),
                 F.lit(c.lo).cast("double").alias("lo"),
                 F.lit(c.hi).cast("double").alias("hi"),
                 passed.alias("passed"),

@@ -92,6 +92,15 @@ def kmeans_fit(df: DataFrame, k: int = 64, iters: int = 5,
                     continue
                 x = np.stack([np.asarray(v, dtype=np.float64)
                               for v in pdf["e"]])
+                # non-finite vectors (failed encoder output) must not
+                # vote: a single NaN would propagate into the centroid
+                # sums AND null the inertia aggregate (pandas→Arrow maps
+                # NaN to NULL), crashing the combine step
+                finite = np.isfinite(x).all(axis=1)
+                if not finite.all():
+                    x = x[finite]
+                    if not len(x):
+                        continue
                 nrm = np.linalg.norm(x, axis=1, keepdims=True)
                 nrm[nrm == 0] = 1.0
                 x = x / nrm
@@ -101,10 +110,16 @@ def kmeans_fit(df: DataFrame, k: int = 64, iters: int = 5,
                 np.add.at(cnts, a, 1)
                 np.add.at(inert, a, 1.0 - sims[np.arange(len(a)), a])
             live = np.nonzero(cnts)[0]
+            if not len(live):
+                # empty partition: yield NOTHING — an empty frame's "s"
+                # column materializes as a float64 ndarray and Arrow
+                # refuses ndarray→list<double> (crashes the whole fit on
+                # any input with an empty partition)
+                return
             yield pd.DataFrame({
                 "cell": live.astype("int32"),
                 "n": cnts[live],
-                "s": [sums[i] for i in live],
+                "s": pd.Series([sums[i] for i in live], dtype=object),
                 "inertia": inert[live]})
 
         part = src.mapInPandas(partials, schema=_partial_sums_schema(dim))
@@ -209,9 +224,14 @@ def semantic_dedup_pairs(df: DataFrame, centroids=None, k: int = 64,
     b = celled.select(F.col("_id").alias("id_b"),
                       F.col("_e").alias("_eb"),
                       F.col("_n").alias("_nb"), "cluster")
-    cos = (_dot_unrolled(F.col("_ea"), F.col("_eb"), dim)
-           / (F.col("_na") * F.col("_nb")))
+    # try_divide + isnan: zero-norm rows yield NULL (not an ANSI abort),
+    # and a NaN component can't pass the >= filter (NaN compares greater
+    # than everything in Spark) and merge unrelated docs — same guards as
+    # similarity.all_pairs_above / knn_join.
+    cos = F.try_divide(_dot_unrolled(F.col("_ea"), F.col("_eb"), dim),
+                       F.col("_na") * F.col("_nb"))
     return (a.join(b, "cluster")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.round(cos, 9).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")
+                    & (F.col("cosine") >= threshold)))

@@ -227,7 +227,17 @@ def leakage_report(df: DataFrame, split_col: str = "split",
     distinct leaked docs on each side — the go/no-go summary for a
     split before training starts."""
     pairs = split_leakage(df, split_col, **kwargs)
-    return (pairs.groupBy("split_a", "split_b")
+    # pair orientation comes from arbitrary id ordering (id_a < id_b), so
+    # one boundary's pairs would otherwise scatter across the (train,test)
+    # AND (test,train) rows at random — normalize to the unordered split
+    # pair so each boundary is ONE row with the full count.
+    flip = F.col("split_a") > F.col("split_b")
+    norm = pairs.select(
+        F.least("split_a", "split_b").alias("split_a"),
+        F.greatest("split_a", "split_b").alias("split_b"),
+        F.when(flip, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(flip, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"))
+    return (norm.groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.countDistinct("id_a").alias("n_docs_a"),
                  F.countDistinct("id_b").alias("n_docs_b"))

@@ -437,8 +437,19 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       blocks: int = 4) -> DataFrame:
     """Near-dup pairs by SimHash: block-permuted bucketing (pigeonhole: two
     hashes within hamming distance < blocks share at least one identical
-    block), then exact hamming check via bit_count(xor)."""
-    sh = simhash(df, text_col, id_col)
+    block), then exact hamming check via bit_count(xor).
+
+    NULL / whitespace-only documents are filtered out first — same
+    convention as :func:`minhash_signatures`.  ``simhash`` assigns them
+    all fingerprint 0, so without the filter every pair of them collides
+    in every block at hamming 0: an m²/2 single-bucket blowup, and
+    downstream component dedup would delete all-but-one empty row as
+    "near-dups".  Empty docs are exact duplicates; ``exact_duplicates``
+    is the right tool for them.
+    """
+    nonempty = df.filter(F.col(text_col).isNotNull()
+                         & (F.trim(F.col(text_col)) != ""))
+    sh = simhash(nonempty, text_col, id_col)
     width = 64 // blocks
     mask = (1 << width) - 1
     block_structs = [

@@ -41,10 +41,16 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str,
                 "unpartitioned window is single-reducer. Use ks_approx "
                 "(grid-based, two scan-aggregates) at scale, or pass "
                 "max_rows=None to force.")
-    a = df_a.select(F.col(col).cast("double").alias("x"),
-                    F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    b = df_b.select(F.col(col).cast("double").alias("x"),
-                    F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    # NULLs carry no distribution mass: without this filter they inflate
+    # na/nb and form a NULL-x cumulative group, so two identical non-null
+    # distributions with different null rates report spurious drift
+    # (ks_approx already ignores NULLs — percentile/avg skip them).
+    a = (df_a.select(F.col(col).cast("double").alias("x"),
+                     F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+         .filter(F.col("x").isNotNull()))
+    b = (df_b.select(F.col(col).cast("double").alias("x"),
+                     F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+         .filter(F.col("x").isNotNull()))
     u = a.unionAll(b)
     from pyspark.sql import Window
 
@@ -210,10 +216,14 @@ def jsd(df_ref: DataFrame, df_new: DataFrame, col: str) -> DataFrame:
     m = (p + q) / 2
     term = (F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0)) +
             F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))) / 2
+    # RAW jsd, not pre-rounded: drift_gate compares this value to its
+    # bound, and an operator-side round would re-open the rounded-gate
+    # hole checks.drift_gate closed.  Reports round at the projection
+    # (drift_report round_digits / the oracle queries).
     return (w.select(term.alias("t"), "n_categories", "ta", "tb")
             .groupBy("n_categories", "ta", "tb")
             .agg(F.sum("t").alias("jsd"))
-            .select(F.round("jsd", 9).alias("jsd"), "n_categories",
+            .select(F.col("jsd"), "n_categories",
                     F.col("ta").alias("n_ref"), F.col("tb").alias("n_new")))
 
 
@@ -256,8 +266,10 @@ def wasserstein1(df_a: DataFrame, df_b: DataFrame, col: str,
     # come through (w1 itself is NULL, which is the honest answer)
     ex = j.select("n_a", "n_b",
                   F.explode_outer(F.arrays_zip("qa", "qb")).alias("z"))
+    # RAW w1 (same contract as jsd above): gating consumers need the
+    # unrounded metric; reporting consumers round at the projection.
     return ex.agg(
-        F.round(F.avg(F.abs(F.col("z.qa") - F.col("z.qb"))), 6).alias("w1"),
+        F.avg(F.abs(F.col("z.qa") - F.col("z.qb"))).alias("w1"),
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"))
 
@@ -354,7 +366,7 @@ def drift_report(df_ref: DataFrame, df_new: DataFrame,
         parts.append(
             ks.crossJoin(w).crossJoin(ps).select(
                 F.lit(c).alias("column"), F.lit("numeric").alias("kind"),
-                _r(F.col("ks")).alias("ks"), "w1",
+                _r(F.col("ks")).alias("ks"), _r(F.col("w1")).alias("w1"),
                 _r(F.col("psi")).alias("psi"),
                 F.lit(None).cast("double").alias("jsd"),
                 "n_ref", "n_new"))

@@ -155,10 +155,20 @@ def lsh_topk(df: DataFrame, query: list[float], k: int = 10,
         for b, plane in enumerate(planes):
             if sum(x * y for x, y in zip(query, plane)) > 0:
                 qbits |= 1 << b
+        # probe every bucket within `multiprobe` bit flips of the query's
+        # signature (not just single flips: multiprobe=2 must widen the
+        # candidate set beyond multiprobe=1 or the parameter is a no-op).
+        # Probe-set size is sum_{j<=multiprobe} C(nbits, j) — driver-side
+        # ints only, the executors see one frozen set per table.
+        import itertools as _it
+
         probes = {qbits}
-        if multiprobe >= 1:
-            for b in range(nbits):
-                probes.add(qbits ^ (1 << b))
+        for r in range(1, min(multiprobe, nbits) + 1):
+            for combo in _it.combinations(range(nbits), r):
+                m = 0
+                for b in combo:
+                    m |= 1 << b
+                probes.add(qbits ^ m)
         tables.append((np.asarray(planes, dtype=np.float64), probes))
 
     # one Arrow pass computes every table's bucket via numpy matmul and
@@ -193,8 +203,16 @@ def ivf_centroids(df: DataFrame, n_centroids: int = 64,
 
     Returns a list of L2-normalized numpy vectors.
     """
-    rows = (df.select(F.col(emb_col).alias("e"),
+    # a NULL or non-finite embedding must not seed a centroid: one NaN
+    # component makes every dot product against that centroid NaN, which
+    # poisons the whole k-means fit (and pandas→Arrow turns the NaN
+    # inertia into NULL, crashing the combine step)
+    e = F.col(emb_col)
+    rows = (df.select(e.alias("e"),
                       F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+            .filter(e.isNotNull()
+                    & ~F.exists(e, lambda v: F.isnan(v) | v.isNull()
+                                | (F.abs(v) > F.lit(1e308))))
             .orderBy("_h").limit(n_centroids).collect())
     cents = np.array([r["e"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
@@ -311,12 +329,17 @@ def all_pairs_above(df: DataFrame, threshold: float = 0.9,
              .filter(F.when(F.col("_i") == F.col("_j"),
                             F.col("doc_l") < F.col("doc_r"))
                      .otherwise(F.lit(True))))
-    cos = _dot_unrolled(F.col("e_l"), F.col("e_r"), dim) / (
-        F.col("nrm_l") * F.col("nrm_r"))
+    # try_divide: zero-norm vectors (failed/padding encoder output) yield
+    # NULL instead of an ANSI DIVIDE_BY_ZERO abort; the isnan guard keeps a
+    # NaN component (NaN sorts ABOVE every threshold in Spark) from pairing
+    # its row with the whole bucket and poisoning component dedup.
+    cos = F.try_divide(_dot_unrolled(F.col("e_l"), F.col("e_r"), dim),
+                       F.col("nrm_l") * F.col("nrm_r"))
     return (pairs.select(F.least("doc_l", "doc_r").alias("id_a"),
                          F.greatest("doc_l", "doc_r").alias("id_b"),
                          cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+            .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine")
+                    & (F.col("cosine") >= threshold)))
 
 
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -372,7 +395,11 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       F.try_divide(_dot_unrolled(c_emb, q_emb, dim),
                                    F.col("_cn") * F.col("_qn"))
                       .alias("cosine"))
-              .filter(F.col("cosine").isNotNull()))
+              # NULL: zero-norm (try_divide).  NaN: a NaN component —
+              # NaN sorts FIRST under desc() in Spark, so without this
+              # guard one bad vector becomes rank 1 for every query.
+              .filter(F.col("cosine").isNotNull()
+                      & ~F.isnan(F.col("cosine"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -92,14 +92,24 @@ def _scalar_element(name: str, dtype: st.DataType, m: dict,
     if name in enum_values:
         # enum's isomorph form is the list ['enum', v1, v2, ...]
         return ["enum", *enum_values[name]]
+    # all-NULL column: min/max/len aggregates are NULL — nothing to
+    # profile, so draft the permissive element instead of rendering
+    # 'str.minlen(None)' or crashing _fmt(int(None)).  The caller
+    # appends '.optional' (null count > 0 by construction).
     if isinstance(dtype, st.StringType):
+        if m.get(f"{name}__minlen") is None:
+            return "any"
         return (f"str.minlen({m[f'{name}__minlen']})"
                 f".maxlen({m[f'{name}__maxlen']})")
     if isinstance(dtype, (st.IntegerType, st.LongType, st.ShortType,
                           st.ByteType)):
+        if m.get(f"{name}__min") is None:
+            return "any"
         return (f"int.min({_fmt(m[f'{name}__min'])})"
                 f".max({_fmt(m[f'{name}__max'])})")
     if isinstance(dtype, (st.DoubleType, st.FloatType, st.DecimalType)):
+        if m.get(f"{name}__min") is None:
+            return "any"
         return (f"float.min({_fmt(m[f'{name}__min'])})"
                 f".max({_fmt(m[f'{name}__max'])})")
     if isinstance(dtype, st.BooleanType):
@@ -109,6 +119,8 @@ def _scalar_element(name: str, dtype: st.DataType, m: dict,
     if isinstance(dtype, st.TimestampType):
         return "datetime"
     if isinstance(dtype, st.BinaryType):
+        if m.get(f"{name}__minlen") is None:
+            return "any"
         return (f"bytes.minlen({m[f'{name}__minlen']})"
                 f".maxlen({m[f'{name}__maxlen']})")
     return "any"
@@ -159,8 +171,12 @@ def suggest_elements(df: DataFrame, enum_max: int = 12,
                          f".max({_fmt(m[f'{name}__emax'])})")
             else:
                 inner = "any"
-            self_el = (f"list.minlen({m[f'{name}__minlen']})"
-                       f".maxlen({m[f'{name}__maxlen']})")
+            if m.get(f"{name}__minlen") is None:
+                # all-NULL array column: no length envelope to draft
+                self_el = "list"
+            else:
+                self_el = (f"list.minlen({m[f'{name}__minlen']})"
+                           f".maxlen({m[f'{name}__maxlen']})")
             # list isomorph form: [self_element, item_element]
             out[name] = [self_el + (".optional" if optional else ""), inner]
         elif isinstance(dtype, st.StructType):
