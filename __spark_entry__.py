@@ -4301,7 +4301,10 @@ def _pipeline_oracles() -> dict[str, str]:
             r AS (
               SELECT id, lang, source, k3, v3, CASE
                 -- per-dict fail-fast in map-entry order; key before value
-                WHEN length(lang) < 2 OR length(lang) > 4 THEN 'lang_len'
+                -- (minlen/maxlen split so a too-SHORT lang maps to the
+                -- minlen rule, not the ELSE maxlen branch below)
+                WHEN length(lang) < 2 THEN 'lang_minlen'
+                WHEN length(lang) > 4 THEN 'lang_maxlen'
                 WHEN length(source) < 2 THEN 'src_minlen'
                 WHEN length(source) > 4 THEN 'src_maxlen'
                 WHEN k3 NOT IN ('k0', 'lang', 'source') THEN 'key_enum'
@@ -4313,24 +4316,28 @@ def _pipeline_oracles() -> dict[str, str]:
                 WHEN 'key_enum' THEN 'props.$self_key.enum'
                 WHEN 'v_minlen' THEN 'props.$self_value.minlen'
                 WHEN 'src_minlen' THEN 'props.$self_value.minlen'
+                WHEN 'lang_minlen' THEN 'props.$self_value.minlen'
                 ELSE 'props.$self_value.maxlen' END AS rule_id,
               CASE kind
                 WHEN 'key_enum' THEN 'props.$self_key'
                 WHEN 'src_maxlen' THEN 'props.source'
                 WHEN 'src_minlen' THEN 'props.source'
-                WHEN 'lang_len' THEN 'props.lang'
+                WHEN 'lang_minlen' THEN 'props.lang'
+                WHEN 'lang_maxlen' THEN 'props.lang'
                 ELSE 'props.k0' END AS position,
               CASE kind
                 WHEN 'key_enum'
                   THEN 'expect one of {''k0'', ''lang'', ''source''}'
                 WHEN 'v_minlen' THEN 'string length must >= 2'
                 WHEN 'src_minlen' THEN 'string length must >= 2'
+                WHEN 'lang_minlen' THEN 'string length must >= 2'
                 ELSE 'string length must <= 4' END AS message,
               '''' || CASE kind
                 WHEN 'key_enum' THEN k3
                 WHEN 'src_maxlen' THEN source
                 WHEN 'src_minlen' THEN source
-                WHEN 'lang_len' THEN lang
+                WHEN 'lang_minlen' THEN lang
+                WHEN 'lang_maxlen' THEN lang
                 ELSE v3 END || '''' AS value
             FROM r WHERE kind IS NOT NULL ORDER BY id, rule_id
         """,

@@ -31,8 +31,15 @@ SEQ_MAXLEN = int(os.environ.get("SPARK_GRAFT_SEQ_MAXLEN", "256"))
 # tmpfs-backed: /tmp sits on the sandbox's throttled virtual disk; the
 # bench times the engine, not this box's emulated IO (a real cluster
 # reads from local SSDs).  tools/bench_scaling.py does the same.
-SEQ_CACHE = os.environ.get("SPARK_GRAFT_SEQ_CACHE",
-                           f"/dev/shm/validr_spark_seq_{SEQ_ROWS}_{SEQ_MAXLEN}")
+# The default cache key includes the partition LAYOUT: a flat cache left
+# by a previous run must not satisfy a SPARK_GRAFT_SEQ_PARTBY run (the
+# _SUCCESS check would silently reuse the wrong table shape).  An
+# explicit SPARK_GRAFT_SEQ_CACHE overrides and owns its layout.
+SEQ_PARTBY = os.environ.get("SPARK_GRAFT_SEQ_PARTBY")
+SEQ_CACHE = os.environ.get(
+    "SPARK_GRAFT_SEQ_CACHE",
+    f"/dev/shm/validr_spark_seq_{SEQ_ROWS}_{SEQ_MAXLEN}"
+    + (f"_by_{SEQ_PARTBY}" if SEQ_PARTBY else ""))
 
 
 def build_session(cpus: int):
@@ -73,7 +80,7 @@ def ensure_seq_table(spark):
     """
     from validr_spark.datagen import make_sequences
 
-    part_by = os.environ.get("SPARK_GRAFT_SEQ_PARTBY")  # e.g. "source":
+    part_by = SEQ_PARTBY  # e.g. "source":
     # hive-partitioned layout, the shape a production Iceberg table would
     # have — enables metadata-only partition discovery (plans/manifest.py
     # _parts_from_layout) in the launch-shape scaling bench
@@ -154,27 +161,33 @@ def bench_sequences_steady(spark, measured: int = 3, max_runs: int = 14,
     2. co-tenant CPU steal on this shared sandbox (identical runs measured
        36s … 578s within one hour).
 
-    Protocol: keep re-running until the BEST time has been stable for
-    ``measured`` consecutive runs (i.e. we hit a quiet window after JIT
-    warmup), or ``max_runs``/``wall_budget`` is exhausted.  ``seconds``
-    reports the median of the last ``measured`` runs; ``best_seconds`` is
-    the least-contended capacity estimate.  All wall times kept for
-    transparency."""
+    Protocol: keep re-running until ``measured`` consecutive runs land
+    WITHIN 10% of the best time (a quiet window after JIT warmup), or
+    ``max_runs``/``wall_budget`` is exhausted.  A run that IMPROVES the
+    best by more than 10% resets the streak — the previous window was
+    contended, not quiet.  ``seconds`` reports the median of the last
+    ``measured`` runs; ``best_seconds`` is the least-contended capacity
+    estimate.  All wall times kept for transparency."""
     import statistics
 
     times: list[float] = []
     last = None
     t_start = time.time()
-    since_best = 0
+    stable = 0
+    best = None
     while len(times) < max_runs:
         last = bench_sequences(spark)
         t = round(last["seconds"], 2)
-        if times and t >= min(times) * 1.10:
-            since_best += 1
-        else:
-            since_best = 0
         times.append(t)
-        if len(times) >= measured + 2 and since_best >= measured:
+        if best is None or t < best:
+            if best is not None and t < best * 0.90:
+                stable = 0   # big improvement: earlier runs were contended
+            best = t
+        if t <= best * 1.10:
+            stable += 1      # within the quiet band of the best
+        else:
+            stable = 0       # contended run interrupts the window
+        if stable >= measured and len(times) >= measured:
             break
         if time.time() - t_start > wall_budget and len(times) >= measured:
             break

@@ -49,8 +49,11 @@ def test_match_and_validator_change():
 def test_dict_fields():
     old = T.dict(a=T.int, b=T.str)
     assert v(old, T.dict(a=T.int, b=T.str, c=T.int)) == "narrowed"
+    # added OPTIONAL key: inputs still validate, but every output row
+    # gains the (null/default-filled) field — output-shape change, the
+    # mirror of field_removed below
     assert v(old, T.dict(a=T.int, b=T.str,
-                         c=T.int.optional)) == "compatible"
+                         c=T.int.optional)) == "outputs_changed"
     # removed key: inputs still validate (extra keys dropped) but the
     # output loses the field
     assert v(old, T.dict(a=T.int)) == "outputs_changed"

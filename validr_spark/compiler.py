@@ -157,6 +157,17 @@ class SparkCompiler:
         fallback = py_validate(params["invalid_to"]) if has_invalid_to else (
             py_validate(None) if invalid_to_default else None)
         out_t = core.output_type
+        if isinstance(out_t, st.NullType):
+            # identity-typed validators (enum, any) over a MISSING input
+            # column: input_type is NullType, so out_t would be VOID and
+            # F.lit(default).cast(VOID) fails analysis — infer the output
+            # type from the pre-validated python fallback instead, so the
+            # default/invalid_to fills every row as the reference does.
+            probe = null_result if null_result is not None else fallback
+            if probe is not None:
+                out_t = {str: st.StringType(), bool: st.BooleanType(),
+                         int: st.LongType(), float: st.DoubleType()} \
+                    .get(type(probe), out_t)
         null_lit = F.lit(null_result).cast(out_t)
         fallback_lit = F.lit(fallback).cast(out_t) if suppress else None
 
@@ -733,6 +744,29 @@ class ValidationPlan:
             if err_cols else F.array().cast(st.ArrayType(VIOLATION_TYPE))
         annotated = src.select(*out_cols, viol.alias(violation_col))
         return ValidationResult(annotated, id_cols, violation_col)
+
+    def flag(self, df: DataFrame,
+             violation_col: str = "_violations") -> DataFrame:
+        """Annotate ``df`` with the violations array, KEEPING every input
+        column un-coerced (``apply`` projects to the schema shape and
+        drops extras).
+
+        For filter-shaped consumers (drop invalid rows, route to
+        quarantine) this is both safer and cheaper than joining
+        ``violations()`` back by id: it needs no id column at all — NULL
+        or duplicated ids can't collateral-drop innocent rows — and it is
+        one map-side projection, zero shuffle at any scale.
+        """
+        in_types = {f.name: f.dataType for f in df.schema.fields}
+        err_cols: list[Column] = []
+        for name, sub in self.schema.items.items():
+            node = self.compiler.compile_node(
+                sub, in_types.get(name, st.NullType()), name)
+            col = F.col(name) if name in in_types else F.lit(None)
+            err_cols.append(node.error(col, F.lit(name)))
+        viol = F.filter(F.array(*err_cols), lambda e: e.isNotNull()) \
+            if err_cols else F.array().cast(st.ArrayType(VIOLATION_TYPE))
+        return df.withColumn(violation_col, viol)
 
 
 class ValidationResult:

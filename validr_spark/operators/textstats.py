@@ -154,13 +154,31 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     c = F.col(text_col)
     w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
     pre = df.select(F.col(id_col), c.alias("_t"), w_once.alias("_w"))
-    q = quality_features(F.col("_t"), F.col("_w"))
-    r = repetition_features(F.col("_t"), F.col("_w"))
+    reasons = _quality_reasons(
+        F.col("_t"), F.col("_w"), min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_punct_ratio=max_punct_ratio, max_digit_ratio=max_digit_ratio,
+        min_unique_word_ratio=min_unique_word_ratio,
+        max_dup_line_fraction=max_dup_line_fraction)
+    return pre.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def _quality_reasons(text, words, *, min_words, max_words,
+                     min_mean_word_len, max_mean_word_len, max_punct_ratio,
+                     max_digit_ratio, min_unique_word_ratio,
+                     max_dup_line_fraction) -> Column:
+    q = quality_features(text, words)
+    r = repetition_features(text, words)
 
     def flag(cond, name):
         return F.when(cond, F.lit(name))
 
-    reasons = F.concat_ws(
+    return F.concat_ws(
         ",",
         flag(q["n_words"] < min_words, "too_few_words"),
         flag(q["n_words"] > max_words, "too_many_words"),
@@ -174,11 +192,34 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         flag(r["dup_line_fraction"] > max_dup_line_fraction,
              "dup_line_fraction"),
     )
-    return pre.select(
-        F.col(id_col),
-        (reasons == "").alias("keep"),
-        reasons.alias("reasons"),
-    )
+
+
+def quality_annotate(df: DataFrame, text_col: str = "text", *,
+                     min_words: int = 10, max_words: int = 100_000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 12.0,
+                     max_punct_ratio: float = 0.2,
+                     max_digit_ratio: float = 0.3,
+                     min_unique_word_ratio: float = 0.3,
+                     max_dup_line_fraction: float = 0.3) -> DataFrame:
+    """`quality_filter` in annotate form: every input column preserved,
+    plus ``keep``/``reasons`` — the join-free shape for filter pipelines.
+    An id round-trip (`quality_filter` → semi-join back) silently drops
+    every NULL-id row (NULL never equi-joins) and multiplies duplicated
+    ids; this form needs no id at all and adds zero shuffle."""
+    c = F.col(text_col)
+    w_once = F.when(F.monotonically_increasing_id() >= 0, words_of(c))
+    pre = df.withColumn("_w", w_once)
+    reasons = _quality_reasons(
+        c, F.col("_w"), min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_punct_ratio=max_punct_ratio, max_digit_ratio=max_digit_ratio,
+        min_unique_word_ratio=min_unique_word_ratio,
+        max_dup_line_fraction=max_dup_line_fraction)
+    return (pre.withColumn("keep", reasons == "")
+            .withColumn("reasons", reasons)
+            .drop("_w"))
 
 
 def fingerprint(col) -> Column:

@@ -75,7 +75,8 @@ def prepare_training_data(
                                               minhash_candidates)
     from validr_spark.operators.graph import dedup_by_components
     from validr_spark.operators.packing import pack_greedy
-    from validr_spark.operators.textstats import quality_filter, token_count
+    from validr_spark.operators.textstats import (quality_annotate,
+                                                  token_count)
 
     stats: list[dict] = []
 
@@ -92,14 +93,14 @@ def prepare_training_data(
     if schema is not None:
         from validr_spark.compiler import SparkCompiler
         plan = SparkCompiler().compile(schema)
-        res = plan.apply(cur.withColumn("_pid", F.col(id_col)),
-                         id_cols=["_pid"])
-        bad = res.violations().select(F.col("_pid").alias("_bad")).distinct()
-        # eqNullSafe: a violating row with a NULL id must still be
-        # dropped — plain == is NULL for NULL ids and the anti-join
-        # would wave the invalid row through.
-        clean = (cur.join(bad, cur[id_col].eqNullSafe(bad["_bad"]),
-                          "left_anti"))
+        # plan.flag keeps every original column and filters in the same
+        # map-side projection — no id round-trip.  The previous anti-join
+        # by id was a shuffle AND dropped innocent rows whenever ids were
+        # NULL (eqNullSafe matched every NULL-id row against one NULL-id
+        # violator) or duplicated.
+        flagged = plan.flag(cur, "_pipe_violations")
+        clean = (flagged.filter(F.size(F.col("_pipe_violations")) == 0)
+                 .drop("_pipe_violations"))
         cur = step("validate", df, clean)
 
     if drop_bad_encoding:
@@ -125,9 +126,12 @@ def prepare_training_data(
         cur = step("near_dup", cur, kept)
 
     qk = dict(quality_kwargs or {})
-    flags = quality_filter(cur, text_col, id_col, **qk)
-    good_ids = flags.filter(F.col("keep")).select(id_col)
-    kept_q = cur.join(good_ids, id_col, "left_semi")
+    # annotate-then-filter, not filter-ids-then-semi-join: the id
+    # round-trip silently dropped every NULL-id row (NULL never
+    # equi-joins) and cost a shuffle; the annotate form is one map-side
+    # projection with no id dependency at all
+    flagged_q = quality_annotate(cur, text_col, **qk)
+    kept_q = flagged_q.filter(F.col("keep")).drop("keep", "reasons")
     cur = step("quality", cur, kept_q)
 
     packed = None

@@ -417,10 +417,16 @@ class ResumableValidation:
                 F.col("_part").isin(parts)
                 & (F.col("_lineage") == self.lineage)
                 & (F.col("_run_id") == run_id))
+            # without id columns the violation rows carry no row identity,
+            # so the distinct-bad-row count is UNKNOWABLE from the sink —
+            # record NULL rather than a proxy (countDistinct(rule_id)
+            # would report "number of distinct rules that fired", off by
+            # orders of magnitude from the real bad-row count)
             vstats = (written.groupBy("_part")
                       .agg(F.count(F.lit(1)).alias("n_violations"),
-                           F.countDistinct(*(id_cols or ["rule_id"]))
-                            .alias("n_bad_rows")))
+                           (F.countDistinct(*id_cols) if id_cols
+                            else F.lit(None).cast("long"))
+                           .alias("n_bad_rows")))
             merged = {r["_part"]: r for r in
                       counts.join(vstats, "_part", "left").collect()}
 
@@ -430,11 +436,14 @@ class ResumableValidation:
             r = merged.get(p)
             n_rows = r["n_rows"] if r else 0
             n_viol = (r["n_violations"] or 0) if r else 0
-            n_bad = (r["n_bad_rows"] or 0) if r else 0
+            n_bad = r["n_bad_rows"] if r else 0
+            if n_viol == 0:
+                n_bad = 0          # no violations → zero bad rows, id or not
             rows.append({
                 "lineage": self.lineage, "part": p, "status": "done",
                 "run_id": run_id, "n_rows": int(n_rows),
-                "n_bad_rows": int(n_bad), "n_violations": int(n_viol),
+                "n_bad_rows": int(n_bad) if n_bad is not None else None,
+                "n_violations": int(n_viol),
                 "verdict": "pass" if n_viol == 0 else "fail",
                 "finished_at": now,
             })

@@ -639,13 +639,16 @@ def timedelta_validator(compiler, min=None, max=None, string=False,
                         extended=False, output_object=False):
     if string and output_object:
         raise SchemaError("can not output both string and object")
+    # OverflowError: timedelta(seconds=inf) raises it, not ValueError —
+    # uncaught it would escape the pandas-UDF wrapper (which converts
+    # only Invalid) and abort the whole Spark task on one bad value
     try:
         lo = _coerce_timedelta(min) if min is not None else None
-    except (DurationError, ValueError, TypeError) as ex:
+    except (DurationError, ValueError, TypeError, OverflowError) as ex:
         raise SchemaError("invalid min timedelta") from ex
     try:
         hi = _coerce_timedelta(max) if max is not None else None
-    except (DurationError, ValueError, TypeError) as ex:
+    except (DurationError, ValueError, TypeError, OverflowError) as ex:
         raise SchemaError("invalid max timedelta") from ex
     lo_repr = format_duration(lo, extended=True) if lo is not None else None
     hi_repr = format_duration(hi, extended=True) if hi is not None else None
@@ -653,7 +656,7 @@ def timedelta_validator(compiler, min=None, max=None, string=False,
     def validate(value):
         try:
             value = _coerce_timedelta(value)
-        except (DurationError, ValueError, TypeError) as ex:
+        except (DurationError, ValueError, TypeError, OverflowError) as ex:
             raise Invalid("invalid timedelta") from ex
         if lo is not None and value < lo:
             raise Invalid(f"value must >= {lo_repr}")

@@ -416,12 +416,35 @@ def build_enum(sc, schema, input_type, path):
     expects = "{" + ", ".join(map(_enum_repr, items)) + "}"
     msg = f"expect one of {expects}"
 
+    # Membership must follow PYTHON equality (reference: `value in
+    # frozenset(items)`), not Spark's IN coercion, which casts across the
+    # string/number boundary: over an all-string read schema, '1' would
+    # match an int item 1 that the reference rejects.  Python equality
+    # partitions: strings only equal strings; bool/int/float cross-equal
+    # (True == 1 == 1.0) — which Spark's numeric-family coercion matches.
+    if isinstance(input_type, st.StringType):
+        cmp_items = [i for i in items if isinstance(i, str)]
+    elif isinstance(input_type, (st.BooleanType, st.ByteType, st.ShortType,
+                                 st.IntegerType, st.LongType, st.FloatType,
+                                 st.DoubleType, st.DecimalType)):
+        cmp_items = [i for i in items
+                     if isinstance(i, (bool, int, float))]
+    else:
+        cmp_items = list(items)
+
+    def member(col):
+        if not cmp_items:
+            # no item can equal a value of this type: every non-null
+            # value is an enum violation
+            return F.lit(False)
+        return col.isin(cmp_items)
+
     def coerce(col):
-        return F.when(col.isin(items), col)
+        return F.when(member(col), col)
 
     def error(col, pos):
         return chain(col, pos, input_type,
-                     [(~col.isin(items), "enum", msg)], path)
+                     [(~member(col), "enum", msg)], path)
 
     # reference enum uses default accept hints → '' counts as null
     return CoreRule(input_type, coerce, error, accept_string=True,
@@ -503,9 +526,6 @@ def build_ipv4(sc, schema, input_type, path):
     return CoreRule(st.StringType(), coerce, error)
 
 
-_UUID_HEX_RE = r"\A[0-9a-fA-F]{8}-?[0-9a-fA-F]{4}-?[0-9a-fA-F]{4}-?[0-9a-fA-F]{4}-?[0-9a-fA-F]{12}\z"
-
-
 def build_uuid(sc, schema, input_type, path):
     version = schema.params.get("version")
     if version is None:
@@ -516,10 +536,16 @@ def build_uuid(sc, schema, input_type, path):
         msg = f"invalid uuid{version}"
 
     def hex32(col):
-        s = F.lower(F.regexp_replace(_py_strip(col),
-                                     r"\A(urn:uuid:)|[{}-]", ""))
-        return F.when(F.regexp_replace(_py_strip(col), r"\A(urn:uuid:)|[{}]",
-                                       "").rlike(_UUID_HEX_RE), s)
+        # mirror uuid.UUID's normalization exactly (the reference calls
+        # uuid.UUID(value.strip())): drop 'urn:'/'uuid:' anywhere, strip
+        # braces at the ends, remove EVERY hyphen (uuid.UUID accepts
+        # hyphens at any position, not just the canonical ones), then
+        # require exactly 32 hex digits.
+        s = _py_strip(col)
+        s = F.regexp_replace(s, r"urn:|uuid:", "")
+        s = F.regexp_replace(s, r"\A[{}]+|[{}]+\z", "")
+        s = F.lower(F.regexp_replace(s, "-", ""))
+        return F.when(s.rlike(r"\A[0-9a-f]{32}\z"), s)
 
     def coerce(col):
         h = hex32(col)
@@ -691,11 +717,15 @@ def build_timedelta(sc, schema, input_type, path):
             raise SchemaError("invalid max timedelta") from ex
 
         def coerce(col):
-            return col.try_cast("double")
+            v = col.try_cast("double")
+            # NaN is not a duration: reference timedelta(seconds=nan)
+            # raises -> Invalid; without this mask NaN would leak through
+            # coerce and dodge the min check (NaN < lo is false)
+            return F.when(~F.isnan(v), v)
 
         def error(col, pos):
             v = col.try_cast("double")
-            checks = []
+            checks = [(F.isnan(v), "timedelta", "invalid timedelta")]
             if lo_s is not None:
                 import datetime as _dt
                 checks.append((v < lo_s, "min", "value must >= " + _fmt(

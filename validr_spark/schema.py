@@ -125,7 +125,14 @@ class _ElementTokens:
             if kind == "number":
                 val = float(raw) if re.search(r"[.eE]", raw) else int(raw)
             elif kind in ("dq", "sq"):
-                val = raw[1:-1].encode().decode("unicode_escape")
+                # latin-1 + backslashreplace keeps non-ASCII intact:
+                # encode() (utf-8) would feed multi-byte sequences to
+                # unicode_escape's latin-1 decoder and corrupt 'café' to
+                # 'cafÃ©' in match regexes / defaults; chars above U+00FF
+                # round-trip via the synthesized \uXXXX escapes
+                val = (raw[1:-1]
+                       .encode("latin-1", "backslashreplace")
+                       .decode("unicode_escape"))
             else:
                 val = raw
             self.tokens.append((kind, val, m.start()))

@@ -133,10 +133,15 @@ def _diff_params(path, old: dict, new: dict, out: list):
 
 
 def _items_schema(node: Schema):
-    """Model items are a class carrying __schema__; unwrap for recursion."""
+    """Model items are a class carrying __schema__ (a dict-validator
+    Schema); unwrap to that schema's FIELD MAP so the dict/model branch
+    can iterate it — returning the Schema itself would crash the field
+    walk (`set(Schema)` is not iterable)."""
     it = node.items
     sch = getattr(it, "__schema__", None)
-    return sch if isinstance(sch, Schema) else it
+    if isinstance(sch, Schema):
+        return sch.items
+    return it
 
 
 def _diff_node(path, old: Schema, new: Schema, out: list):
@@ -144,8 +149,27 @@ def _diff_node(path, old: Schema, new: Schema, out: list):
         out.append(_entry(path, "validator_changed", old.validator,
                           new.validator, "breaking"))
         return
-    _diff_params(path, old.params, new.params, out)
     v = old.validator
+    op, np_ = dict(old.params), dict(new.params)
+    if v == "dict":
+        # map-schema key/value params hold SCHEMAS, not scalars: recurse
+        # like any other child node instead of letting _diff_params embed
+        # raw Schema objects (unserializable) and stamp every change
+        # 'breaking' regardless of direction
+        for pname in ("key", "value"):
+            os_, ns_ = op.pop(pname, None), np_.pop(pname, None)
+            if os_ is None and ns_ is None:
+                continue
+            sub = f"{path}.$self_{pname}" if path else f"$self_{pname}"
+            if os_ is None:
+                out.append(_entry(sub, "param_added", None,
+                                  _as_schema(ns_).repr(), "narrowing"))
+            elif ns_ is None:
+                out.append(_entry(sub, "param_removed",
+                                  _as_schema(os_).repr(), None, "widening"))
+            else:
+                _diff_node(sub, _as_schema(os_), _as_schema(ns_), out)
+    _diff_params(path, op, np_, out)
     oi, ni = _items_schema(old), _items_schema(new)
     if v in ("dict", "model") or (v == "union" and isinstance(oi, dict)
                                   and isinstance(ni, dict)):
@@ -154,12 +178,19 @@ def _diff_node(path, old: Schema, new: Schema, out: list):
             sub = f"{path}.{k}" if path else k
             if k not in oi:
                 child = _as_schema(ni[k])
-                required = (v != "union"
-                            and not child.params.get("optional")
-                            and "default" not in child.params)
+                if v == "union":
+                    sev = "widening"        # a new accepted shape
+                elif (child.params.get("optional")
+                      or "default" in child.params):
+                    # inputs still validate, but every OUTPUT row gains
+                    # the field (filled with default/null) — by this
+                    # module's taxonomy an output-shape change is
+                    # behavioral → re-run, mirroring field_removed
+                    sev = "behavioral"
+                else:
+                    sev = "narrowing"       # required key added
                 out.append(_entry(
-                    sub, "field_added", None, child.repr(),
-                    "narrowing" if required else "widening"))
+                    sub, "field_added", None, child.repr(), sev))
             elif k not in ni:
                 # validr drops extra input keys: inputs still validate,
                 # the OUTPUT loses the field (union: an accepted shape
@@ -171,8 +202,16 @@ def _diff_node(path, old: Schema, new: Schema, out: list):
             else:
                 _diff_node(sub, _as_schema(oi[k]), _as_schema(ni[k]), out)
     elif v == "list":
-        if oi is not None and ni is not None:
-            _diff_node(f"{path}[]", _as_schema(oi), _as_schema(ni), out)
+        sub = f"{path}[]"
+        if oi is None and ni is not None:
+            # bare 'list' accepted ANY element; an item schema narrows
+            out.append(_entry(sub, "items_added", None,
+                              _as_schema(ni).repr(), "narrowing"))
+        elif oi is not None and ni is None:
+            out.append(_entry(sub, "items_removed",
+                              _as_schema(oi).repr(), None, "widening"))
+        elif oi is not None and ni is not None:
+            _diff_node(sub, _as_schema(oi), _as_schema(ni), out)
     elif v == "enum":
         ov, nv = set(oi or []), set(ni or [])
         if nv - ov:

@@ -44,10 +44,14 @@ def windowed_category_drift(sdf: DataFrame, baseline: DataFrame,
     baseline categories, with exp = baseline share × window total.
     Also usable on a batch DataFrame (same plan, no watermark state).
     """
-    base_tot = baseline.agg(F.sum("n").alias("t_base"))
-    base = (baseline.select(F.col("category"),
-                            F.col("n").cast("double").alias("n_base"))
-            .crossJoin(F.broadcast(base_tot)))
+    # the baseline TOTAL joins onto every window by a constant key (below),
+    # NOT by riding the per-category join: a window whose categories all
+    # miss the baseline would otherwise see t_base NULL and fall back to
+    # 1.0 — understating chi2 most exactly when drift is total.
+    base_tot = (baseline.agg(F.sum("n").cast("double").alias("t_base"))
+                .withColumn("_one", F.lit(1)))
+    base = baseline.select(F.col("category"),
+                           F.col("n").cast("double").alias("n_base"))
 
     streaming = sdf.isStreaming
     src = sdf.withWatermark(ts_col, watermark) if streaming else sdf
@@ -64,8 +68,12 @@ def windowed_category_drift(sdf: DataFrame, baseline: DataFrame,
                     F.count(F.lit(1)).alias("n_categories"),
                     F.collect_list(
                         F.struct(F.col("n_obs").cast("double").alias("o"),
-                                 F.col("n_base").alias("nb"))).alias("cats"),
-                    F.first(F.col("t_base"), ignorenulls=True).alias("tb")))
+                                 F.col("n_base").alias("nb"))).alias("cats"))
+               # constant-key stream-static equi-join: one broadcast row
+               .withColumn("_one", F.lit(1))
+               .join(F.broadcast(base_tot), "_one", "left")
+               .withColumnRenamed("t_base", "tb")
+               .drop("_one"))
 
     T = F.col("n_rows").cast("double")
     tb = F.coalesce(F.col("tb"),

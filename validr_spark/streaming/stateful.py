@@ -52,7 +52,12 @@ def running_verdicts(plan, sdf: DataFrame, key_col: str,
     res = plan.apply(sdf.withColumn("_key", F.col(key_col)),
                      id_cols=["_key", *(id_cols or [])])
     nviol = F.size(F.col("_violations"))
-    rows = res.df.select(F.col("_key"), nviol.alias("_viol"))
+    # cast the key to string here: OUT_SCHEMA declares `key string`, and a
+    # numeric key_col would otherwise reach the state function natively
+    # typed — update() then yields ints into a string Arrow column and the
+    # conversion kills the streaming query
+    rows = res.df.select(F.col("_key").cast("string").alias("_key"),
+                         nviol.alias("_viol"))
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
                else GroupStateTimeout.NoTimeout)
