@@ -66,3 +66,16 @@ def test_anomalous_run_does_not_poison_its_baseline(spark):
 def test_bad_method_rejected(spark):
     with pytest.raises(ValueError, match="unknown method"):
         metric_anomalies(_manifest(spark, [(1, 1, 1)]), method="mad")
+
+
+def test_gate_uses_raw_score_not_rounded(spark):
+    # raw rel-change score 0.50000004 exceeds threshold 0.5 but ROUNDS
+    # to exactly 0.5 at the 6-decimal report precision — the gate must
+    # fire anyway (flag computed from the raw score, rounding is
+    # display-only)
+    series = [(1, 1, 100000000)] * 5 + [(1, 1, 150000004)]
+    out = metric_anomalies(_manifest(spark, series),
+                           method="rel_change", threshold=0.5).collect()
+    last = {r["metric"]: r for r in out if r["finished_at"] == 5.0}
+    assert last["n_violations"]["score"] == 0.5       # rounded report
+    assert last["n_violations"]["is_anomaly"] is True  # raw-score gate

@@ -94,14 +94,17 @@ def metric_anomalies(manifest: DataFrame,
                  .otherwise(F.when(F.col("value") == 0, F.lit(0.0))
                             .otherwise(F.lit(float("inf"))))
 
-    out = stacked.select(
+    # gate on the RAW score — rounding is display-only.  A score of
+    # 3.0000004 under threshold 3.0 must flag; comparing the rounded
+    # `score` column would silently pass it (the drift_gate/CheckSuite
+    # pre-rounded-gate defect class, one layer further out).
+    flag = (F.when(hist_n < min_history, F.lit(None).cast("boolean"))
+            .otherwise(score > float(threshold)))
+    return stacked.select(
         F.col("key").alias(key_col), F.col("ord").alias(order_col),
         "metric", "value",
         F.round(baseline, 6).alias("baseline"),
         hist_n.alias("n_history"),
         F.round(score, 6).alias("score"),
+        flag.alias("is_anomaly"),
     )
-    return out.withColumn(
-        "is_anomaly",
-        F.when(F.col("n_history") < min_history, F.lit(None).cast("boolean"))
-         .otherwise(F.col("score") > float(threshold)))
