@@ -935,6 +935,34 @@ def q_position_stats(spark, sf):
         "pos", "n_seqs", "n_distinct_tokens", "top_token")
 
 
+def q_token_repetition(spark, sf):
+    """Per-sequence token n-gram repetition profile (operators/sequences.py
+    token_ngram_stats — the degenerate-generation detector over the
+    north-rule tokens shape) on sequences derived deterministically from
+    documents: every 5th doc gets a single-token loop appended, every 7th
+    a repeated two-token phrase, so loop_frac and dup_ngram_frac separate
+    the two failure modes.  The DuckDB twin re-derives the same arrays
+    and bigram counts via list_transform slicing.  Hashed doubles are
+    division-derived ratios of small integers only (IEEE-exact both
+    engines; no log/pow — the round-2 hash-FAIL mode)."""
+    from validr_spark.operators.sequences import token_ngram_stats
+
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+    d = F.col("doc_id")
+    b1 = (d % 31 + 5).cast("int")
+    b2 = (F.col("n_chars") % 29 + 40).cast("int")
+    b3 = (d % 23 + 70).cast("int")
+    b4 = ((d + F.col("n_chars")) % 19 + 100).cast("int")
+    empty = F.array().cast("array<int>")
+    toks = F.concat(
+        F.array(b1, b2, b3, b4),
+        F.when(d % 5 == 0, F.array(b1, b1, b1)).otherwise(empty),
+        F.when(d % 7 == 0, F.array(b2, b3, b2, b3)).otherwise(empty))
+    seq = df.select(d.cast("string").alias("doc_id"), toks.alias("tokens"))
+    return token_ngram_stats(seq).orderBy("doc_id")
+
+
 def q_split_leakage(spark, sf):
     """Cross-split near-dup leakage (operators/contamination.py
     split_leakage) over a DETERMINISTIC corpus: docs < 100 rewritten to
@@ -2118,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": q_jsd_drift,
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
+        "token_repetition": q_token_repetition,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2653,6 +2682,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(avg(abs(qa - qb)), 6) AS w1,
                    min(n_a) AS n_a, min(n_b) AS n_b
             FROM z
+        """,
+        "token_repetition": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 31 + 5 AS INT) AS b1,
+                       CAST(n_chars % 29 + 40 AS INT) AS b2,
+                       CAST(doc_id % 23 + 70 AS INT) AS b3,
+                       CAST((doc_id + n_chars) % 19 + 100 AS INT) AS b4
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            ), seq AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       list_concat(list_concat(
+                           [b1, b2, b3, b4],
+                           CASE WHEN doc_id % 5 = 0 THEN [b1, b1, b1]
+                                ELSE CAST([] AS INT[]) END),
+                           CASE WHEN doc_id % 7 = 0 THEN [b2, b3, b2, b3]
+                                ELSE CAST([] AS INT[]) END) AS tokens
+                FROM base
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tokens)),
+                                             i -> tokens[i:i+1])) AS g
+                FROM seq WHERE len(tokens) >= 2
+            ), per AS (
+                SELECT doc_id, g, count(*) AS c,
+                       max(CASE WHEN g[1] = g[2] THEN 1 ELSE 0 END) AS eq
+                FROM grams GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   count(*) AS n_distinct,
+                   round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6)
+                       AS dup_ngram_frac,
+                   round(max(c)::DOUBLE / sum(c)::DOUBLE, 6)
+                       AS top_ngram_share,
+                   round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
+                       AS loop_frac
+            FROM per GROUP BY doc_id ORDER BY doc_id
         """,
         "sampled_audit": """
             WITH s AS (

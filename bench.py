@@ -226,7 +226,7 @@ HEADLINE = [
     "psi_quantile", "table_fp", "file_layout", "vocab", "upsample",
     "fuzzy_ref", "asof_forward", "image_audit", "source_overlap",
     "value_variants", "psi_groups", "split_leakage", "position_stats",
-    "clean_text", "vocab_coverage", "repair_report",
+    "clean_text", "vocab_coverage", "repair_report", "token_repetition",
 ]
 
 

@@ -125,3 +125,52 @@ def test_position_token_stats_bounds_and_ragged(spark):
     assert got[1]["n_seqs"] == 2                      # ragged tails ok
     # deterministic tie-break: counts 1/1 at pos 1 -> smaller token wins
     assert got[1]["top_token"] == 2
+
+
+def test_token_ngram_stats_hand_math(spark):
+    from validr_spark.operators.sequences import token_ngram_stats
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4]),       # 3 distinct bigrams
+         ("b", [5, 5, 5, 5]),       # (5,5) x3: pure loop
+         ("c", [1, 2, 1, 2, 1]),    # (1,2)x2 (2,1)x2: phrase repeat
+         ("d", [7]),                # < n tokens: absent
+         ("e", None)],              # null: absent
+        "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in token_ngram_stats(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"]["n_ngrams"], got["a"]["n_distinct"]) == (3, 3)
+    assert got["a"]["dup_ngram_frac"] == 0.0
+    assert got["b"]["dup_ngram_frac"] == 0.666667
+    assert got["b"]["top_ngram_share"] == 1.0
+    assert got["b"]["loop_frac"] == 1.0          # single-token loop
+    assert got["c"]["dup_ngram_frac"] == 0.5
+    assert got["c"]["top_ngram_share"] == 0.5
+    assert got["c"]["loop_frac"] == 0.0          # repeated PHRASE, no loop
+
+
+def test_token_ngram_stats_trigrams_and_guard(spark):
+    import pytest as _pytest
+
+    from validr_spark.operators.sequences import token_ngram_stats
+
+    df = spark.createDataFrame(
+        [("a", [9, 9, 9, 9, 1])],   # trigrams (9,9,9)x2 (9,9,1)
+        "doc_id string, tokens array<int>")
+    r = token_ngram_stats(df, n=3).collect()[0]
+    assert (r["n_ngrams"], r["n_distinct"]) == (3, 2)
+    assert r["loop_frac"] == 0.666667
+    with _pytest.raises(ValueError, match="n must be"):
+        token_ngram_stats(df, n=0)
+
+
+def test_token_ngram_stats_plan_all_codegen(spark):
+    from validr_spark.operators.sequences import token_ngram_stats
+    from validr_spark.testing import assert_no_python, assert_plan
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3])], "doc_id string, tokens array<int>")
+    out = token_ngram_stats(df)
+    assert_no_python(out)
+    # codegen slice/zip construction, not an interpreted lambda HOF
+    assert_plan(out, absent=["LambdaFunction"])

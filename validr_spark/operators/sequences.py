@@ -401,3 +401,56 @@ def position_token_stats(df: DataFrame, tokens_col: str = "tokens",
                  F.round(F.log2(n) - F.sum(cnt * F.log2(cnt)) / n, 6)
                  .alias("entropy"))
             .orderBy("pos"))
+
+
+def token_ngram_stats(df: DataFrame, tokens_col: str = "tokens",
+                      id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Per-SEQUENCE token n-gram repetition profile — the degenerate-
+    generation detector for pre-tokenized corpora: a sequence that loops
+    ("the the the …" or a repeated phrase) shows a high duplicate-n-gram
+    fraction / top-n-gram share long before a human reads it.  The
+    token-array twin of the text-side ``repetition_features`` /
+    ``top_ngram_stats`` (operators/textstats.py), for tables that ship
+    only the north-rule sequence shape (tokens, no raw text) — exactly
+    the synthetic-data QC gate a generation pipeline needs.
+
+    Columns per sequence with ≥ ``n`` tokens (shorter sequences carry no
+    n-gram signal and are absent — left-join from the corpus if you need
+    them as NULL rows): ``(id, n_ngrams, n_distinct, dup_ngram_frac,
+    top_ngram_share, loop_frac)`` where ``dup_ngram_frac`` is
+    ``1 − n_distinct/n_ngrams``, ``top_ngram_share`` is the most frequent
+    n-gram's share, and ``loop_frac`` is the share of n-grams whose
+    tokens are ALL identical (the single-token loop; trivially 1.0 when
+    ``n == 1``).
+
+    Shape at scale: ``slice``+``arrays_zip`` n-gram construction (pure
+    codegen — no lambda HOFs, PERF.md Finding 1; same idiom as
+    operators/spans.positioned_ngrams) → explode → two chained hash
+    aggregates ((id, gram) then id) with map-side partials; the shuffle
+    carries distinct (id, gram) int structs, never text.  Zero Python.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    sz = F.size(F.col(tokens_col))
+    m = sz - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(tokens_col, i + 1, m) for i in range(n)])
+    pre = (df.filter(F.col(tokens_col).isNotNull() & (sz >= n))
+           .select(F.col(id_col), F.explode(zipped).alias("_g")))
+    gf = [F.col("_g")[str(i)] for i in range(n)]
+    allsame = F.lit(True)
+    for g in gf[1:]:
+        allsame = allsame & g.eqNullSafe(gf[0])
+    per = (pre.groupBy(id_col, "_g")
+           .agg(F.count(F.lit(1)).alias("_c"),
+                # function of the group key — max() just carries it
+                F.max(allsame.cast("int")).alias("_eq")))
+    tot = F.sum("_c").cast("double")
+    return (per.groupBy(id_col)
+            .agg(F.sum("_c").alias("n_ngrams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round(F.lit(1.0) - F.count(F.lit(1)) / tot, 6)
+                 .alias("dup_ngram_frac"),
+                 F.round(F.max("_c") / tot, 6).alias("top_ngram_share"),
+                 F.round(F.sum(F.col("_c") * F.col("_eq")) / tot, 6)
+                 .alias("loop_frac")))
