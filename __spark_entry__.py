@@ -963,6 +963,46 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_dialog_check(spark, sf):
+    """Structural chat-dialog validation (operators/dialog.py
+    dialog_violations — the SFT-data QC gate: role enum, system
+    placement, user/assistant alternation, empty contents, final-turn
+    role) over dialogs synthesized deterministically from documents with
+    one injected defect class per modulus (mutually exclusive via
+    first-match-wins), so every expected violation row — rule_id,
+    position, message, value — is a closed-form function of doc_id.  The
+    DuckDB twin derives the expected rows from the same injection
+    arithmetic (the injected-rows-only armor pattern: no cross-engine
+    struct-array semantics in the oracle)."""
+    from validr_spark.operators.dialog import dialog_violations
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        content.alias("content"))
+
+    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
+    usr = turn("user", F.concat(F.lit("u-"), ds))
+    asst = turn("assistant", F.concat(F.lit("a-"), ds))
+    base = F.array(sys0, usr, asst)
+    ttype = "array<struct<role:string,content:string>>"
+    turns = (
+        F.when(d % 23 == 0, F.array().cast(ttype))
+        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
+                                   usr, asst))
+        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
+                                   asst))
+        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
+        .when(d % 11 == 0, F.array(sys0, usr, asst,
+                                   turn("user", F.lit("bye"))))
+        .otherwise(base))
+    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+    return dialog_violations(dialogs).orderBy("doc_id", "rule_id")
+
+
 def q_split_leakage(spark, sf):
     """Cross-split near-dup leakage (operators/contamination.py
     split_leakage) over a DETERMINISTIC corpus: docs < 100 rewritten to
@@ -2147,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "embedding_audit": q_embedding_audit,
         "token_repetition": q_token_repetition,
+        "dialog_check": q_dialog_check,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2721,6 +2762,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dialog_check": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 23 = 0 THEN 'turns.required'
+                        WHEN doc_id % 19 = 0 THEN 'turns.system_position'
+                        WHEN doc_id % 17 = 0 THEN 'turns[].role.enum'
+                        WHEN doc_id % 13 = 0 THEN 'turns[].content.required'
+                        ELSE 'turns.last_role' END AS rule_id,
+                   CASE WHEN doc_id % 23 = 0 THEN 'turns'
+                        WHEN doc_id % 19 = 0 THEN 'turns[1].role'
+                        WHEN doc_id % 17 = 0 THEN 'turns[1].role'
+                        WHEN doc_id % 13 = 0 THEN 'turns[1].content'
+                        ELSE 'turns' END AS position,
+                   CASE WHEN doc_id % 23 = 0 THEN 'required'
+                        WHEN doc_id % 19 = 0
+                             THEN 'system turn only allowed at index 0'
+                        WHEN doc_id % 17 = 0 THEN
+                             'expect one of {''system'', ''user'', ''assistant''}'
+                        WHEN doc_id % 13 = 0 THEN 'required'
+                        ELSE 'last turn must be assistant' END AS message,
+                   CASE WHEN doc_id % 23 = 0 THEN NULL
+                        WHEN doc_id % 19 = 0 THEN 'system'
+                        WHEN doc_id % 17 = 0 THEN 'tool'
+                        WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 'user' END AS value
+            FROM documents
+            WHERE doc_id IS NOT NULL
+              AND (doc_id % 23 = 0 OR doc_id % 19 = 0 OR doc_id % 17 = 0
+                   OR doc_id % 13 = 0 OR doc_id % 11 = 0)
+            ORDER BY doc_id, rule_id
         """,
         "sampled_audit": """
             WITH s AS (

@@ -1,0 +1,112 @@
+"""Structural dialog validation (operators/dialog.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.dialog import dialog_stats, dialog_violations
+
+SCHEMA = ("doc_id string, source string, "
+          "turns array<struct<role string, content string>>")
+
+
+def _dialogs(spark):
+    rows = [
+        ("ok", "a", [("system", "be nice"), ("user", "hi"),
+                     ("assistant", "hello")]),
+        ("no_sys_ok", "a", [("user", "hi"), ("assistant", "hello")]),
+        ("double_user", "a", [("user", "hi"), ("user", "again"),
+                              ("assistant", "hello")]),
+        ("late_system", "a", [("user", "hi"), ("system", "oops"),
+                              ("assistant", "hello")]),
+        ("bad_role", "b", [("user", "hi"), ("robot", "beep")]),
+        ("empty_content", "b", [("user", ""), ("assistant", "hello")]),
+        ("ends_user", "b", [("user", "hi"), ("assistant", "yo"),
+                            ("user", "bye")]),
+        ("empty_list", "b", []),
+        ("null_list", "b", None),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _v(spark):
+    out = dialog_violations(_dialogs(spark)).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rule_id"], r["position"]))
+    return got
+
+
+def test_clean_dialogs_have_no_violations(spark):
+    got = _v(spark)
+    assert "ok" not in got
+    assert "no_sys_ok" not in got
+
+
+def test_structural_rules_fire_with_positions(spark):
+    got = _v(spark)
+    assert ("turns.alternation", "turns[1].role") in got["double_user"]
+    assert ("turns.system_position", "turns[1].role") in got["late_system"]
+    assert ("turns[].role.enum", "turns[1].role") in got["bad_role"]
+    # an unknown-role dialog ending on it also trips last_role
+    assert ("turns.last_role", "turns") in got["bad_role"]
+    assert ("turns[].content.required",
+            "turns[0].content") in got["empty_content"]
+    assert ("turns.last_role", "turns") in got["ends_user"]
+    assert got["empty_list"] == [("turns.required", "turns")]
+    assert got["null_list"] == [("turns.required", "turns")]
+
+
+def test_collects_all_not_fail_fast(spark):
+    df = _dialogs(spark).sparkSession.createDataFrame(
+        [("multi", "a", [("robot", ""), ("robot", "")])], SCHEMA)
+    rules = sorted(r["rule_id"] for r in dialog_violations(df).collect())
+    # both turns trip role.enum AND content.required; turn 1 also trips
+    # alternation (robot == robot) is skipped (non-listed role), and the
+    # dialog trips last_role
+    assert rules == ["turns.last_role", "turns[].content.required",
+                     "turns[].content.required", "turns[].role.enum",
+                     "turns[].role.enum"]
+
+
+def test_option_switches(spark):
+    df = _dialogs(spark)
+    # no alternation requirement: double_user becomes clean
+    v = dialog_violations(df, require_alternation=False).collect()
+    assert not [r for r in v if r["doc_id"] == "double_user"]
+    # no last-turn requirement: ends_user becomes clean
+    v = dialog_violations(df, must_end_with=None).collect()
+    assert not [r for r in v if r["doc_id"] == "ends_user"]
+    # max_turns
+    v = dialog_violations(df, max_turns=2).collect()
+    assert [r["rule_id"] for r in v if r["doc_id"] == "ok"] \
+        == ["turns.maxlen"]
+
+
+def test_consecutive_system_turns_flag_position_not_alternation(spark):
+    df = _dialogs(spark).sparkSession.createDataFrame(
+        [("two_sys", "a", [("system", "x"), ("system", "y"),
+                           ("user", "hi"), ("assistant", "ok")])], SCHEMA)
+    got = [(r["rule_id"], r["position"])
+           for r in dialog_violations(df).collect()]
+    # the second system turn is a position violation; alternation is a
+    # non-system rule so it must NOT also fire for the system pair
+    assert got == [("turns.system_position", "turns[1].role")]
+
+
+def test_dialog_stats_scorecard(spark):
+    out = {r["source"]: r for r in dialog_stats(_dialogs(spark)).collect()}
+    assert out["a"]["n_dialogs"] == 4
+    assert out["a"]["n_bad_dialogs"] == 2          # double_user, late_system
+    assert out["b"]["n_dialogs"] == 5
+    assert out["b"]["n_bad_dialogs"] == 5
+    assert out["b"]["max_turns"] == 3
+    assert out["a"]["n_violations"] == 2
+    assert out["b"]["n_violations"] >= 5
+
+
+def test_plan_no_python_no_shuffle(spark):
+    from validr_spark.testing import assert_no_python, assert_no_shuffle
+
+    out = dialog_violations(_dialogs(spark))
+    assert_no_python(out)
+    assert_no_shuffle(out)

@@ -1,0 +1,180 @@
+"""Structural validation of chat/instruction-tuning dialogs.
+
+SFT and preference datasets ship conversations as an ordered turn list —
+``array<struct<role:string, content:string>>`` — and the classic data
+bugs are STRUCTURAL, invisible to per-field validators: a system prompt
+buried mid-conversation, two consecutive user turns (a merge artifact),
+empty assistant contents (a failed generation), dialogs that end on the
+user (nothing to learn from), unknown roles from a schema drift.  This
+module emits those as rows in the engine's standard violations shape
+``(id, rule_id, position, message, value)`` with validr-style positions
+(``turns[3].role``), so dialog checks union with the compiled schema
+plan's violations and flow through the same quarantine/repair/manifest
+machinery.
+
+Unlike the reference's ``dict``/``list`` validators this collects ALL
+violations per dialog (ModelInvalid-style accumulation, reference
+_validator_c.pyx:1320-1355 — the useful behavior for a repair loop),
+not fail-fast; the rule inventory is engine-original (the reference has
+no ordering semantics, schema.py has no sequence-of-turns notion).
+
+Scale shape: one ``posexplode`` over the turn list (dialogs are short —
+the fan-out is bounded by max turns, not tokens) with the adjacent turn
+read from the carried array column (``turns[i-1]``) — no window, no
+shuffle, no Python; plus a row-level projection for the dialog-level
+rules.  Everything is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dialog_violations", "dialog_stats"]
+
+
+def _viol(id_col, rule, position, message, value):
+    return [F.col(id_col), rule.alias("rule_id"), position.alias("position"),
+            message.alias("message"), value.alias("value")]
+
+
+def dialog_violations(df: DataFrame, turns_col: str = "turns",
+                      id_col: str = "doc_id",
+                      roles: tuple = ("system", "user", "assistant"),
+                      system_role: str = "system",
+                      require_alternation: bool = True,
+                      must_end_with: str | None = "assistant",
+                      max_turns: int = 1024) -> DataFrame:
+    """All structural violations over a dialog column, one row each.
+
+    Rules (rule_id → when it fires):
+
+    * ``turns.required``      — NULL or empty turn list.
+    * ``turns.maxlen``        — more than ``max_turns`` turns.
+    * ``turns[].role.enum``   — role not in ``roles`` (NULL role included).
+    * ``turns[].content.required`` — NULL or empty content.
+    * ``turns.system_position``    — a ``system_role`` turn after index 0.
+    * ``turns.alternation``   — two consecutive non-system turns with the
+      same role (``require_alternation=True``; the merge-artifact
+      detector — "two user turns in a row").
+    * ``turns.last_role``     — final turn's role != ``must_end_with``
+      (skip by passing ``must_end_with=None``; a dialog ending on the
+      user contributes no assistant target).
+
+    Positions follow validr rendering: dialog-level rules at ``turns``,
+    per-turn rules at ``turns[i].role`` / ``turns[i].content``.
+    """
+    roles = tuple(roles)
+    t = F.col(turns_col)
+    n = F.size(t)
+
+    # --- dialog-level rules: plain projection, no explode ---------------
+    empty = t.isNull() | (n == 0)
+    last_role = F.element_at(t, -1)["role"]
+    row_rules = [
+        (empty, F.lit("turns.required"), F.lit("turns"),
+         F.lit("required"), F.lit(None).cast("string")),
+        (~empty & (n > max_turns), F.lit("turns.maxlen"), F.lit("turns"),
+         F.lit(f"list length must <= {max_turns}"), n.cast("string")),
+    ]
+    if must_end_with is not None:
+        row_rules.append((
+            ~empty & ~last_role.eqNullSafe(F.lit(must_end_with)),
+            F.lit("turns.last_role"), F.lit("turns"),
+            F.lit(f"last turn must be {must_end_with}"),
+            F.coalesce(last_role, F.lit("null"))))
+    row_parts = [
+        F.when(cond, F.struct(r.alias("rule_id"), p.alias("position"),
+                              m.alias("message"), v.alias("value")))
+        for cond, r, p, m, v in row_rules
+    ]
+    row_v = (df.select(
+                 F.col(id_col),
+                 F.explode(F.filter(F.array(*row_parts),
+                                    lambda x: x.isNotNull())).alias("_v"))
+             .select(id_col, "_v.rule_id", "_v.position", "_v.message",
+                     "_v.value"))
+
+    # --- per-turn rules: one posexplode, prev turn read from the carried
+    # array (turns[i-1] — element_at is 1-based so element_at(t, i) is
+    # the 0-based i-1 element); dialogs are short, so carrying the array
+    # through the generator is bounded fan-out, not a blow-up ----------
+    ex = (df.filter(t.isNotNull() & (n > 0))
+          .select(F.col(id_col), t.alias("_t"),
+                  F.posexplode(t).alias("_i", "_turn")))
+    i = F.col("_i")
+    role = F.col("_turn")["role"]
+    content = F.col("_turn")["content"]
+    # F.get is 0-based and NULL-safe for out-of-range (element_at would
+    # throw on index 0 — and Spark's AND does not short-circuit)
+    prev_role = F.get(F.col("_t"), i - 1)["role"]
+    pos_role = F.concat(F.lit("turns["), i.cast("string"), F.lit("].role"))
+    pos_content = F.concat(F.lit("turns["), i.cast("string"),
+                           F.lit("].content"))
+    roles_msg = "expect one of {%s}" % ", ".join(repr(r) for r in roles)
+    turn_rules = [
+        (~role.isin(*roles) | role.isNull(),
+         F.lit("turns[].role.enum"), pos_role,
+         F.lit(roles_msg), F.coalesce(role, F.lit("null"))),
+        (content.isNull() | (content == ""),
+         F.lit("turns[].content.required"), pos_content,
+         F.lit("required"), F.lit(None).cast("string")),
+        ((role == system_role) & (i > 0),
+         F.lit("turns.system_position"), pos_role,
+         F.lit(f"{system_role} turn only allowed at index 0"),
+         role),
+    ]
+    if require_alternation:
+        turn_rules.append((
+            (i > 0) & role.isin(*roles) & (role != system_role)
+            & role.eqNullSafe(prev_role),
+            F.lit("turns.alternation"), pos_role,
+            F.lit("consecutive turns share a role"), role))
+    turn_parts = [
+        F.when(cond, F.struct(r.alias("rule_id"), p.alias("position"),
+                              m.alias("message"), v.alias("value")))
+        for cond, r, p, m, v in turn_rules
+    ]
+    turn_v = (ex.select(
+                  F.col(id_col),
+                  F.explode(F.filter(F.array(*turn_parts),
+                                     lambda x: x.isNotNull())).alias("_v"))
+              .select(id_col, "_v.rule_id", "_v.position", "_v.message",
+                      "_v.value"))
+    return row_v.unionByName(turn_v)
+
+
+def dialog_stats(df: DataFrame, turns_col: str = "turns",
+                 id_col: str = "doc_id",
+                 group_col: str | None = "source",
+                 roles: tuple = ("system", "user", "assistant"),
+                 system_role: str = "system",
+                 must_end_with: str | None = "assistant") -> DataFrame:
+    """Per-group dialog-corpus scorecard: dialog count, turn-count
+    mean/max, and how many dialogs trip any structural rule — the
+    dataset-card view of :func:`dialog_violations` (which it calls).
+
+    Shape: the violations are aggregated to per-dialog counts (rows =
+    flagged dialogs only) and joined back on ``id_col`` — only the
+    violation-rate fraction of dialogs reaches the join; the corpus side
+    is one projection + one group-sized aggregate.
+    """
+    v = dialog_violations(df, turns_col=turns_col, id_col=id_col,
+                          roles=roles, system_role=system_role,
+                          must_end_with=must_end_with)
+    per_dialog = (v.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("_nv")))
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+    key = group_col or "group"
+    base = df.select(grp, F.col(id_col),
+                     F.coalesce(F.size(F.col(turns_col)), F.lit(0))
+                     .alias("_n"))
+    flagged = base.join(per_dialog, id_col, "left")
+    return (flagged.groupBy(F.col("grp").alias(key))
+            .agg(F.count(F.lit(1)).alias("n_dialogs"),
+                 F.round(F.avg("_n"), 2).alias("avg_turns"),
+                 F.max("_n").alias("max_turns"),
+                 F.sum((F.col("_nv") > 0).cast("long"))
+                 .alias("n_bad_dialogs"),
+                 F.coalesce(F.sum("_nv"), F.lit(0))
+                 .alias("n_violations")))
