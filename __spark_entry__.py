@@ -963,6 +963,42 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-doc 8-gram novelty vs a reference corpus
+    (operators/contamination.py ngram_novelty — the memorization
+    scorer).  Texts are synthesized from doc_id arithmetic (12 words,
+    stride-997 streams mod 100003 so accidental cross-doc gram overlap
+    is impossible); even docs form the reference, odd docs are scored:
+    d%10==5 docs copy doc d-5 verbatim (novelty 0), d%10==7 docs copy
+    the first 9 words of doc d-7 (2 of 5 grams seen, novelty 0.6),
+    other odd docs are fully novel (1.0).  The DuckDB twin re-derives
+    the same words and recomputes the gram join with STRING grams —
+    counts agree with the engine's xxhash64 grams unless a hash
+    collision occurs (none at this scale)."""
+    from validr_spark.operators.contamination import ngram_novelty
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+
+    def word(doc_expr, k):
+        return F.concat(F.lit("w"), ((doc_expr * 997 + k) % 100003)
+                        .cast("string"))
+
+    words = []
+    for k in range(12):
+        base = word(d, k)
+        w = (F.when((d % 2 == 1) & (d % 10 == 5), word(d - 5, k))
+             .when((d % 2 == 1) & (d % 10 == 7) & (k < 9), word(d - 7, k))
+             .otherwise(base))
+        words.append(w)
+    texts = df.select(d.cast("string").alias("doc_id"),
+                      F.concat_ws(" ", *words).alias("text"),
+                      (d % 2).alias("_par"))
+    ref = texts.filter(F.col("_par") == 0).drop("_par")
+    ev = texts.filter(F.col("_par") == 1).drop("_par")
+    return ngram_novelty(ev, ref, n=8).orderBy("doc_id")
+
+
 def q_dialog_check(spark, sf):
     """Structural chat-dialog validation (operators/dialog.py
     dialog_violations — the SFT-data QC gate: role enum, system
@@ -2188,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_audit": q_embedding_audit,
         "token_repetition": q_token_repetition,
         "dialog_check": q_dialog_check,
+        "ngram_novelty": q_ngram_novelty,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2762,6 +2799,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ngram_novelty": """
+            WITH docs AS (
+                SELECT doc_id FROM documents WHERE doc_id IS NOT NULL
+            ), words AS (
+                SELECT doc_id,
+                       list_transform(range(0, 12), k ->
+                           'w' || CAST((
+                               CASE WHEN doc_id % 2 = 1 AND doc_id % 10 = 5
+                                        THEN (doc_id - 5) * 997 + k
+                                    WHEN doc_id % 2 = 1 AND doc_id % 10 = 7
+                                         AND k < 9
+                                        THEN (doc_id - 7) * 997 + k
+                                    ELSE doc_id * 997 + k
+                               END) % 100003 AS VARCHAR)) AS w
+                FROM docs
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, 6),
+                           i -> array_to_string(w[i:i+7], ' '))) AS g
+                FROM words
+            ), ref AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+            ), ev AS (
+                SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 2 = 1
+            )
+            SELECT CAST(ev.doc_id AS VARCHAR) AS doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_seen,
+                   round(1.0 - sum(CASE WHEN ref.g IS NOT NULL THEN 1
+                                        ELSE 0 END)::DOUBLE
+                             / count(*)::DOUBLE, 6) AS novelty
+            FROM ev LEFT JOIN ref ON ev.g = ref.g
+            GROUP BY ev.doc_id ORDER BY doc_id
         """,
         "dialog_check": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -134,3 +134,59 @@ def test_split_leakage_cross_split_only(spark):
     assert sum(r["n_pairs"] for r in rep) == len(got)
     edit = split_leakage(df, threshold=0.5, verify="edit").collect()
     assert {(r["id_a"], r["id_b"]) for r in edit} >= {(1, 2)}
+
+
+def test_ngram_novelty_hand_math(spark):
+    from validr_spark.operators.contamination import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [("r1", "a b c d e f g h i j")], "doc_id string, text string")
+    df = spark.createDataFrame(
+        [("copy", "a b c d e f g h i j"),    # all 3 grams in ref
+         ("part", "a b c d e f g h X Y Z"),  # 1 of 4 grams in ref
+         ("new", "p q r s t u v w x"),       # none of 2 grams in ref
+         ("short", "a b c")],                # < n words: absent
+        "doc_id string, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, ref).collect()}
+    assert set(got) == {"copy", "part", "new"}
+    assert (got["copy"]["n_grams"], got["copy"]["n_seen"],
+            got["copy"]["novelty"]) == (3, 3, 0.0)
+    assert (got["part"]["n_grams"], got["part"]["n_seen"],
+            got["part"]["novelty"]) == (4, 1, 0.75)
+    assert got["new"]["novelty"] == 1.0
+
+
+def test_ngram_novelty_bloom_equals_exact(spark):
+    import random
+
+    from validr_spark.operators.contamination import ngram_novelty
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc(k):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+
+    ref = spark.createDataFrame(
+        [(f"r{i}", doc(i)) for i in range(40)], "doc_id string, text string")
+    df = spark.createDataFrame(
+        [(f"d{i}", doc(100 + i)) for i in range(30)],
+        "doc_id string, text string")
+    exact = sorted(map(tuple, ngram_novelty(df, ref, n=4).collect()))
+    # tight bloom (fpp forces real prefilter decisions) must stay exact
+    bloomed = sorted(map(tuple, ngram_novelty(
+        df, ref, n=4, use_bloom=True, fpp=0.2).collect()))
+    assert exact == bloomed
+
+
+def test_ngram_novelty_dedups_repeated_grams(spark):
+    from validr_spark.operators.contamination import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [("r", "a b c d e")], "doc_id string, text string")
+    # the leaked 3-gram repeats 3x but counts once; novelty over DISTINCT
+    df = spark.createDataFrame(
+        [("d", "a b c a b c a b c")], "doc_id string, text string")
+    r = ngram_novelty(df, ref, n=3).collect()[0]
+    # distinct grams: 'a b c','b c a','c a b' -> only 'a b c' seen
+    assert (r["n_grams"], r["n_seen"]) == (3, 1)

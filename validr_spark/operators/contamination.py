@@ -29,13 +29,15 @@ No counterpart in guyskk/validr (single-value validation only).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from validr_spark.operators.textstats import words_of
 
 __all__ = ["ngram_hashes", "contamination_scan", "contamination_pairs",
-           "decontaminate"]
+           "decontaminate", "ngram_novelty"]
 
 
 def ngram_hashes(df: DataFrame, text_col: str = "text",
@@ -169,6 +171,97 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
            .select(F.col(id_col).alias("_bad_id")))
     return (corpus.join(bad, corpus[id_col].eqNullSafe(F.col("_bad_id")),
                         "left_anti"))
+
+
+def ngram_novelty(df: DataFrame, ref: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ref_text_col: str | None = None, n: int = 8,
+                  use_bloom: bool = False, fpp: float = 0.01,
+                  expected_grams: int | None = None) -> DataFrame:
+    """Per-document n-gram NOVELTY against a large reference corpus —
+    the memorization scorer (Lee/Carlini-style overlap analysis of
+    generated or newly-crawled text vs the training set): for each doc,
+    the fraction of its DISTINCT word-``n``-grams that do NOT occur
+    anywhere in ``ref``.
+
+    Columns: ``(id, n_grams, n_seen, novelty)`` with ``novelty =
+    1 − n_seen/n_grams``; novelty 0 = verbatim regurgitation, 1 = fully
+    novel.  Docs with fewer than ``n`` words are absent (no grams = no
+    statement).
+
+    The complement of :func:`contamination_scan`'s shape: there the
+    probe set (benchmark) is small and broadcasts; here the reference is
+    another CORPUS, so the membership test is a gram-keyed join —
+    distinct gram hashes shuffle on both sides (map-side partial
+    distinct first; the shuffle carries 8-byte hashes, never text).
+    ``use_bloom=True`` inserts a broadcast Bloom prefilter built from
+    the reference grams (incremental.BloomFilter, treeReduce OR): the
+    bloom-negative majority of doc grams — most grams, for mostly-novel
+    corpora — is counted as unseen MAP-SIDE and never joins; only the
+    maybe-seen slice reaches the exact confirming join, so the result
+    is still exact (no false negatives exist; positives are confirmed).
+
+    Hash identity: grams are xxhash64 of the space-joined lowercased
+    word n-gram (ngram_hashes) — cross-doc collisions at 10^10 distinct
+    grams are ~10^-9 per pair, negligible for a rate metric.
+    """
+    ref_text = ref_text_col or text_col
+    dg = (ngram_hashes(df, text_col, id_col, n)
+          .dropDuplicates([id_col, "gram"]))
+    rg = ngram_hashes(ref, ref_text, id_col, n).select("gram").distinct()
+
+    if use_bloom:
+        from pyspark.sql.functions import pandas_udf
+
+        from .incremental import BloomFilter
+
+        if expected_grams is None:
+            expected_grams = rg.count()
+        m_bits, k = BloomFilter.params(expected_grams, fpp)
+
+        def partition_bloom(rows):
+            bf = BloomFilter(m_bits, k)
+            bf.add(np.fromiter((r[0] for r in rows), dtype=np.int64))
+            yield bf.bits
+
+        bits = (rg.rdd.mapPartitions(partition_bloom)
+                .treeReduce(np.bitwise_or, depth=2))
+        b = df.sparkSession.sparkContext.broadcast((m_bits, k, bits))
+
+        @pandas_udf("boolean")
+        def _maybe(g: pd.Series) -> pd.Series:
+            mb, kk, bb = b.value
+            bf = BloomFilter(mb, kk, bb)
+            return pd.Series(bf.might_contain(g.to_numpy(dtype=np.int64)))
+
+        # deterministic in fact; flag only stops Catalyst cloning the
+        # UDF predicate across the join (incremental.py precedent)
+        _maybe = _maybe.asNondeterministic()
+        tagged = dg.withColumn("_mb", _maybe(F.col("gram")))
+        # bloom-negative grams are PROVABLY unseen: count map-side
+        neg = (tagged.filter(~F.col("_mb"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.lit(0).cast("long").alias("_s")))
+        pos = (tagged.filter(F.col("_mb"))
+               .join(rg.withColumn("_seen", F.lit(1)), "gram", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.coalesce(F.col("_seen"), F.lit(0)))
+                    .alias("_s")))
+        per = (neg.unionByName(pos).groupBy(id_col)
+               .agg(F.sum("_n").alias("n_grams"),
+                    F.sum("_s").alias("n_seen")))
+    else:
+        marked = dg.join(rg.withColumn("_seen", F.lit(1)), "gram", "left")
+        per = (marked.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce(F.col("_seen"), F.lit(0)))
+                    .alias("n_seen")))
+    return per.select(
+        id_col, "n_grams", "n_seen",
+        F.round(F.lit(1.0) - F.col("n_seen") / F.col("n_grams"), 6)
+        .alias("novelty"))
 
 
 def split_leakage(df: DataFrame, split_col: str = "split",
