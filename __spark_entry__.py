@@ -963,6 +963,40 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_preference_check(spark, sf):
+    """Preference-pair structural validation (operators/dialog.py
+    preference_violations — identical / formatting-only pairs, missing
+    fields) over pairs synthesized from documents with one injected
+    defect class per modulus (first-match-wins, closed-form expected
+    rows — the dialog_check armor pattern)."""
+    from validr_spark.operators.dialog import preference_violations
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    same = F.concat(F.lit("same-"), ds)
+    base_p = F.concat(F.lit("p-"), ds)
+    base_c = F.concat(F.lit("good answer "), ds)
+    base_r = F.concat(F.lit("bad "), ds)
+    nul = F.lit(None).cast("string")
+    m23, m19 = d % 23 == 0, d % 19 == 0
+    m17, m13, m11 = d % 17 == 0, d % 13 == 0, d % 11 == 0
+    prompt = F.when(m23 | m19, base_p).when(m17, nul).otherwise(base_p)
+    chosen = (F.when(m23, same)
+              .when(m19, F.concat(F.lit("AN  ANSWER "), ds))
+              .when(m17, base_c)
+              .when(m13, F.lit(""))
+              .otherwise(base_c))
+    rejected = (F.when(m23, same)
+                .when(m19, F.concat(F.lit("an answer "), ds))
+                .when(m17 | m13, base_r)
+                .when(m11, nul)
+                .otherwise(base_r))
+    pairs = df.select(ds.alias("doc_id"), prompt.alias("prompt"),
+                      chosen.alias("chosen"), rejected.alias("rejected"))
+    return preference_violations(pairs).orderBy("doc_id", "rule_id")
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc 8-gram novelty vs a reference corpus
     (operators/contamination.py ngram_novelty — the memorization
@@ -2225,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_repetition": q_token_repetition,
         "dialog_check": q_dialog_check,
         "ngram_novelty": q_ngram_novelty,
+        "preference_check": q_preference_check,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2799,6 +2834,34 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "preference_check": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 23 = 0 THEN 'pair.identical'
+                        WHEN doc_id % 19 = 0 THEN 'pair.identical_normalized'
+                        WHEN doc_id % 17 = 0 THEN 'prompt.required'
+                        WHEN doc_id % 13 = 0 THEN 'chosen.required'
+                        ELSE 'rejected.required' END AS rule_id,
+                   CASE WHEN doc_id % 23 = 0 OR doc_id % 19 = 0
+                            THEN 'chosen'
+                        WHEN doc_id % 17 = 0 THEN 'prompt'
+                        WHEN doc_id % 13 = 0 THEN 'chosen'
+                        ELSE 'rejected' END AS position,
+                   CASE WHEN doc_id % 23 = 0
+                            THEN 'chosen and rejected are identical'
+                        WHEN doc_id % 19 = 0 THEN
+                            'chosen and rejected differ only in case/whitespace'
+                        ELSE 'required' END AS message,
+                   CASE WHEN doc_id % 23 = 0
+                            THEN 'same-' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 19 = 0
+                            THEN 'AN  ANSWER ' || CAST(doc_id AS VARCHAR)
+                        ELSE NULL END AS value
+            FROM documents
+            WHERE doc_id IS NOT NULL
+              AND (doc_id % 23 = 0 OR doc_id % 19 = 0 OR doc_id % 17 = 0
+                   OR doc_id % 13 = 0 OR doc_id % 11 = 0)
+            ORDER BY doc_id, rule_id
         """,
         "ngram_novelty": """
             WITH docs AS (

@@ -110,3 +110,59 @@ def test_plan_no_python_no_shuffle(spark):
     out = dialog_violations(_dialogs(spark))
     assert_no_python(out)
     assert_no_shuffle(out)
+
+
+PREF_SCHEMA = ("doc_id string, source string, prompt string, "
+               "chosen string, rejected string")
+
+
+def _pairs(spark):
+    rows = [
+        ("ok", "a", "q1", "good long answer", "bad"),
+        ("identical", "a", "q2", "same answer", "same answer"),
+        ("case_only", "a", "q3", "An  Answer", "an answer"),
+        ("no_prompt", "b", None, "x", "y"),
+        ("empty_chosen", "b", "q5", "", "y"),
+        ("null_rejected", "b", "q6", "x", None),
+    ]
+    return spark.createDataFrame(rows, PREF_SCHEMA)
+
+
+def test_preference_violations(spark):
+    from validr_spark.operators.dialog import preference_violations
+
+    got = {}
+    for r in preference_violations(_pairs(spark)).collect():
+        got.setdefault(r["doc_id"], []).append(r["rule_id"])
+    assert "ok" not in got
+    assert got["identical"] == ["pair.identical"]
+    assert got["case_only"] == ["pair.identical_normalized"]
+    assert got["no_prompt"] == ["prompt.required"]
+    assert got["empty_chosen"] == ["chosen.required"]
+    assert got["null_rejected"] == ["rejected.required"]
+
+
+def test_preference_stats_length_bias(spark):
+    from validr_spark.operators.dialog import preference_stats
+
+    out = {r["source"]: r for r in preference_stats(_pairs(spark)).collect()}
+    a = out["a"]
+    assert a["n_pairs"] == 3
+    assert a["n_identical"] == 1
+    assert a["n_identical_normalized"] == 1
+    # length-unequal pairs in a: ok (16>3 chosen longer), case_only
+    # (10 vs 9 chosen longer); identical pair excluded (equal lengths)
+    assert a["chosen_longer_frac"] == 1.0
+    b = out["b"]
+    # b has no pair with both sides present -> NULL bias, 0 identical
+    assert b["chosen_longer_frac"] is None
+    assert b["n_identical"] == 0
+
+
+def test_preference_plan_no_shuffle(spark):
+    from validr_spark.operators.dialog import preference_violations
+    from validr_spark.testing import assert_no_python, assert_no_shuffle
+
+    out = preference_violations(_pairs(spark))
+    assert_no_python(out)
+    assert_no_shuffle(out)

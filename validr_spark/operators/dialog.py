@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dialog_violations", "dialog_stats"]
+__all__ = ["dialog_violations", "dialog_stats",
+           "preference_violations", "preference_stats"]
 
 
 def _viol(id_col, rule, position, message, value):
@@ -178,3 +179,93 @@ def dialog_stats(df: DataFrame, turns_col: str = "turns",
                  .alias("n_bad_dialogs"),
                  F.coalesce(F.sum("_nv"), F.lit(0))
                  .alias("n_violations")))
+
+
+def _norm(c):
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def preference_violations(df: DataFrame, prompt_col: str = "prompt",
+                          chosen_col: str = "chosen",
+                          rejected_col: str = "rejected",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Structural validation of preference/reward-model pairs — the RLHF
+    twin of :func:`dialog_violations`.  Rules:
+
+    * ``prompt.required`` / ``chosen.required`` / ``rejected.required``
+      — NULL or empty field.
+    * ``pair.identical`` — chosen == rejected byte-for-byte (a labeling
+      pipeline bug: the comparison carries zero preference signal).
+    * ``pair.identical_normalized`` — equal after casefold + whitespace
+      collapse but NOT byte-identical (near-identical labels whose
+      "preference" is formatting noise; fires only when
+      ``pair.identical`` does not).
+
+    Violations in the engine's standard shape; offending values
+    truncated to 75 chars (reference Invalid rendering length,
+    _validator_c.pyx:20-23).  Pure projection — zero shuffle, zero
+    Python.  Quality SIGNALS (length bias etc.) live in
+    :func:`preference_stats`, not here: a long chosen answer is a bias,
+    not a defect.
+    """
+    p, c, r = F.col(prompt_col), F.col(chosen_col), F.col(rejected_col)
+
+    def short(x):
+        return F.substring(x, 1, 75)
+
+    both = c.isNotNull() & (c != "") & r.isNotNull() & (r != "")
+    rules = [
+        (p.isNull() | (p == ""), "prompt.required", prompt_col,
+         F.lit("required"), F.lit(None).cast("string")),
+        (c.isNull() | (c == ""), "chosen.required", chosen_col,
+         F.lit("required"), F.lit(None).cast("string")),
+        (r.isNull() | (r == ""), "rejected.required", rejected_col,
+         F.lit("required"), F.lit(None).cast("string")),
+        (both & (c == r), "pair.identical", chosen_col,
+         F.lit("chosen and rejected are identical"), short(c)),
+        (both & (c != r) & (_norm(c) == _norm(r)),
+         "pair.identical_normalized", chosen_col,
+         F.lit("chosen and rejected differ only in case/whitespace"),
+         short(c)),
+    ]
+    parts = [
+        F.when(cond, F.struct(F.lit(rid).alias("rule_id"),
+                              F.lit(pos).alias("position"),
+                              msg.alias("message"), val.alias("value")))
+        for cond, rid, pos, msg, val in rules
+    ]
+    return (df.select(F.col(id_col),
+                      F.explode(F.filter(F.array(*parts),
+                                         lambda x: x.isNotNull()))
+                      .alias("_v"))
+            .select(id_col, "_v.rule_id", "_v.position", "_v.message",
+                    "_v.value"))
+
+
+def preference_stats(df: DataFrame, prompt_col: str = "prompt",
+                     chosen_col: str = "chosen",
+                     rejected_col: str = "rejected",
+                     group_col: str | None = "source") -> DataFrame:
+    """Per-group preference-data scorecard: pair counts, identical /
+    normalized-identical counts, and the LENGTH-BIAS signal — the
+    fraction of pairs whose chosen answer is longer than the rejected
+    one (reward models learn "longer is better" from exactly this skew;
+    ~0.5 is balanced).  One hash aggregate on the group key."""
+    c, r = F.col(chosen_col), F.col(rejected_col)
+    both = c.isNotNull() & (c != "") & r.isNotNull() & (r != "")
+    grp = (F.col(group_col) if group_col else F.lit("all"))
+    key = group_col or "group"
+    return (df.groupBy(grp.alias(key))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum((both & (c == r)).cast("long"))
+                 .alias("n_identical"),
+                 F.sum((both & (c != r) & (_norm(c) == _norm(r)))
+                       .cast("long")).alias("n_identical_normalized"),
+                 F.round(F.avg(F.when(
+                     both & (F.length(c) != F.length(r)),
+                     (F.length(c) > F.length(r)).cast("double"))), 6)
+                 .alias("chosen_longer_frac"),
+                 F.round(F.avg(F.when(both, F.length(c))), 2)
+                 .alias("avg_chosen_len"),
+                 F.round(F.avg(F.when(both, F.length(r))), 2)
+                 .alias("avg_rejected_len")))
