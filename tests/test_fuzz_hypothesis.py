@@ -25,7 +25,8 @@ SET = settings(max_examples=150, deadline=None,
 
 _scalars = st.sampled_from(
     ["int", "bool", "float", "str", "nstr", "date", "datetime", "ipv4",
-     "uuid", "email", "url", "phone", "slug", "any"])
+     "uuid", "email", "url", "phone", "slug", "any", "time", "fqdn",
+     "idcard"])
 
 
 @st.composite
