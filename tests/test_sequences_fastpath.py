@@ -174,3 +174,37 @@ def test_token_ngram_stats_plan_all_codegen(spark):
     assert_no_python(out)
     # codegen slice/zip construction, not an interpreted lambda HOF
     assert_plan(out, absent=["LambdaFunction"])
+
+
+def test_token_ngram_stats_random_matches_python(spark):
+    import random
+    from collections import Counter
+
+    from validr_spark.operators.sequences import token_ngram_stats
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(60):
+        ln = rng.randint(0, 12)
+        # small vocab so duplicates/loops actually occur
+        rows.append((f"d{i}", [rng.randint(0, 4) for _ in range(ln)]))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    n = 3
+    got = {r["doc_id"]: r for r in token_ngram_stats(df, n=n).collect()}
+    expected_ids = set()
+    for doc_id, toks in rows:
+        if len(toks) < n:
+            assert doc_id not in got
+            continue
+        expected_ids.add(doc_id)
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        total = sum(c.values())
+        loop = sum(v for g, v in c.items() if len(set(g)) == 1)
+        r = got[doc_id]
+        assert r["n_ngrams"] == total
+        assert r["n_distinct"] == len(c)
+        assert r["dup_ngram_frac"] == round(1 - len(c) / total, 6)
+        assert r["top_ngram_share"] == round(max(c.values()) / total, 6)
+        assert r["loop_frac"] == round(loop / total, 6)
+    assert set(got) == expected_ids
