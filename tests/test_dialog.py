@@ -166,3 +166,20 @@ def test_preference_plan_no_shuffle(spark):
     out = preference_violations(_pairs(spark))
     assert_no_python(out)
     assert_no_shuffle(out)
+
+
+def test_dialog_violations_streams_append_mode(spark, tmp_path):
+    # the operator is two stateless projections unioned -> it runs
+    # unchanged on a stream in append mode with exactly-once sinks
+    df = _dialogs(spark)
+    data = str(tmp_path / "dialogs")
+    df.coalesce(1).write.parquet(data)
+    sdf = spark.readStream.schema(df.schema).parquet(data)
+    q = (dialog_violations(sdf).writeStream.format("memory")
+         .queryName("dlg_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dlg_stream").collect()
+    batch = dialog_violations(df).collect()
+    key = lambda r: (r["doc_id"], r["rule_id"], r["position"])
+    assert sorted(map(key, got)) == sorted(map(key, batch))
