@@ -963,6 +963,33 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_dedup_sequences(spark, sf):
+    """Exact token-array content dedup (operators/dedup.py
+    dedup_sequences) over sequences derived from documents in groups of
+    five sharing one array (survivor = min id), with every 41st doc
+    given a NULL-ELEMENT array that must pass through un-deduped (the
+    concat_ws hole guard).  The DuckDB twin re-derives the arrays and
+    recomputes survivors by grouping on the LIST value itself."""
+    from validr_spark.operators.dedup import dedup_sequences
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    g = d - d % 5
+
+    def tok(e, m, o):
+        return (e % m + o).cast("int")
+
+    normal = F.array(tok(g, 31, 5), tok(g, 29, 3),
+                     tok(g, 23, 7), tok(g, 19, 2))
+    holed = F.array(tok(d, 31, 5), F.lit(None).cast("int"),
+                    tok(d, 23, 7))
+    toks = F.when(d % 41 == 0, holed).otherwise(normal)
+    seq = df.select(d.cast("string").alias("doc_id"), toks.alias("tokens"))
+    return (dedup_sequences(seq)
+            .select("doc_id", F.size("tokens").alias("n_tok"))
+            .orderBy("doc_id"))
+
+
 def q_preference_check(spark, sf):
     """Preference-pair structural validation (operators/dialog.py
     preference_violations — identical / formatting-only pairs, missing
@@ -2260,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialog_check": q_dialog_check,
         "ngram_novelty": q_ngram_novelty,
         "preference_check": q_preference_check,
+        "dedup_sequences": q_dedup_sequences,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2834,6 +2862,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 41 = 0 THEN
+                           [CAST(doc_id % 31 + 5 AS INT), NULL,
+                            CAST(doc_id % 23 + 7 AS INT)]
+                       ELSE
+                           [CAST((doc_id - doc_id % 5) % 31 + 5 AS INT),
+                            CAST((doc_id - doc_id % 5) % 29 + 3 AS INT),
+                            CAST((doc_id - doc_id % 5) % 23 + 7 AS INT),
+                            CAST((doc_id - doc_id % 5) % 19 + 2 AS INT)]
+                       END AS tokens
+                FROM documents WHERE doc_id IS NOT NULL
+            ), survivors AS (
+                SELECT min(doc_id) AS doc_id, tokens
+                FROM base WHERE doc_id % 41 <> 0 GROUP BY tokens
+            ), passthrough AS (
+                SELECT doc_id, tokens FROM base WHERE doc_id % 41 = 0
+            ), u AS (
+                SELECT * FROM survivors UNION ALL SELECT * FROM passthrough
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(tokens) AS INT) AS n_tok
+            FROM u ORDER BY doc_id
         """,
         "preference_check": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -227,7 +227,7 @@ HEADLINE = [
     "fuzzy_ref", "asof_forward", "image_audit", "source_overlap",
     "value_variants", "psi_groups", "split_leakage", "position_stats",
     "clean_text", "vocab_coverage", "repair_report", "token_repetition",
-    "dialog_check", "ngram_novelty", "preference_check",
+    "dialog_check", "ngram_novelty", "preference_check", "dedup_sequences",
 ]
 
 

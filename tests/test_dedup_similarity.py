@@ -707,3 +707,37 @@ def test_all_pairs_above_hot_bucket_bounded_cells(spark):
     # hash-balanced blocks: no cell should exceed ~(2n/s)² pairs
     cap = (2 * n / s) ** 2
     assert max(c["count"] for c in cells) <= cap
+
+
+def test_dedup_sequences_exact_content(spark):
+    from validr_spark.operators.dedup import dedup_sequences
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 1.0),
+         ("b", [1, 2, 3], 9.0),      # duplicate content, higher score
+         ("c", [1, 2], 5.0),         # prefix is NOT a duplicate
+         ("d", [3, 2, 1], 5.0),      # order matters
+         ("e", None, 5.0),           # null array passes through
+         ("f", [1, None, 2], 5.0),   # null ELEMENT passes through
+         ("g", [1, 2], 7.0)],        # duplicate of c
+        "doc_id string, tokens array<int>, score double")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_sequences(df).collect())
+    # min-id survivors: a (over b), c (over g), d, plus passthrough e, f
+    assert kept == ["a", "c", "d", "e", "f"]
+    best = sorted(r["doc_id"] for r in dedup_sequences(
+        df, keep_by=F.col("score")).collect())
+    # keep_by: b beats a (9 > 1), g beats c (7 > 5)
+    assert best == ["b", "d", "e", "f", "g"]
+
+
+def test_dedup_sequences_null_element_not_conflated(spark):
+    from validr_spark.operators.dedup import dedup_sequences
+
+    # concat_ws skips nulls: [1,NULL,2] would render like [1,2]; the
+    # guard must keep the holed row OUT of the dedup identity
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [1, None, 2])],
+        "doc_id string, tokens array<int>")
+    kept = sorted(r["doc_id"] for r in dedup_sequences(df).collect())
+    assert kept == ["a", "b"]

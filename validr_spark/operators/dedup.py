@@ -69,6 +69,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return ranked.filter(F.col("_rk") == 1).select(*w_cols)
 
 
+def dedup_sequences(df: DataFrame, tokens_col: str = "tokens",
+                    id_col: str = "doc_id", keep_by=None) -> DataFrame:
+    """Exact CONTENT dedup for pre-tokenized sequences (the north-rule
+    table shape): keep one row per distinct token array — min ``id_col``
+    survives, or the highest ``keep_by`` score with min-id tie-break,
+    exactly like :func:`exact_dedup` for text.
+
+    Fingerprint: ``md5`` of the comma-rendered array — 128 bits, so
+    corpus-wide collision odds stay negligible at 10^12 sequences
+    (a single 64-bit hash has ~percent-level birthday odds there), the
+    shuffle carries 16 bytes + survivor-election payload instead of the
+    array, and a DuckDB oracle can replay the identity exactly
+    (``md5(array_to_string(tokens, ','))``).  The single comma-string
+    render is whole-stage codegen (the frame_check trick, PERF.md
+    Finding 11).
+
+    Rows with a NULL array or NULL *elements* pass through untouched:
+    ``concat_ws`` skips nulls, so [1,NULL,2] would render — and dedup —
+    as [1,2]; content with holes is a VALIDATION failure, not a dedup
+    identity, and belongs to the violations path.  (Guard:
+    ``size(array_compact) == size``, pure codegen.)  One shuffle on the
+    fingerprint, window and filter only — no aggregation state.
+    """
+    t = F.col(tokens_col)
+    eligible = (t.isNotNull()
+                & (F.size(F.array_compact(t)) == F.size(t)))
+    fp = F.md5(F.concat_ws(",", t))
+    order = ([F.desc_nulls_last(keep_by)] if keep_by is not None else []) \
+        + [F.col(id_col)]
+    cols = list(df.columns)
+    ranked = (df.filter(eligible)
+              .withColumn("_fp", fp)
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy("_fp").orderBy(*order))))
+    kept = ranked.filter(F.col("_rk") == 1).select(*cols)
+    passthrough = df.filter(~F.coalesce(eligible, F.lit(False)))
+    return kept.unionByName(passthrough)
+
+
 def shingles(col, k: int = 5):
     """Character k-shingle hash set of a normalized text column
     (array<long>, distinct)."""
