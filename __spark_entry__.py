@@ -963,6 +963,34 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_token_contamination(spark, sf):
+    """Token-n-gram benchmark decontamination on the pre-tokenized shape
+    (operators/contamination.py token_contamination_scan): arithmetic
+    stride-997 token streams (no accidental cross-doc gram overlap);
+    docs with doc_id%50==0 form the benchmark (fully contaminated by
+    construction), docs with %25==0 but %50!=0 copy the first 9 tokens
+    of benchmark doc d-25 (2 of 5 grams shared, fraction 0.4), the rest
+    are clean.  DuckDB recomputes the gram join with comma-rendered
+    string grams over the same arrays."""
+    from validr_spark.operators.contamination import token_contamination_scan
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+
+    def tk(e, k):
+        return ((e * 997 + k) % 100003).cast("int")
+
+    toks = F.array(*[
+        F.when((d % 50 != 0) & (d % 25 == 0) & F.lit(k < 9),
+               tk(d - 25, k)).otherwise(tk(d, k))
+        for k in range(12)])
+    corpus = df.select(d.cast("string").alias("doc_id"),
+                       toks.alias("tokens"), (d % 50).alias("_m"))
+    bench = corpus.filter(F.col("_m") == 0).select("tokens")
+    return (token_contamination_scan(corpus.drop("_m"), bench, n=8)
+            .orderBy("doc_id"))
+
+
 def q_dedup_sequences(spark, sf):
     """Exact token-array content dedup (operators/dedup.py
     dedup_sequences) over sequences derived from documents in groups of
@@ -2288,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "preference_check": q_preference_check,
         "dedup_sequences": q_dedup_sequences,
+        "token_contamination": q_token_contamination,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2862,6 +2891,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_contamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_transform(range(0, 12), k ->
+                           (CASE WHEN doc_id % 50 <> 0 AND doc_id % 25 = 0
+                                      AND k < 9
+                                 THEN (doc_id - 25) * 997 + k
+                                 ELSE doc_id * 997 + k
+                            END) % 100003) AS w
+                FROM documents WHERE doc_id IS NOT NULL
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, 6),
+                           i -> array_to_string(w[i:i+7], ','))) AS g
+                FROM words
+            ), bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT grams.doc_id, count(DISTINCT grams.g) AS n_hits
+                FROM grams JOIN bench ON grams.g = bench.g
+                GROUP BY grams.doc_id
+            )
+            SELECT CAST(words.doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(w) - 7 AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   round(coalesce(h.n_hits, 0)::DOUBLE
+                         / (len(w) - 7)::DOUBLE, 6) AS hit_fraction,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM words LEFT JOIN hits h ON words.doc_id = h.doc_id
+            ORDER BY doc_id
         """,
         "dedup_sequences": """
             WITH base AS (

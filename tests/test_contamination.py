@@ -190,3 +190,45 @@ def test_ngram_novelty_dedups_repeated_grams(spark):
     r = ngram_novelty(df, ref, n=3).collect()[0]
     # distinct grams: 'a b c','b c a','c a b' -> only 'a b c' seen
     assert (r["n_grams"], r["n_seen"]) == (3, 1)
+
+
+def test_token_contamination_scan_hand_math(spark):
+    from validr_spark.operators.contamination import token_contamination_scan
+
+    bench = spark.createDataFrame(
+        [([10, 11, 12, 13, 14],)], "tokens array<int>")
+    corpus = spark.createDataFrame(
+        [("full", [10, 11, 12, 13, 14]),      # 3 grams, all shared
+         ("part", [9, 10, 11, 12, 13, 14]),   # 4 grams, 3 shared
+         ("none", [1, 2, 3, 4, 5, 6]),        # 4 grams, 0 shared
+         ("short", [10, 11])],                # < n: 0 grams
+        "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in token_contamination_scan(
+        corpus, bench, n=3).collect()}
+    assert (got["full"]["n_grams"], got["full"]["n_hits"],
+            got["full"]["contaminated"]) == (3, 3, True)
+    assert (got["part"]["n_grams"], got["part"]["n_hits"]) == (4, 3)
+    assert got["part"]["hit_fraction"] == 0.75
+    assert (got["none"]["n_hits"], got["none"]["contaminated"]) == (0, False)
+    assert (got["short"]["n_grams"], got["short"]["n_hits"]) == (0, 0)
+
+
+def test_token_contamination_distinct_hits_and_plan(spark):
+    from validr_spark.operators.contamination import token_contamination_scan
+    from validr_spark.testing import assert_no_python, assert_plan
+
+    bench = spark.createDataFrame([([7, 7, 7, 7],)], "tokens array<int>")
+    # the leaked gram (7,7,7) repeats 4x positionally but counts ONCE
+    corpus = spark.createDataFrame(
+        [("rep", [7, 7, 7, 7, 7, 7])], "doc_id string, tokens array<int>")
+    out = token_contamination_scan(corpus, bench, n=3)
+    r = out.collect()[0]
+    assert (r["n_grams"], r["n_hits"]) == (4, 1)
+    assert_no_python(out)
+    assert_plan(out, contains=["BroadcastHashJoin"])
+    # hits-attach is deliberately not forced broadcast (see
+    # contamination_scan); with a tiny hit table AQE converts it, so
+    # the FINAL plan shuffles nothing corpus-wide through a sort-merge
+    final = out._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final

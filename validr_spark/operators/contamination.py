@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from validr_spark.operators.textstats import words_of
 
 __all__ = ["ngram_hashes", "contamination_scan", "contamination_pairs",
-           "decontaminate", "ngram_novelty"]
+           "decontaminate", "ngram_novelty", "token_ngram_hashes",
+           "token_contamination_scan"]
 
 
 def ngram_hashes(df: DataFrame, text_col: str = "text",
@@ -171,6 +172,70 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
            .select(F.col(id_col).alias("_bad_id")))
     return (corpus.join(bad, corpus[id_col].eqNullSafe(F.col("_bad_id")),
                         "left_anti"))
+
+
+def token_ngram_hashes(df: DataFrame, tokens_col: str = "tokens",
+                       id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, gram) for pre-tokenized sequences: one row per token
+    ``n``-gram position, gram = xxhash64 of the n-int struct — the
+    token-array twin of :func:`ngram_hashes` (no split, no strings;
+    the slice/zip construction and the hash are whole-stage codegen).
+    Sequences shorter than ``n`` tokens produce no rows."""
+    t = F.col(tokens_col)
+    sz = F.size(t)
+    m = sz - (n - 1)
+    pre = (df.filter(t.isNotNull() & (sz >= n))
+           .select(F.col(id_col).alias("_cid"),
+                   F.explode(F.arrays_zip(
+                       *[F.slice(t, i + 1, m) for i in range(n)]))
+                   .alias("_g")))
+    return pre.select(F.col("_cid").alias(id_col),
+                      F.xxhash64(F.col("_g")).alias("gram"))
+
+
+def token_contamination_scan(corpus: DataFrame, benchmark: DataFrame,
+                             tokens_col: str = "tokens",
+                             id_col: str = "doc_id",
+                             bench_tokens_col: str | None = None,
+                             n: int = 8, min_hits: int = 1,
+                             broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination DIRECTLY on the pre-tokenized sequence
+    shape — token ``n``-gram overlap instead of word n-grams (the form
+    labs apply to already-tokenized training shards, where re-detokenizing
+    just to re-tokenize is a wasted pass and tokenizer drift would blur
+    the match).  Same contract as :func:`contamination_scan`:
+    ``(id, n_grams, n_hits, hit_fraction, contaminated)`` with
+    ``n_grams`` the positional count (map-side arithmetic) and
+    ``n_hits`` DISTINCT shared grams.
+
+    Same shuffle budget too: the benchmark's distinct gram-hash set
+    broadcasts, the corpus-side probe is a broadcast inner join (only
+    hits survive, only hits deduplicate), and the totals/hits attach is
+    a plain equi-join — zero corpus-wide shuffles.
+    """
+    bt = bench_tokens_col or tokens_col
+    bench = (token_ngram_hashes(
+                 benchmark.select(F.col(bt).alias("_btoks")),
+                 "_btoks", "_btoks", n)
+             .select("gram").distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    totals = corpus.select(
+        F.col(id_col),
+        F.greatest(F.size(F.col(tokens_col)) - (n - 1),
+                   F.lit(0)).cast("long").alias("n_grams"))
+    hits = (token_ngram_hashes(corpus, tokens_col, id_col, n)
+            .join(bench, on="gram")
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    per_doc = totals.join(hits, on=id_col, how="left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return per_doc.select(
+        id_col, "n_grams", n_hits.alias("n_hits"),
+        F.round(F.when(F.col("n_grams") > 0, n_hits / F.col("n_grams"))
+                .otherwise(F.lit(0.0)), 6).alias("hit_fraction"),
+        (n_hits >= min_hits).alias("contaminated"))
 
 
 def ngram_novelty(df: DataFrame, ref: DataFrame,
