@@ -741,3 +741,48 @@ def test_dedup_sequences_null_element_not_conflated(spark):
         "doc_id string, tokens array<int>")
     kept = sorted(r["doc_id"] for r in dedup_sequences(df).collect())
     assert kept == ["a", "b"]
+
+
+def test_minhash_tokens_identical_and_disjoint(spark):
+    from validr_spark.operators.dedup import minhash_candidates_tokens
+
+    seqs = spark.createDataFrame(
+        [("a", list(range(100, 140))),
+         ("b", list(range(100, 140))),          # identical -> all bands
+         ("c", list(range(100, 140)) + [7]),    # near-dup of a/b
+         ("d", list(range(500, 540))),          # disjoint
+         ("s", [1, 2])],                        # < n tokens: absent
+        "doc_id string, tokens array<int>")
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands_matched"]
+             for r in minhash_candidates_tokens(
+                 seqs, num_hashes=32, bands=16).collect()}
+    assert pairs[("a", "b")] == 16               # identical: every band
+    assert ("a", "c") in pairs or ("c", "a") in pairs
+    assert not any("d" in p for p in pairs)
+    assert not any("s" in p for p in pairs)
+
+
+def test_minhash_tokens_candidates_refactor_parity(spark):
+    # the text path must be unchanged by the band_pairs refactor:
+    # identical docs still collide in every band
+    from validr_spark.operators.dedup import minhash_candidates
+
+    df = spark.createDataFrame(
+        [("x", "the quick brown fox jumps over the lazy dog"),
+         ("y", "the quick brown fox jumps over the lazy dog"),
+         ("z", "completely different content about other things")],
+        "doc_id string, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands_matched"]
+             for r in minhash_candidates(df, num_hashes=32,
+                                         bands=16).collect()}
+    assert pairs[("x", "y")] == 16
+    assert not any("z" in p for p in pairs)
+
+
+def test_minhash_tokens_plan_no_python(spark):
+    from validr_spark.operators.dedup import minhash_signatures_tokens
+    from validr_spark.testing import assert_no_python
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>")
+    assert_no_python(minhash_signatures_tokens(df, num_hashes=8))

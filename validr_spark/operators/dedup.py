@@ -222,12 +222,20 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     """
     if target_threshold is not None:
         bands = lsh_parameters(target_threshold, num_hashes)["bands"]
-    rows = num_hashes // bands
     # the groupBy inside minhash_signatures is also the optimizer barrier:
     # band expressions below reference the aggregated sig array, never
     # re-inline the shingle computation.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes,
                               shingle_k, seed)
+    return band_pairs_from_signatures(sigs, num_hashes, bands)
+
+
+def band_pairs_from_signatures(sigs: DataFrame, num_hashes: int,
+                               bands: int) -> DataFrame:
+    """LSH banding + self-join over precomputed ``(doc, sig)`` signatures
+    — the shared back half of :func:`minhash_candidates` and
+    :func:`minhash_candidates_tokens`."""
+    rows = num_hashes // bands
     # band structs unrolled as plain expressions (no lambda HOFs: they
     # evaluate interpreted AND their LambdaVariables defeat plan
     # canonicalization, which blocks ReusedExchange on the self-join).
@@ -257,6 +265,49 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
             .groupBy(F.col("l.doc").alias("id_a"),
                      F.col("r.doc").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_bands_matched")))
+
+
+def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 64, n: int = 3,
+                              seed: int = 42) -> DataFrame:
+    """Minhash signatures over token ``n``-grams — near-dup identity for
+    the PRE-TOKENIZED sequence shape (no text, no detokenization): the
+    gram set comes from ``contamination.token_ngram_hashes`` (codegen
+    slice/zip + xxhash64 of the n-int struct) and the signature is the
+    same explode → groupBy-min shape as :func:`minhash_signatures`, so
+    the Jaccard being estimated is over the sequence's distinct token
+    n-gram set.  Sequences with fewer than ``n`` tokens are absent
+    (no grams — and their absence keeps the degenerate empty-identity
+    out of the LSH buckets, same rationale as the text path's
+    empty-string filter)."""
+    from .contamination import token_ngram_hashes
+
+    seeds = [seed * 1000003 + i for i in range(num_hashes)]
+    hashed = token_ngram_hashes(df, tokens_col, id_col, n) \
+        .select(F.col(id_col).alias("doc"), F.col("gram").alias("_sh"))
+    aggs = [F.min(F.xxhash64(F.col("_sh"), F.lit(sd))).alias(f"_h{i}")
+            for i, sd in enumerate(seeds)]
+    return (hashed.groupBy("doc").agg(*aggs)
+            .select("doc", F.array(*[F.col(f"_h{i}")
+                                     for i in range(num_hashes)])
+                    .alias("sig")))
+
+
+def minhash_candidates_tokens(df: DataFrame, tokens_col: str = "tokens",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 64, bands: int = 16,
+                              n: int = 3, seed: int = 42,
+                              target_threshold: float | None = None
+                              ) -> DataFrame:
+    """LSH candidate pairs over token-n-gram minhash — the token-array
+    twin of :func:`minhash_candidates` (same banding, same S-curve
+    tuning via ``target_threshold``, same ReusedExchange self-join)."""
+    if target_threshold is not None:
+        bands = lsh_parameters(target_threshold, num_hashes)["bands"]
+    sigs = minhash_signatures_tokens(df, tokens_col, id_col,
+                                     num_hashes, n, seed)
+    return band_pairs_from_signatures(sigs, num_hashes, bands)
 
 
 MERSENNE31 = 2147483647        # 2^31 - 1, the portable hash-family modulus
