@@ -963,6 +963,50 @@ def q_token_repetition(spark, sf):
     return token_ngram_stats(seq).orderBy("doc_id")
 
 
+def q_pipeline_seq(spark, sf):
+    """End-to-end sequence-shaped prep pipeline (pipeline.py
+    prepare_sequences): validate → exact content dedup → token-gram
+    decontaminate, over sequences derived from documents — content
+    groups of three exact dups (token runs [13g, 13g+11], disjoint by
+    construction so no accidental cross-group grams), every 13th doc
+    made invalid (-1 token prepended), groups with g%30==0 contaminated
+    via a benchmark built from their leaders (an invalid leader's
+    -1-prefixed array still carries the clean grams in its tail, so the
+    group stays contaminated — covered by the closed form).  The DuckDB
+    twin recomputes the surviving set from the same injection
+    arithmetic."""
+    from validr_spark.pipeline import prepare_sequences
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    g = d - d % 3
+    clean = F.array(*[(g * 13 + k).cast("int") for k in range(12)])
+    toks = F.when(d % 13 == 0,
+                  F.concat(F.array(F.lit(-1).cast("int")), clean)) \
+            .otherwise(clean)
+    seq = df.select(
+        d.cast("string").alias("doc_id"), toks.alias("tokens"),
+        F.size(toks).alias("n_tok"),
+        F.when(d % 2 == 0, F.lit("web")).otherwise(F.lit("code"))
+        .alias("source"), (d % 30).alias("_m30"))
+    schema = T.dict(
+        doc_id=T.str.minlen(1).maxlen(64),
+        tokens=T.list(T.int.min(0).max(100002)).minlen(1).maxlen(8192),
+        n_tok=T.int.min(1).max(8192),
+        source=T.enum("web code"),
+    )
+    bench = seq.filter(F.col("_m30") == 0).select("tokens")
+    # checkpoint=True: the decontaminate stage references the validated+
+    # deduped lineage three times (totals, grams, anti-join); without the
+    # stage barrier Catalyst clones the full flag-projection expression
+    # tree into each branch and optimization itself blows up
+    res = prepare_sequences(seq.drop("_m30"), schema, benchmark=bench,
+                            pack=False, collect_stats=False,
+                            checkpoint=True)
+    return (res.kept.select("doc_id", "n_tok")
+            .orderBy(F.col("doc_id").cast("bigint")))
+
+
 def q_token_contamination(spark, sf):
     """Token-n-gram benchmark decontamination on the pre-tokenized shape
     (operators/contamination.py token_contamination_scan): arithmetic
@@ -2317,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_check": q_preference_check,
         "dedup_sequences": q_dedup_sequences,
         "token_contamination": q_token_contamination,
+        "pipeline_seq": q_pipeline_seq,
         "sampled_audit": q_sampled_audit,
         "w1_drift": q_w1_drift,
         "domain_audit": q_domain_audit,
@@ -2891,6 +2936,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(c * eq)::DOUBLE / sum(c)::DOUBLE, 6)
                        AS loop_frac
             FROM per GROUP BY doc_id ORDER BY doc_id
+        """,
+        "pipeline_seq": """
+            WITH docs AS (
+                SELECT doc_id, doc_id - doc_id % 3 AS g
+                FROM documents WHERE doc_id IS NOT NULL
+            ), valid AS (
+                SELECT * FROM docs WHERE doc_id % 13 <> 0
+            ), surv AS (
+                -- survivor election is over STRING ids in the engine
+                -- (the sequence table's doc_id is string-typed), so the
+                -- twin must take the LEXICOGRAPHIC min, not the numeric
+                SELECT g, min(CAST(doc_id AS VARCHAR)) AS doc_id
+                FROM valid GROUP BY g
+            )
+            SELECT doc_id, CAST(12 AS INT) AS n_tok
+            FROM surv WHERE g % 30 <> 0
+            ORDER BY doc_id
         """,
         "token_contamination": """
             WITH words AS (

@@ -228,7 +228,7 @@ HEADLINE = [
     "value_variants", "psi_groups", "split_leakage", "position_stats",
     "clean_text", "vocab_coverage", "repair_report", "token_repetition",
     "dialog_check", "ngram_novelty", "preference_check", "dedup_sequences",
-    "token_contamination",
+    "token_contamination", "pipeline_seq",
 ]
 
 

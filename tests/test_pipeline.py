@@ -113,3 +113,60 @@ def test_pipeline_encoding_gate(spark, docs):
         docs.unionByName(bad), _schema(), near_dup=False, pack=False)
     assert "encoding" not in {s["stage"] for s in res2.stats}
     assert 104 in {r["doc_id"] for r in res2.kept.select("doc_id").collect()}
+
+
+def test_prepare_sequences_full_stage_fixture(spark):
+    from validr_spark.datagen import sequences_schema
+    from validr_spark.pipeline import prepare_sequences
+
+    good = list(range(10, 30))
+    rows = [
+        ("a", good, len(good), "web"),
+        ("dup_a", good, len(good), "web"),              # exact dup of a
+        ("b", list(range(50, 80)), 30, "books"),
+        ("bad", [5, -1, 6], 3, "web"),                  # negative token
+        ("contam", list(range(200, 220)), 20, "web"),   # in benchmark
+        ("c", list(range(300, 340)), 40, "code"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    bench = spark.createDataFrame(
+        [(list(range(200, 220)),)], "tokens array<int>")
+    res = prepare_sequences(df, sequences_schema(), benchmark=bench,
+                            max_tokens=64)
+    kept = sorted(r["doc_id"] for r in res.kept.collect())
+    assert kept == ["a", "b", "c"]
+    stages = [s["stage"] for s in res.stats]
+    assert stages == ["validate", "exact_dedup", "decontaminate", "pack"]
+    by = {s["stage"]: s for s in res.stats}
+    assert by["validate"]["rows_out"] == 5        # 'bad' dropped
+    assert by["exact_dedup"]["rows_out"] == 4     # 'dup_a' dropped
+    assert by["decontaminate"]["rows_out"] == 3   # 'contam' dropped
+    # packing: every kept doc appears exactly once in the bin assignment
+    packed_ids = sorted(r["id"] for r in res.packed.collect())
+    assert packed_ids == kept
+
+
+def test_prepare_sequences_near_dup_and_budget(spark):
+    from validr_spark.pipeline import prepare_sequences
+
+    base = list(range(100, 160))
+    rows = [
+        ("a", base, 60, "web"),
+        ("near_a", base[:-1] + [999], 60, "web"),   # near-dup of a
+        ("far", list(range(500, 560)), 60, "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    res = prepare_sequences(df, None, near_dup=True,
+                            minhash_kwargs={"num_hashes": 32, "bands": 16},
+                            min_bands=4, pack=False)
+    kept = sorted(r["doc_id"] for r in res.kept.collect())
+    assert kept == ["a", "far"]                    # near_a merged into a
+    # budget: keep a ~60-token cut deterministically
+    res2 = prepare_sequences(df, None, budget_tokens=60, pack=False)
+    total = sum(r["n_tok"] for r in res2.kept.collect())
+    assert 0 < total <= 60
+    rerun = sorted(r["doc_id"] for r in prepare_sequences(
+        df, None, budget_tokens=60, pack=False).kept.collect())
+    assert rerun == sorted(r["doc_id"] for r in res2.kept.collect())

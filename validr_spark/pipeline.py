@@ -30,7 +30,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["prepare_training_data", "PipelineResult"]
+__all__ = ["prepare_training_data", "prepare_sequences",
+           "PipelineResult"]
 
 
 @dataclass
@@ -145,6 +146,126 @@ def prepare_training_data(
         if collect_stats:
             stats.append({"stage": "pack",
                           "rows_in": stats[-1]["rows_out"],
+                          "rows_out": packed.count()})
+        else:
+            stats.append({"stage": "pack", "rows_in": None,
+                          "rows_out": None})
+
+    return PipelineResult(kept=cur, packed=packed, stats=stats)
+
+
+def prepare_sequences(
+        df: DataFrame, schema=None, *,
+        id_col: str = "doc_id", tokens_col: str = "tokens",
+        n_tok_col: str = "n_tok",
+        near_dup: bool = False, min_bands: int = 8,
+        minhash_kwargs: dict | None = None, keep_by=None,
+        benchmark: DataFrame | None = None, contamination_n: int = 8,
+        contamination_min_hits: int = 1,
+        budget_tokens: int | None = None, budget_seed: str = "42",
+        pack: bool = True, max_tokens: int = 2048,
+        collect_stats: bool = True, checkpoint: bool = False
+        ) -> PipelineResult:
+    """The :func:`prepare_training_data` twin for the NORTH-RULE shape —
+    a corpus that ships as pre-tokenized sequences
+    ``(doc_id, tokens:array<int>, n_tok, source)`` with no raw text:
+
+    1. **validate** — compiled plan (pass a validr schema, e.g.
+       ``datagen.sequences_schema()``); rows with any violation drop.
+       The compiler's array screens keep the per-element work off the
+       clean majority (PERF.md Finding 1), and ``plan.flag`` filters in
+       one map-side projection (no id round-trip — NULL/duplicate ids
+       cannot cause collateral drops).
+    2. **exact content dedup** — :func:`~validr_spark.operators.dedup.
+       dedup_sequences` (128-bit array fingerprint, min-id or
+       ``keep_by`` survivor).
+    3. **near-dup** (``near_dup=True``) — token-n-gram minhash LSH
+       candidates with ≥ ``min_bands`` matching bands (of the
+       ``minhash_kwargs`` banding) → connected components → keep-min/
+       ``keep_by``.  Band count stands in for a verify pass: at the
+       default 32-hash/16-band setting, ≥8 shared bands concentrates
+       above ~0.9 estimated Jaccard; pass a stricter ``min_bands`` or
+       run a gram-set verify downstream for audit-grade pairs.
+    4. **decontaminate** (``benchmark=`` a sequence table) — drop rows
+       sharing ≥ ``contamination_min_hits`` distinct token
+       ``contamination_n``-grams with the benchmark (broadcast probe,
+       hits-only shuffle).
+    5. **budget** (``budget_tokens=``) — deterministic md5-order token
+       budget cut (:func:`~validr_spark.operators.packing.
+       take_token_budget`).
+    6. **pack** — FFD packing into ``max_tokens`` windows using
+       ``n_tok_col`` (no token-count derivation needed: the shape
+       carries it).
+
+    Same laziness contract as the text pipeline: ``collect_stats=False``
+    keeps everything one plan — but pass ``checkpoint=True`` whenever
+    the decontaminate (or near-dup) stage is on: those stages reference
+    their input in MULTIPLE branches, and without the stage barrier
+    Catalyst clones the whole upstream expression tree (including the
+    compiled schema's violations projection) into every branch — the
+    optimizer itself blows up long before the data does (PERF.md
+    Finding 16: 153 s / driver OOM → 22 s at sf0.01).
+    """
+    from validr_spark.operators.contamination import token_contamination_scan
+    from validr_spark.operators.dedup import (dedup_sequences,
+                                              minhash_candidates_tokens)
+    from validr_spark.operators.graph import dedup_by_components
+    from validr_spark.operators.packing import pack_greedy, take_token_budget
+
+    stats: list[dict] = []
+
+    def step(name, before: DataFrame, after: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats.append({"stage": name, "rows_in": before.count(),
+                          "rows_out": after.count()})
+        else:
+            stats.append({"stage": name, "rows_in": None, "rows_out": None})
+        return after.localCheckpoint(eager=False) if checkpoint else after
+
+    cur = df
+    if schema is not None:
+        from validr_spark.compiler import SparkCompiler
+        plan = SparkCompiler().compile(schema)
+        flagged = plan.flag(cur, "_pipe_violations")
+        clean = (flagged.filter(F.size(F.col("_pipe_violations")) == 0)
+                 .drop("_pipe_violations"))
+        cur = step("validate", df, clean)
+
+    deduped = dedup_sequences(cur, tokens_col, id_col, keep_by=keep_by)
+    cur = step("exact_dedup", cur, deduped)
+
+    if near_dup:
+        mk = dict(minhash_kwargs or {})
+        cands = minhash_candidates_tokens(cur, tokens_col, id_col, **mk)
+        pairs = (cands.filter(F.col("n_bands_matched") >= min_bands)
+                 .select("id_a", "id_b"))
+        kept = dedup_by_components(cur, pairs, id_col=id_col,
+                                   keep_by=keep_by)
+        cur = step("near_dup", cur, kept)
+
+    if benchmark is not None:
+        scan = token_contamination_scan(
+            cur, benchmark, tokens_col, id_col,
+            n=contamination_n, min_hits=contamination_min_hits)
+        bad = (scan.filter(F.col("contaminated"))
+               .select(F.col(id_col).alias("_bad_id")))
+        kept = cur.join(bad, cur[id_col].eqNullSafe(F.col("_bad_id")),
+                        "left_anti")
+        cur = step("decontaminate", cur, kept)
+
+    if budget_tokens is not None:
+        cut = take_token_budget(cur, budget_tokens, token_col=n_tok_col,
+                                id_col=id_col, seed=budget_seed)
+        cur = step("budget", cur, cut)
+
+    packed = None
+    if pack:
+        packed = pack_greedy(cur, max_tokens, id_col=id_col,
+                             len_col=n_tok_col)
+        if collect_stats:
+            stats.append({"stage": "pack",
+                          "rows_in": stats[-1]["rows_out"]
+                          if stats else None,
                           "rows_out": packed.count()})
         else:
             stats.append({"stage": "pack", "rows_in": None,
