@@ -1096,6 +1096,40 @@ def q_preference_check(spark, sf):
     return preference_violations(pairs).orderBy("doc_id", "rule_id")
 
 
+def q_dialog_render(spark, sf):
+    """Dialog → training-text rendering (operators/dialog.py
+    render_dialogs) over the SAME synthesized dialogs as dialog_check;
+    the DuckDB twin rebuilds each case's full rendered string
+    closed-form (independent concatenation, chr(10) separators), so the
+    shuffle-reassembly ordering is verified byte-for-byte."""
+    from validr_spark.operators.dialog import render_dialogs
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        content.alias("content"))
+
+    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
+    usr = turn("user", F.concat(F.lit("u-"), ds))
+    asst = turn("assistant", F.concat(F.lit("a-"), ds))
+    ttype = "array<struct<role:string,content:string>>"
+    turns = (
+        F.when(d % 23 == 0, F.array().cast(ttype))
+        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
+                                   usr, asst))
+        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
+                                   asst))
+        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
+        .when(d % 11 == 0, F.array(sys0, usr, asst,
+                                   turn("user", F.lit("bye"))))
+        .otherwise(F.array(sys0, usr, asst)))
+    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+    return render_dialogs(dialogs).orderBy("doc_id")
+
+
 def q_ngram_novelty(spark, sf):
     """Per-doc 8-gram novelty vs a reference corpus
     (operators/contamination.py ngram_novelty — the memorization
@@ -2358,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_repetition": q_token_repetition,
         "dialog_check": q_dialog_check,
         "ngram_novelty": q_ngram_novelty,
+        "dialog_render": q_dialog_render,
         "preference_check": q_preference_check,
         "dedup_sequences": q_dedup_sequences,
         "token_contamination": q_token_contamination,
@@ -3009,6 +3044,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(len(tokens) AS INT) AS n_tok
             FROM u ORDER BY doc_id
+        """,
+        "dialog_render": """
+            WITH c AS (SELECT chr(10) || chr(10) AS s)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE
+                     WHEN doc_id % 23 = 0 THEN ''
+                     WHEN doc_id % 19 = 0 THEN
+                       'system: sys-' || doc_id || s || 'system: late'
+                       || s || 'user: u-' || doc_id || s
+                       || 'assistant: a-' || doc_id
+                     WHEN doc_id % 17 = 0 THEN
+                       'system: sys-' || doc_id || s || 'tool: beep'
+                       || s || 'assistant: a-' || doc_id
+                     WHEN doc_id % 13 = 0 THEN
+                       'system: sys-' || doc_id || s || 'user: ' || s
+                       || 'assistant: a-' || doc_id
+                     WHEN doc_id % 11 = 0 THEN
+                       'system: sys-' || doc_id || s || 'user: u-'
+                       || doc_id || s || 'assistant: a-' || doc_id
+                       || s || 'user: bye'
+                     ELSE
+                       'system: sys-' || doc_id || s || 'user: u-'
+                       || doc_id || s || 'assistant: a-' || doc_id
+                   END AS text,
+                   CAST(CASE WHEN doc_id % 23 = 0 THEN 0
+                             WHEN doc_id % 19 = 0 OR (doc_id % 23 <> 0
+                                  AND doc_id % 19 <> 0 AND doc_id % 17 <> 0
+                                  AND doc_id % 13 <> 0 AND doc_id % 11 = 0)
+                                  THEN 4
+                             ELSE 3 END AS BIGINT) AS n_turns
+            FROM documents, c
+            WHERE doc_id IS NOT NULL
+            ORDER BY doc_id
         """,
         "preference_check": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

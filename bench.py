@@ -228,7 +228,7 @@ HEADLINE = [
     "value_variants", "psi_groups", "split_leakage", "position_stats",
     "clean_text", "vocab_coverage", "repair_report", "token_repetition",
     "dialog_check", "ngram_novelty", "preference_check", "dedup_sequences",
-    "token_contamination",
+    "token_contamination", "dialog_render",
     # pipeline_seq is correctness-gated (CORRECTNESS oracle) but not a
     # HEADLINE timing entry: its wall time is stage planning/codegen
     # fixed cost (~30 s regardless of sf — PERF.md Finding 16 context),

@@ -183,3 +183,43 @@ def test_dialog_violations_streams_append_mode(spark, tmp_path):
     batch = dialog_violations(df).collect()
     key = lambda r: (r["doc_id"], r["rule_id"], r["position"])
     assert sorted(map(key, got)) == sorted(map(key, batch))
+
+
+def test_render_dialogs(spark):
+    from validr_spark.operators.dialog import render_dialogs
+
+    out = {r["doc_id"]: r for r in
+           render_dialogs(_dialogs(spark)).collect()}
+    assert out["ok"]["text"] == \
+        "system: be nice\n\nuser: hi\n\nassistant: hello"
+    assert out["ok"]["n_turns"] == 3
+    assert out["empty_list"]["text"] == ""
+    assert out["empty_list"]["n_turns"] == 0
+    assert out["null_list"]["text"] == ""
+    assert out["null_list"]["n_turns"] == 0
+    # every input dialog yields exactly one output row; source carried
+    assert len(out) == 9
+    assert out["ok"]["source"] == "a"
+
+
+def test_render_dialogs_null_fields_and_order(spark):
+    from validr_spark.operators.dialog import render_dialogs
+
+    df = spark.createDataFrame(
+        [("x", "a", [(None, "hi"), ("assistant", None)])], SCHEMA)
+    r = render_dialogs(df, turn_sep=" | ").collect()[0]
+    assert r["text"] == ": hi | assistant: "
+    # order survives the shuffle: a long dialog reassembles in turn order
+    turns = [("user", f"m{i}") for i in range(40)]
+    df2 = spark.createDataFrame([("y", "a", turns)], SCHEMA)
+    r2 = render_dialogs(df2, role_sep="=", turn_sep=";").collect()[0]
+    assert r2["text"] == ";".join(f"user=m{i}" for i in range(40))
+
+
+def test_render_dialogs_plan_no_python_no_lambda(spark):
+    from validr_spark.operators.dialog import render_dialogs
+    from validr_spark.testing import assert_no_python, assert_plan
+
+    out = render_dialogs(_dialogs(spark))
+    assert_no_python(out)
+    assert_plan(out, absent=["LambdaFunction"])

@@ -12,7 +12,8 @@ than here so `import validr_spark` stays cheap.
 from .consistency import (check_invariants, fd_violations,
                           ordering_violations)
 from .dialog import (dialog_stats, dialog_violations,
-                     preference_stats, preference_violations)
+                     preference_stats, preference_violations,
+                     render_dialogs)
 from .diff import diff_summary, table_diff
 from .drift import (chi_square_counts, drift_report, jsd, ks_approx,
                     ks_exact, psi, psi_quantile, value_entropy,
@@ -55,7 +56,7 @@ __all__ = [
     "dim_moments", "embedding_drift",
     "table_diff", "diff_summary",
     "dialog_violations", "dialog_stats",
-    "preference_violations", "preference_stats",
+    "preference_violations", "preference_stats", "render_dialogs",
     "connected_components", "connected_components_star",
     "dedup_clusters", "dedup_by_components",
     "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",

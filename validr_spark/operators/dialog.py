@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dialog_violations", "dialog_stats",
+__all__ = ["dialog_violations", "dialog_stats", "render_dialogs",
            "preference_violations", "preference_stats"]
 
 
@@ -269,3 +269,47 @@ def preference_stats(df: DataFrame, prompt_col: str = "prompt",
                  .alias("avg_chosen_len"),
                  F.round(F.avg(F.when(both, F.length(r))), 2)
                  .alias("avg_rejected_len")))
+
+
+def render_dialogs(df: DataFrame, turns_col: str = "turns",
+                   id_col: str = "doc_id", role_sep: str = ": ",
+                   turn_sep: str = "\n\n",
+                   out_col: str = "text") -> DataFrame:
+    """Render a dialog column into a single training-text string —
+    ``role<role_sep>content`` per turn, turns joined with ``turn_sep`` —
+    the pre-tokenization step that feeds :mod:`tokenize` /
+    :func:`~validr_spark.operators.textstats.quality_filter` for SFT
+    corpora (validate structure FIRST with :func:`dialog_violations`;
+    rendering is representation, not repair).
+
+    Output: every input column except ``turns_col``, plus ``out_col``
+    and ``n_turns``.  NULL/empty dialogs render as '' with n_turns 0;
+    NULL roles/contents render as empty strings.
+
+    Shape at scale: posexplode → per-turn codegen ``concat`` →
+    ``groupBy`` reassembly via ``array_sort(collect_list(struct(i,
+    line)))`` — the tokenize.py reassembly idiom: ONE shuffle carrying
+    (i, rendered line) pairs, everything whole-stage codegen.  (The
+    zero-shuffle alternative, ``array_join(transform(...))``, is an
+    interpreted lambda HOF — ~20 µs/turn, PERF.md Finding 1 — which at
+    10^12 dialogs costs more than the shuffle it avoids.)  Carried
+    columns ride the groupBy key, so they must be hashable scalars
+    (drop map/variant columns first).
+    """
+    carried = [c for c in df.columns if c != turns_col]
+    ex = df.select(*carried,
+                   F.posexplode_outer(F.col(turns_col)).alias("_i", "_t"))
+    line = F.concat(
+        F.coalesce(F.col("_t")["role"], F.lit("")),
+        F.lit(role_sep),
+        F.coalesce(F.col("_t")["content"], F.lit("")))
+    pre = ex.select(*carried, "_i",
+                    F.when(F.col("_t").isNotNull(), line).alias("_line"))
+    agg = (pre.groupBy(*carried)
+           .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("_i"), F.col("_line")))).alias("_ls"),
+                F.count(F.col("_line")).alias("n_turns")))
+    # field extraction over the sorted struct array is a native
+    # GetArrayStructFields (codegen) — NOT a lambda transform
+    rendered = F.concat_ws(turn_sep, F.col("_ls")["_line"])
+    return agg.select(*carried, rendered.alias(out_col), "n_turns")
