@@ -223,3 +223,39 @@ def test_render_dialogs_plan_no_python_no_lambda(spark):
     out = render_dialogs(_dialogs(spark))
     assert_no_python(out)
     assert_plan(out, absent=["LambdaFunction"])
+
+
+def test_dialog_stats_clean_group_reports_zero_not_null(spark):
+    # a group with ZERO bad dialogs sums an all-NULL _nv column —
+    # without the coalesce, n_bad_dialogs comes back NULL instead of 0
+    rows = [
+        ("c1", "clean", [("user", "hi"), ("assistant", "hello")]),
+        ("c2", "clean", [("system", "s"), ("user", "q"),
+                         ("assistant", "a")]),
+        ("d1", "dirty", [("user", "hi"), ("user", "again"),
+                         ("assistant", "x")]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["source"]: r for r in dialog_stats(df).collect()}
+    assert out["clean"]["n_bad_dialogs"] == 0
+    assert out["clean"]["n_violations"] == 0
+    assert out["dirty"]["n_bad_dialogs"] == 1
+
+
+def test_render_dialogs_duplicate_carried_rows_stay_distinct(spark):
+    # two input rows with IDENTICAL carried columns must render as two
+    # rows — grouping on carried values alone would interleave their
+    # turns into one corrupted training text
+    from validr_spark.operators.dialog import render_dialogs
+
+    rows = [
+        ("dup", "a", [("user", "first"), ("assistant", "one")]),
+        ("dup", "a", [("user", "second"), ("assistant", "two")]),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = render_dialogs(df).collect()
+    assert len(out) == 2
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["user: first\n\nassistant: one",
+                     "user: second\n\nassistant: two"]
+    assert all(r["n_turns"] == 2 for r in out)

@@ -71,7 +71,11 @@ def dialog_violations(df: DataFrame, turns_col: str = "turns",
 
     # --- dialog-level rules: plain projection, no explode ---------------
     empty = t.isNull() | (n == 0)
-    last_role = F.element_at(t, -1)["role"]
+    # try_element_at, not element_at: under ANSI (Spark 4 default) a bare
+    # element_at(-1) on an empty array throws INVALID_ARRAY_INDEX, and the
+    # ~empty guard in the rule conjuncts is not a contract that the
+    # subexpression never evaluates (repo convention: sequences.py).
+    last_role = F.try_element_at(t, F.lit(-1))["role"]
     row_rules = [
         (empty, F.lit("turns.required"), F.lit("turns"),
          F.lit("required"), F.lit(None).cast("string")),
@@ -175,8 +179,11 @@ def dialog_stats(df: DataFrame, turns_col: str = "turns",
             .agg(F.count(F.lit(1)).alias("n_dialogs"),
                  F.round(F.avg("_n"), 2).alias("avg_turns"),
                  F.max("_n").alias("max_turns"),
-                 F.sum((F.col("_nv") > 0).cast("long"))
-                 .alias("n_bad_dialogs"),
+                 # coalesce like n_violations below: a group with zero bad
+                 # dialogs sums an all-NULL _nv column, and sum(NULLs) is
+                 # NULL — the all-clean group must report 0, not NULL
+                 F.coalesce(F.sum((F.col("_nv") > 0).cast("long")),
+                            F.lit(0)).alias("n_bad_dialogs"),
                  F.coalesce(F.sum("_nv"), F.lit(0))
                  .alias("n_violations")))
 
@@ -294,18 +301,25 @@ def render_dialogs(df: DataFrame, turns_col: str = "turns",
     interpreted lambda HOF — ~20 µs/turn, PERF.md Finding 1 — which at
     10^12 dialogs costs more than the shuffle it avoids.)  Carried
     columns ride the groupBy key, so they must be hashable scalars
-    (drop map/variant columns first).
+    (drop map/variant columns first).  Reassembly groups on a
+    per-input-row surrogate id, NOT on the carried values alone — two
+    input rows with identical carried columns stay two output rows
+    instead of silently merging into one interleaved dialog.
     """
     carried = [c for c in df.columns if c != turns_col]
-    ex = df.select(*carried,
-                   F.posexplode_outer(F.col(turns_col)).alias("_i", "_t"))
+    # the surrogate key exists only inside this job (never output), so
+    # monotonically_increasing_id's partition-dependence is harmless —
+    # it is constant per row between the select and the groupBy
+    ex = (df.withColumn("_rid", F.monotonically_increasing_id())
+          .select("_rid", *carried,
+                  F.posexplode_outer(F.col(turns_col)).alias("_i", "_t")))
     line = F.concat(
         F.coalesce(F.col("_t")["role"], F.lit("")),
         F.lit(role_sep),
         F.coalesce(F.col("_t")["content"], F.lit("")))
-    pre = ex.select(*carried, "_i",
+    pre = ex.select("_rid", *carried, "_i",
                     F.when(F.col("_t").isNotNull(), line).alias("_line"))
-    agg = (pre.groupBy(*carried)
+    agg = (pre.groupBy("_rid", *carried)
            .agg(F.array_sort(F.collect_list(
                     F.struct(F.col("_i"), F.col("_line")))).alias("_ls"),
                 F.count(F.col("_line")).alias("n_turns")))

@@ -264,12 +264,20 @@ def repartition_by_tokens(df: DataFrame, target_tokens: int,
 def pack_greedy(df: DataFrame, max_tokens: int,
                 id_col: str = "doc_id", len_col: str = "n_tok",
                 num_shards: int = 256,
-                sort_within_shard: bool = True) -> DataFrame:
+                sort_within_shard: bool = True,
+                shard_col: str | None = None) -> DataFrame:
     """Assign each doc a bin: (id, n_tok, shard, bin_id, truncated).
 
     ``bin_id`` is a globally-unique string "<shard>/<local bin>"; docs
     with the same bin_id form one training sequence (their n_tok sums to
     ≤ max_tokens, except single-doc ``truncated`` bins).
+
+    ``shard_col`` overrides the default xxhash64 shard assignment with an
+    existing integer column — for pre-bucketed tables (pack inside each
+    bucket with zero extra shuffle) or when the sharding must be
+    replayable by another engine (the pack_stats oracle uses ``id % k``;
+    xxhash64 has no DuckDB counterpart).  Values must lie in
+    [0, num_shards).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -280,11 +288,13 @@ def pack_greedy(df: DataFrame, max_tokens: int,
         st.StructField("bin_id", st.StringType()),
         st.StructField("truncated", st.BooleanType()),
     ])
+    shard_expr = (F.col(shard_col).cast("int") if shard_col is not None
+                  else F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                              F.lit(num_shards)).cast("int"))
     src = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(len_col).cast("long").alias("n_tok"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-               F.lit(num_shards)).cast("int").alias("shard"))
+        shard_expr.alias("shard"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])

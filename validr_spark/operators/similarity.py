@@ -242,7 +242,7 @@ def ivf_assign_col(emb_col, centroids):
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              n_centroids: int = 64, nprobe: int = 8,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, centroids=None) -> DataFrame:
     """IVF approximate top-k: rows are assigned to their nearest of
     ``n_centroids`` coarse cells once; a probe searches only the ``nprobe``
     cells whose centroids are nearest the query, then ranks exactly by
@@ -252,10 +252,23 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     deterministic function of (embedding, seed)) and partition/bucket the
     table by it — the probe then becomes partition pruning reading
     ~nprobe/n_centroids of the data.  Candidate fraction ≈ nprobe/n_centroids.
+
+    Pass ``centroids`` (an (n_centroids, dim) array-like; rows are
+    L2-normalized here) to pin the coarse quantizer explicitly — e.g. an
+    externally-trained codebook, or SQL-recomputable vectors so another
+    engine can replay the probe exactly (the ivf_topk oracle seeds with
+    the first rows by id for this; the default xxhash sample is not
+    SQL-replayable).
     """
     import numpy as np
 
-    cents = ivf_centroids(df, n_centroids, id_col, emb_col, seed)
+    if centroids is None:
+        cents = ivf_centroids(df, n_centroids, id_col, emb_col, seed)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / qn if qn else q

@@ -183,9 +183,11 @@ def prepare_sequences(
        candidates with ≥ ``min_bands`` matching bands (of the
        ``minhash_kwargs`` banding) → connected components → keep-min/
        ``keep_by``.  Band count stands in for a verify pass: at the
-       default 32-hash/16-band setting, ≥8 shared bands concentrates
-       above ~0.9 estimated Jaccard; pass a stricter ``min_bands`` or
-       run a gram-set verify downstream for audit-grade pairs.
+       default 64-hash/16-band setting (4 rows per band — the
+       per-band match probability is J^4), ≥8 of 16 shared bands
+       concentrates well above ~0.9 estimated Jaccard; pass a stricter
+       ``min_bands`` or run a gram-set verify downstream for
+       audit-grade pairs.
     4. **decontaminate** (``benchmark=`` a sequence table) — drop rows
        sharing ≥ ``contamination_min_hits`` distinct token
        ``contamination_n``-grams with the benchmark (broadcast probe,
