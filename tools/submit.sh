@@ -12,12 +12,29 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 MASTER="${1:?master (e.g. local[8], yarn)}"
 shift
 
+# Build the --py-files artifact from the INSTALLED distribution when one
+# exists (pip install -e . / setup.py develop — pyproject.toml is the
+# canonical metadata), falling back to the repo checkout: the same zip
+# shape either way, so executors never depend on the driver's sys.path.
 ZIP="$(mktemp -d)/validr_spark.zip"
-(cd "$REPO" && python - "$ZIP" <<'EOF'
+PKG_PARENT="$(python - <<'EOF' || true
+import os
+try:
+    import validr_spark
+except Exception:
+    raise SystemExit(1)
+print(os.path.dirname(os.path.dirname(os.path.abspath(
+    validr_spark.__file__))))
+EOF
+)"
+SRC_DIR="${PKG_PARENT:-$REPO}"
+(cd "$SRC_DIR" && python - "$ZIP" <<'EOF'
 import sys, zipfile, pathlib
 zf = zipfile.ZipFile(sys.argv[1], "w", zipfile.ZIP_DEFLATED)
-for p in sorted(pathlib.Path("validr_spark").rglob("*.py")):
-    zf.write(p, p.as_posix())
+pkg = pathlib.Path("validr_spark")
+for p in sorted(pkg.rglob("*")):
+    if p.suffix in (".py", ".pyi") or p.name == "py.typed":
+        zf.write(p, p.as_posix())
 zf.close()
 print("packaged", sys.argv[1])
 EOF

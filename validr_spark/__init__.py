@@ -26,7 +26,7 @@ from .pyvalidate import (
 from .schema import Builder, Schema, T
 from .schemadiff import diff_verdict, needs_revalidation, schema_diff
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "T", "Schema", "Builder", "Compiler",

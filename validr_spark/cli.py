@@ -468,3 +468,9 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def console_main() -> None:
+    """setuptools console-script entry point (pyproject [project.scripts])
+    — argparse exit-code contract wrapped for sys.exit."""
+    sys.exit(main())
