@@ -1782,6 +1782,80 @@ def q_events_diff(spark, sf):
             .orderBy("event_id"))
 
 
+def q_loss_mask(spark, sf):
+    """SFT loss-mask spans (operators/dialog.loss_spans) over the SAME
+    synthesized dialogs as dialog_check/dialog_render: per-turn content
+    character spans in the rendered training text plus the
+    assistant-only learn flag.  The DuckDB twin rebuilds the turn lists
+    and replays the prefix-sum span algebra generically (unnest +
+    window) rather than closed-form, so the offset arithmetic itself is
+    differentially verified; render_dialogs' byte-for-byte oracle
+    already pins the string the spans index into."""
+    from validr_spark.operators.dialog import loss_spans
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        content.alias("content"))
+
+    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
+    usr = turn("user", F.concat(F.lit("u-"), ds))
+    asst = turn("assistant", F.concat(F.lit("a-"), ds))
+    ttype = "array<struct<role:string,content:string>>"
+    turns = (
+        F.when(d % 23 == 0, F.array().cast(ttype))
+        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
+                                   usr, asst))
+        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
+                                   asst))
+        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
+        .when(d % 11 == 0, F.array(sys0, usr, asst,
+                                   turn("user", F.lit("bye"))))
+        .otherwise(F.array(sys0, usr, asst)))
+    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+    return loss_spans(dialogs).orderBy("doc_id", "turn_idx")
+
+
+def q_length_buckets(spark, sf):
+    """Batch-shape padding-waste planner (operators/packing.
+    length_buckets) over documents.n_chars as the sequence length —
+    8 near-equal-count buckets from the length histogram, per-bucket
+    pad-to-max waste in integer ppm.  The DuckDB twin replays the
+    histogram → cumulative → floor-bucket → per-bucket algebra."""
+    from validr_spark.operators.packing import length_buckets
+
+    df = _load(spark, sf, "documents")
+    return length_buckets(df, num_buckets=8, len_col="n_chars")
+
+
+def q_template_mining(spark, sf):
+    """Boilerplate template detection (operators/textstats.
+    template_mining) over deterministic digit-bearing text synthesized
+    from documents (two machine-generated shapes + the raw corpus
+    text), so normalization (lower, digits → '#', whitespace collapse)
+    must collapse each shape into one template.  DuckDB twin runs the
+    identical normalization and md5-keyed grouping."""
+    from validr_spark.operators.textstats import template_mining
+
+    df = _load(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    d = F.col("doc_id")
+    text = (F.when(d % 3 == 0,
+                   F.concat(F.lit("Error 404: page "), d.cast("string"),
+                            F.lit(" not found")))
+            .when(d % 3 == 1,
+                  F.concat(F.lit("Item "), (d % 50).cast("string"),
+                           F.lit(" - price $"),
+                           F.coalesce(F.col("n_chars"), F.lit(0))
+                           .cast("string")))
+            .otherwise(F.col("text")))
+    return template_mining(df.select(text.alias("text")),
+                           min_docs=2, top=50)
+
+
 def q_pack_stats(spark, sf):
     """SHARDED sequence packing (operators/packing.py): pack documents
     into 1024-token bins (n_chars plays token length) across 8 parallel
@@ -2365,6 +2439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Proven-green round-3 rows rotate to the back: the driver
         # re-verifies whatever it samples, so they lose nothing by moving.
         # ------------------------------------------------------------------
+        # round-4 additions (newest first — never driver-checked):
+        "loss_mask": q_loss_mask,
+        "length_buckets": q_length_buckets,
+        "template_mining": q_template_mining,
         "token_repetition": q_token_repetition,
         "dialog_check": q_dialog_check,
         "ngram_novelty": q_ngram_novelty,
@@ -2417,10 +2495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": q_doc_logprob,
         "dsir_select": q_dsir_select,
         "ccnet_mix": q_ccnet_mix,
+        # ---- end of the 50-slot driver sampling prefix ----
         "token_budget": q_token_budget,
         "budget_mix": q_budget_mix,
         "train_order": q_train_order,
-        # ---- end of the 50-slot driver sampling prefix ----
         # round-3 driver-greens (verified r3, rotated out of the window):
         "scalar_net_violations": q_scalar_net_violations,
         "scalar_net_coerced": q_scalar_net_coerced,
@@ -5606,5 +5684,124 @@ def _pipeline_oracles() -> dict[str, str]:
             WHERE cosine IS NOT NULL AND NOT isnan(cosine)
               AND cosine >= 0.999
             ORDER BY id_a, id_b
+        """,
+        # Generic replay of the loss-span prefix-sum algebra: rebuild the
+        # dialog_check/dialog_render turn lists, unnest with position,
+        # window-sum previous line lengths (+2-char ': ' role_sep and
+        # 2-char turn_sep), content span = [line_start + role + sep,
+        # +content).  Empty dialogs (doc_id % 23 = 0) contribute no rows.
+        "loss_mask": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                CASE
+                  WHEN doc_id % 23 = 0
+                    THEN CAST([] AS STRUCT(role VARCHAR,
+                                           content VARCHAR)[])
+                  WHEN doc_id % 19 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'system', 'content': 'late'},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 17 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'tool', 'content': 'beep'},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 13 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': ''},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 11 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id},
+                    {'role': 'user', 'content': 'bye'}]
+                  ELSE [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                END AS turns
+              FROM documents WHERE doc_id IS NOT NULL),
+            ex AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(turns)),
+                       i -> {'idx': i - 1,
+                             'role': coalesce(turns[i].role, ''),
+                             'content': coalesce(turns[i].content, '')}))
+                       AS g
+              FROM t),
+            spans AS (
+              SELECT doc_id,
+                     CAST(g.idx AS INT) AS turn_idx,
+                     g.role AS role,
+                     coalesce(sum(length(g.role) + 2 + length(g.content)
+                                  + 2) OVER (
+                       PARTITION BY doc_id ORDER BY g.idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                       + length(g.role) + 2 AS s,
+                     length(g.content) AS clen
+              FROM ex)
+            SELECT doc_id, turn_idx, role,
+                   s::BIGINT AS start_char,
+                   (s + clen)::BIGINT AS end_char,
+                   role = 'assistant' AS learn
+            FROM spans ORDER BY doc_id, turn_idx
+        """,
+        # Histogram-bucket replay: length histogram, cumulative count
+        # before each length, bucket = floor(rows_before * k / N), then
+        # the per-bucket padding algebra.
+        "length_buckets": """
+            WITH h AS (
+              SELECT n_chars AS len, count(*) AS n
+              FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+            a AS (
+              SELECT len, n,
+                     CAST(floor(coalesce(sum(n) OVER (
+                         ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) * 8
+                       / (SELECT sum(n)::DOUBLE FROM h)) AS INT)
+                       AS bucket
+              FROM h),
+            per AS (
+              SELECT bucket, sum(n) AS n_seqs,
+                     min(len) AS min_len, max(len) AS max_len,
+                     sum(len * n) AS total_tokens
+              FROM a GROUP BY bucket)
+            SELECT bucket,
+                   n_seqs::BIGINT AS n_seqs,
+                   min_len::BIGINT AS min_len,
+                   max_len::BIGINT AS max_len,
+                   total_tokens::BIGINT AS total_tokens,
+                   (n_seqs * max_len)::BIGINT AS padded_tokens,
+                   CAST(floor((n_seqs * max_len - total_tokens)
+                        * 1000000 / (n_seqs * max_len)::DOUBLE) AS BIGINT)
+                     AS waste_ppm
+            FROM per ORDER BY bucket
+        """,
+        # Same normalization (lower, digit runs -> '#', whitespace
+        # collapse, trim) and md5-keyed grouping as the operator.
+        "template_mining": r"""
+            WITH src AS (
+              SELECT CASE
+                WHEN doc_id % 3 = 0 THEN
+                  'Error 404: page ' || doc_id || ' not found'
+                WHEN doc_id % 3 = 1 THEN
+                  'Item ' || (doc_id % 50) || ' - price $'
+                  || coalesce(n_chars, 0)
+                ELSE text END AS text
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            norm AS (
+              SELECT trim(regexp_replace(regexp_replace(lower(text),
+                       '[0-9]+', '#', 'g'), '\s+', ' ', 'g')) AS tpl,
+                     text
+              FROM src),
+            grp AS (
+              SELECT min(tpl) AS template, count(*) AS n_docs,
+                     min(text) AS example
+              FROM norm GROUP BY md5(tpl))
+            SELECT template, n_docs, example
+            FROM grp WHERE n_docs >= 2
+            ORDER BY n_docs DESC, template LIMIT 50
         """,
     }

@@ -1,0 +1,148 @@
+"""Round-4 operator families: SFT loss-mask spans, batch-shape padding
+planner, boilerplate template mining."""
+import pytest
+from pyspark.sql import functions as F
+
+DIALOG_SCHEMA = ("doc_id string, "
+                 "turns array<struct<role string, content string>>")
+
+
+# ---------------------------------------------------------------- loss_spans
+def _dlg(spark):
+    rows = [
+        ("a", [("system", "be nice"), ("user", "hi"),
+               ("assistant", "hello!")]),
+        ("b", []),
+        ("c", None),
+        ("d", [(None, "x"), ("assistant", None)]),
+        ("e", [("user", "q"), ("assistant", "ans")]),
+    ]
+    return spark.createDataFrame(rows, DIALOG_SCHEMA)
+
+
+def test_loss_spans_substring_invariant(spark):
+    """[start_char, end_char) must cut exactly the coalesced content out
+    of the render_dialogs text with the same separators."""
+    from validr_spark.operators.dialog import loss_spans, render_dialogs
+
+    d = _dlg(spark)
+    j = (loss_spans(d)
+         .join(render_dialogs(d).select("doc_id", "text"), "doc_id")
+         .select("doc_id", "turn_idx",
+                 F.expr("substring(text, start_char + 1, "
+                        "end_char - start_char)").alias("cut"),
+                 "role", "learn"))
+    rows = {(r["doc_id"], r["turn_idx"]): r for r in j.collect()}
+    assert rows[("a", 0)]["cut"] == "be nice"
+    assert rows[("a", 1)]["cut"] == "hi"
+    assert rows[("a", 2)]["cut"] == "hello!"
+    assert rows[("a", 2)]["learn"] is True
+    assert rows[("a", 0)]["learn"] is False
+    # NULL role/content behave exactly like the renderer ('')
+    assert rows[("d", 0)]["cut"] == "x"
+    assert rows[("d", 1)]["cut"] == ""
+    assert rows[("d", 1)]["learn"] is True
+    # empty/NULL dialogs contribute no rows
+    assert not any(k[0] in ("b", "c") for k in rows)
+
+
+def test_loss_spans_custom_separators_and_roles(spark):
+    from validr_spark.operators.dialog import loss_spans
+
+    d = spark.createDataFrame(
+        [("x", [("u", "aa"), ("m", "bbb")])], DIALOG_SCHEMA)
+    out = {r["turn_idx"]: r for r in
+           loss_spans(d, role_sep="=", turn_sep=";;;",
+                      learn_roles=("m", "u")).collect()}
+    # "u=aa;;;m=bbb": content 'aa' at [2,4), 'bbb' at [9,12)
+    assert (out[0]["start_char"], out[0]["end_char"]) == (2, 4)
+    assert (out[1]["start_char"], out[1]["end_char"]) == (9, 12)
+    assert out[0]["learn"] and out[1]["learn"]
+
+
+def test_loss_spans_plan_no_python_no_lambda(spark):
+    from validr_spark.operators.dialog import loss_spans
+    from validr_spark.testing import assert_no_python, assert_plan
+
+    out = loss_spans(_dlg(spark))
+    assert_no_python(out)
+    assert_plan(out, absent=["LambdaFunction"])
+
+
+# ------------------------------------------------------------ length_buckets
+def test_length_buckets_equal_counts_and_waste(spark):
+    from validr_spark.operators.packing import length_buckets
+
+    df = spark.range(1000).select((F.col("id") % 100 + 1).alias("n_tok"))
+    out = length_buckets(df, num_buckets=4).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3]
+    assert all(r["n_seqs"] == 250 for r in out)
+    b0 = out[0]
+    assert (b0["min_len"], b0["max_len"]) == (1, 25)
+    assert b0["total_tokens"] == 250 * 13  # sum 1..25 is 325 -> *10 = 3250
+    assert b0["padded_tokens"] == 250 * 25
+    assert b0["waste_ppm"] == (b0["padded_tokens"] - b0["total_tokens"]) \
+        * 1_000_000 // b0["padded_tokens"]
+
+
+def test_length_buckets_single_length_spike_stays_whole(spark):
+    """A dominant single length is never split across buckets."""
+    from validr_spark.operators.packing import length_buckets
+
+    df = spark.createDataFrame(
+        [(10,)] * 90 + [(50,)] * 5 + [(99,)] * 5, "n_tok int")
+    out = length_buckets(df, num_buckets=4).collect()
+    ten = [r for r in out if r["min_len"] <= 10 <= r["max_len"]]
+    assert len(ten) == 1 and ten[0]["n_seqs"] >= 90
+    # zero waste inside a single-length bucket
+    assert ten[0]["waste_ppm"] == 0
+
+
+def test_length_buckets_null_lengths_excluded(spark):
+    from validr_spark.operators.packing import length_buckets
+
+    df = spark.createDataFrame([(5,), (None,), (7,)], "n_tok int")
+    out = length_buckets(df, num_buckets=2).collect()
+    assert sum(r["n_seqs"] for r in out) == 2
+
+
+def test_length_buckets_no_python(spark):
+    from validr_spark.operators.packing import length_buckets
+    from validr_spark.testing import assert_no_python
+
+    df = spark.range(100).select((F.col("id") % 7).alias("n_tok"))
+    assert_no_python(length_buckets(df))
+
+
+# ----------------------------------------------------------- template_mining
+def test_template_mining_groups_digit_variants(spark):
+    from validr_spark.operators.textstats import template_mining
+
+    rows = [("Page 1 of 10",), ("page 2 of  10",), ("Page 33 of 99",),
+            ("Error 404",), ("Error 500",), ("one-off text",)]
+    out = template_mining(spark.createDataFrame(rows, "text string"),
+                          min_docs=2).collect()
+    got = {r["template"]: r for r in out}
+    assert got["page # of #"]["n_docs"] == 3
+    assert got["error #"]["n_docs"] == 2
+    # example is the lexicographic min of the RAW variants
+    assert got["error #"]["example"] == "Error 404"
+    assert "one-off text" not in got
+
+
+def test_template_mining_min_docs_and_top(spark):
+    from validr_spark.operators.textstats import template_mining
+
+    rows = [("a 1",)] * 5 + [("b 2",)] * 3 + [("c 3",)] * 2
+    df = spark.createDataFrame(rows, "text string")
+    out = template_mining(df, min_docs=3, top=1).collect()
+    assert len(out) == 1
+    assert out[0]["template"] == "a #" and out[0]["n_docs"] == 5
+
+
+def test_template_mining_no_python(spark):
+    from validr_spark.operators.textstats import template_mining
+    from validr_spark.testing import assert_no_python
+
+    df = spark.createDataFrame([("x 1",)], "text string")
+    assert_no_python(template_mining(df))

@@ -27,11 +27,11 @@ rules.  Everything is whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dialog_violations", "dialog_stats", "render_dialogs",
-           "preference_violations", "preference_stats"]
+           "preference_violations", "preference_stats", "loss_spans"]
 
 
 def _viol(id_col, rule, position, message, value):
@@ -327,3 +327,48 @@ def render_dialogs(df: DataFrame, turns_col: str = "turns",
     # GetArrayStructFields (codegen) — NOT a lambda transform
     rendered = F.concat_ws(turn_sep, F.col("_ls")["_line"])
     return agg.select(*carried, rendered.alias(out_col), "n_turns")
+
+
+def loss_spans(df: DataFrame, turns_col: str = "turns",
+               id_col: str = "doc_id", role_sep: str = ": ",
+               turn_sep: str = "\n\n",
+               learn_roles=("assistant",)) -> DataFrame:
+    """SFT loss-mask spans: for each turn, the character span of its
+    CONTENT inside the :func:`render_dialogs` output with the same
+    separators, plus a ``learn`` flag (True for ``learn_roles`` — the
+    assistant-only supervision mask).  The standard SFT prep step after
+    rendering: downstream tokenization maps [start_char, end_char) to
+    token offsets and masks the loss outside learned spans.
+
+    Output: ``(id, turn_idx, role, start_char, end_char, learn)``, one
+    row per turn; NULL/empty dialogs contribute no rows (their render
+    is '' — nothing to learn).  NULL roles/contents are treated as ''
+    exactly like the renderer, so the invariant
+    ``substring(rendered, start_char + 1, end_char - start_char) ==
+    coalesce(content, '')`` holds byte-for-byte (pytest-pinned).
+
+    ``id_col`` must uniquely identify rows — spans are meaningless
+    without a join key back to the rendered text (render_dialogs itself
+    tolerates duplicates via a surrogate key, but a duplicated id here
+    would interleave two dialogs' prefix sums).
+
+    Shape at scale: one posexplode bounded by turns/dialog, then ONE
+    window shuffle partitioned by id (prefix sums of line lengths) —
+    everything whole-stage codegen, no Python, no lambda HOFs.  Offsets
+    count what Spark/DuckDB ``length()`` counts (Unicode code points).
+    """
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.col(turns_col)).alias("turn_idx", "_t"))
+    role = F.coalesce(F.col("_t")["role"], F.lit(""))
+    content = F.coalesce(F.col("_t")["content"], F.lit(""))
+    line_len = F.length(role) + F.lit(len(role_sep)) + F.length(content)
+    w = (Window.partitionBy(id_col).orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.coalesce(F.sum(line_len + F.lit(len(turn_sep))).over(w),
+                      F.lit(0))
+    start = (prev + F.length(role) + F.lit(len(role_sep))).cast("long")
+    return ex.select(
+        F.col(id_col), F.col("turn_idx"), role.alias("role"),
+        start.alias("start_char"),
+        (start + F.length(content)).cast("long").alias("end_char"),
+        role.isin(list(learn_roles)).alias("learn"))

@@ -33,14 +33,14 @@ No counterpart in guyskk/validr (no notion of sequences or packing).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as st
 
 __all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
            "repartition_by_tokens", "take_weight_budget",
            "take_token_budget", "take_grouped_budgets",
-           "take_token_budgets"]
+           "take_token_budgets", "length_buckets"]
 
 
 def _coarse_running_sum(tmp, g_col: str, order_cols,
@@ -348,3 +348,56 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
                        * F.lit(max_tokens)), 6),
             F.lit(0.0)).alias("utilization"),
         F.sum("trunc").cast("long").alias("n_truncated"))
+
+
+def length_buckets(df: DataFrame, num_buckets: int = 8,
+                   len_col: str = "n_tok") -> DataFrame:
+    """Batch-shape planner: split the sequence-length distribution into
+    ``num_buckets`` near-equal-count buckets and report each bucket's
+    padding waste when batches are padded to the bucket max — the
+    pre-flight for choosing bucketed-batching boundaries (vs packing)
+    in a training dataloader.
+
+    Output per bucket: ``(bucket, n_seqs, min_len, max_len,
+    total_tokens, padded_tokens, waste_ppm)`` where ``padded_tokens =
+    n_seqs * max_len`` (every sequence padded to the bucket's longest)
+    and ``waste_ppm`` is the integer ppm of padded work that is padding.
+
+    Boundaries come from the LENGTH HISTOGRAM, not a global row sort:
+    bucket(len) = floor(rows_before(len) * k / N), so all rows of one
+    length land in one bucket and each bucket holds ~N/k rows when
+    lengths are diverse (degenerate single-length spikes stay whole —
+    documented, not split).  Exact, deterministic, and SQL-replayable.
+
+    Shape at scale: one hash aggregate to the ≤ max_len-row histogram,
+    one window over THAT histogram (thousands of rows — the single
+    partition is the tiny side, never the data), one broadcast join
+    back, one final aggregate to k rows.  No global sort of row-shaped
+    data, no Python.  NULL lengths are excluded (validate first).
+    """
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    ln = F.col(len_col)
+    hist = (df.filter(ln.isNotNull()).groupBy(ln.alias("_len"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    w = (Window.orderBy("_len")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    assigned = hist.select(
+        "_len", "_n",
+        F.floor(F.coalesce(F.sum("_n").over(w), F.lit(0))
+                * num_buckets / F.sum("_n").over(total))
+        .cast("int").alias("bucket"))
+    per = (assigned.groupBy("bucket")
+           .agg(F.sum("_n").alias("n_seqs"),
+                F.min("_len").cast("long").alias("min_len"),
+                F.max("_len").cast("long").alias("max_len"),
+                F.sum(F.col("_len") * F.col("_n")).alias("total_tokens")))
+    padded = F.col("n_seqs") * F.col("max_len")
+    return (per.select(
+        "bucket", "n_seqs", "min_len", "max_len", "total_tokens",
+        padded.alias("padded_tokens"),
+        F.floor((padded - F.col("total_tokens")) * 1000000 / padded)
+        .cast("long").alias("waste_ppm"))
+        .orderBy("bucket"))

@@ -563,3 +563,36 @@ def top_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
     TakeOrderedAndProject — no global sort materializes."""
     return (collocations(df, text_col, min_count)
             .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
+
+
+def template_mining(df: DataFrame, text_col: str = "text",
+                    min_docs: int = 2, top: int = 50) -> DataFrame:
+    """Boilerplate/template detection: normalize each document (lower,
+    digit runs → '#', whitespace collapsed, trimmed) and surface the
+    templates that many documents share — machine-generated boilerplate
+    ("page # of #", listing scaffolds, error pages) that survives exact
+    dedup because the numbers differ.  Feed the offenders into a
+    removal filter or a downweighting rule.
+
+    Output: ``(template, n_docs, example)`` for templates with
+    ``>= min_docs`` members, heaviest first (ties by template),
+    ``limit top``.
+
+    Shape at scale: the groupBy key is md5(template) (a fixed 32-char
+    shuffle key regardless of document size) with the template and one
+    example carried as min-aggregates (partial-agg friendly); the final
+    top-k is TakeOrderedAndProject — no global sort materializes.
+    All codegen, no Python.
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(t), "[0-9]+", "#"), r"\s+", " "))
+    fp = (df.filter(t.isNotNull())
+          .select(norm.alias("_tpl"), t.alias("_txt"))
+          .groupBy(F.md5(F.col("_tpl")).alias("_fp"))
+          .agg(F.min("_tpl").alias("template"),
+               F.count(F.lit(1)).alias("n_docs"),
+               F.min("_txt").alias("example")))
+    return (fp.filter(F.col("n_docs") >= min_docs)
+            .select("template", "n_docs", "example")
+            .orderBy(F.desc("n_docs"), "template").limit(top))
