@@ -538,6 +538,10 @@ def _values_sql(rows, cols) -> str:
 # --- rows-only queries (non-SQL-expressible; weaker driver check) ----------
 
 def q_minhash_pairs(spark, sf):
+    """Minhash LSH candidate pairs.  Rows-only: signatures are xxhash64
+    (no DuckDB counterpart); the identical banding pipeline over
+    md5-derived signatures is hash-oracled end-to-end as
+    minhash_oracle."""
     df = _load(spark, sf, "documents")
     return (dedup.minhash_candidates(df, num_hashes=32, bands=8)
             .filter(F.col("n_bands_matched") >= 2)
@@ -611,6 +615,10 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
 
 
 def q_simhash_pairs(spark, sf):
+    """Simhash near-dup pairs.  Rows-only: the 64-bit sketch hashes
+    tokens with xxhash64 (no DuckDB counterpart); the same
+    sketch/blocking pipeline over md5-derived bits is hash-oracled as
+    simhash_oracle."""
     df = _load(spark, sf, "documents")
     return dedup.simhash_near_dups(df, max_hamming=8).orderBy("id_a", "id_b")
 
@@ -676,6 +684,10 @@ def _simhash_oracle_sql(max_hamming: int = 8, blocks: int = 4) -> str:
 
 
 def q_lsh_topk(spark, sf):
+    """Random-hyperplane LSH top-k.  Rows-only: the hyperplanes are
+    derived from a counter hash (similarity._hyperplanes) that DuckDB
+    cannot re-run; recall vs the exact ann_topk oracle is pinned by
+    tests/test_dedup_similarity.py."""
     emb = _load(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0),
@@ -743,7 +755,11 @@ def q_text_profile(spark, sf):
 
 
 def q_sequences_validate(spark, sf):
-    """Flagship north-star pipeline on the generated sequences table."""
+    """Flagship north-star pipeline on the generated sequences table.
+    Rows-only: the input is datagen-generated in-session (not a
+    pre-registered view; generation uses xxhash64); the same validation
+    semantics over view-derived synthetic sequences are hash-oracled by
+    sequences_oracle and frame_check."""
     from validr_spark.datagen import make_sequences, sequences_schema
 
     seq = make_sequences(spark, 20_000, maxlen=128)
@@ -766,7 +782,10 @@ def q_file_layout(spark, sf):
 
 def q_manifest_run(spark, sf):
     """Resumable manifest-checkpointed run (plans/manifest.py) over the
-    generated sequences table; returns the per-partition verdict rows."""
+    generated sequences table; returns the per-partition verdict rows.
+    Rows-only: the run writes/reads checkpoint state across batches
+    (iterative, side-effecting) — not a SQL expression; resume/idempotency
+    invariants are pinned by tests/test_plans_streaming.py."""
     import tempfile
 
     from validr_spark.compiler import SparkCompiler
@@ -786,6 +805,10 @@ def q_manifest_run(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    """LSH candidates → exact n-gram Jaccard verify.  Rows-only: the
+    candidate set comes from xxhash64 minhash banding (no DuckDB
+    counterpart); the verify algebra itself is hash-oracled by
+    jaccard_exact/containment and the banding by minhash_oracle."""
     df = _load(spark, sf, "documents")
     return (dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.4)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1459,6 +1482,10 @@ def q_dsir_select(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
+    """Media feature extraction over synthesized binary blobs.
+    Rows-only: the input is binary media generated in-session (not a
+    pre-registered view) and decoding is a pandas-UDF; the header-parse
+    algebra on real bytes is hash-oracled separately as image_audit."""
     from validr_spark.operators.multimodal import (extract_features,
                                                    make_fake_media)
 
