@@ -301,7 +301,13 @@ def test_knn_join_skips_zero_norm_and_null_element(spark):
     assert all(r["cosine"] is not None for r in got)
 
 
-def test_knn_join_plan_broadcasts_queries(spark):
+def test_knn_join_plan_arrow_scoring_no_join_shuffle(spark):
+    """The scoring pass is one Arrow mapInPandas over the corpus (BLAS
+    matmul per batch, per-partition exact top-k prune — PERF.md Finding
+    17: the unrolled-codegen dot fused with the broadcast join and the
+    partial-top-k sort blew Janino's 64 KB method limit at dim=64) and
+    the only shuffle is the final rank window over the ≤ parts×Q×k
+    candidates."""
     import random
 
     from validr_spark.operators.similarity import knn_join
@@ -313,9 +319,11 @@ def test_knn_join_plan_broadcasts_queries(spark):
     plan = (knn_join(emb.filter(F.col("vec_id") >= 3),
                      emb.filter(F.col("vec_id") < 3), k=3)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "WindowGroupLimit" in plan       # partial per-query top-k
+    assert "MapInPandas" in plan            # Arrow-batched BLAS scoring
+    assert "Window" in plan                 # final exact per-query rank
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2      # the window shuffle (+AQE read)
 
 
 def _pairs(*ids):

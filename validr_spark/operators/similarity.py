@@ -367,53 +367,114 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``(query_id, <id_col>, cosine, rank)``, rank 1-based, ties broken by
     corpus id.
 
-    Scale shape: the QUERY side broadcasts (Q rows × dim floats — the
-    eval/probe set, small by construction); scoring is one map-side
-    unrolled-codegen dot product per (corpus row, query) pair with both
-    norms precomputed per side (PERF.md Finding 10 pattern — no
-    interpreted HOFs, no re-derived norms); the per-query rank window
-    gets WindowGroupLimit partial limits from the planner, so each scan
-    task forwards at most Q×k candidates to the final per-query top-k.
-    The corpus is scanned once and never shuffled beyond those
-    candidates.
+    Scale shape (the FAISS-style distributed brute force): the QUERY
+    side is collected to a Q×dim float64 matrix (the eval/probe set,
+    small by construction — same budget as the single-query operators'
+    literal vectors); scoring runs per corpus partition as ONE
+    Arrow-batched BLAS matmul per batch (``mapInPandas``), and each
+    partition emits only its EXACT per-query top-k (score ties broken
+    by corpus id inside the prune, so the partial is lossless); the
+    final rank window reads ≤ partitions × Q × k candidate rows.  The
+    corpus is scanned once and never shuffled beyond those candidates.
 
-    ``dim`` defaults to the query side's first embedding length (one
-    tiny driver lookup on the SMALL side).  Rows (either side) whose
-    embedding is NULL, of a different length, zero-norm (failed/padding
-    vectors — cosine undefined), or containing a NULL element are
-    skipped: cosine is computed with ``try_divide`` and NULL scores are
-    filtered before the rank window, so they can neither abort the job
-    under ANSI mode nor occupy top-k slots.
+    Why not the unrolled-codegen dot of the other operators (PERF.md
+    Finding 17): fused with the broadcast join's inner loop and the
+    partial-top-k sort, a dim=64 unrolled dot pushes the whole-stage
+    method past Janino's 64 KB limit — Spark silently drops to
+    per-operator codegen for the hottest stage.  One BLAS matmul per
+    Arrow batch is both immune to that cliff and faster per pair than
+    scalar codegen.
+
+    ``dim`` defaults to the query side's first embedding length.  Rows
+    (either side) whose embedding is NULL, of a different length,
+    zero-norm (failed/padding vectors — cosine undefined), or with a
+    NULL/NaN/±inf component are skipped, so they can neither poison a
+    matmul nor occupy top-k slots.
     """
     from pyspark.sql import Window
 
     q_id_col = q_id_col or id_col
     q_emb_col = q_emb_col or emb_col
+    qrows = queries.select(F.col(q_id_col).alias("qid"),
+                           F.col(q_emb_col).alias("qe")).collect()
     if dim is None:
-        first = queries.select(q_emb_col).first()
-        if first is None or first[0] is None:
-            raise ValueError("queries side is empty (or first embedding "
+        for r in qrows:
+            if r["qe"] is not None:
+                dim = len(r["qe"])
+                break
+        else:
+            raise ValueError("queries side is empty (or all embeddings "
                              "NULL) and dim was not given")
-        dim = len(first[0])
-    c_emb, q_emb = F.col(emb_col), F.col("_qe")
-    c = (corpus.select(F.col(id_col), c_emb)
-         .filter(c_emb.isNotNull() & (F.size(c_emb) == dim))
-         .withColumn("_cn", _norm_unrolled(c_emb, dim)))
-    q = (queries.select(F.col(q_id_col).alias("query_id"),
-                        F.col(q_emb_col).alias("_qe"))
-         .filter(q_emb.isNotNull() & (F.size(q_emb) == dim))
-         .withColumn("_qn", _norm_unrolled(q_emb, dim)))
-    scored = (c.crossJoin(F.broadcast(q))
-              .select("query_id", id_col,
-                      F.try_divide(_dot_unrolled(c_emb, q_emb, dim),
-                                   F.col("_cn") * F.col("_qn"))
-                      .alias("cosine"))
-              # NULL: zero-norm (try_divide).  NaN: a NaN component —
-              # NaN sorts FIRST under desc() in Spark, so without this
-              # guard one bad vector becomes rank 1 for every query.
-              .filter(F.col("cosine").isNotNull()
-                      & ~F.isnan(F.col("cosine"))))
+
+    def _clean(vec):
+        if vec is None or len(vec) != dim:
+            return None
+        try:
+            a = np.asarray([float("nan") if x is None else x for x in vec],
+                           dtype=np.float64)
+        except (TypeError, ValueError):
+            return None
+        if not np.isfinite(a).all():
+            return None
+        n = float(np.linalg.norm(a))
+        if n == 0.0:
+            return None
+        return a, n
+
+    q_ids, q_vecs, q_norms = [], [], []
+    for r in qrows:
+        c = _clean(r["qe"])
+        if c is not None:
+            q_ids.append(r["qid"])
+            q_vecs.append(c[0])
+            q_norms.append(c[1])
+
+    c_id_type = corpus.schema[id_col].dataType.simpleString()
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    out_schema = (f"query_id {q_id_type}, {id_col} {c_id_type}, "
+                  f"cosine double")
+    spark = corpus.sparkSession
+    if not q_ids:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1))
+    qmat = np.stack(q_vecs)                     # (Q, dim), finite, nonzero
+    qn = np.asarray(q_norms)
+
+    def part(batches):
+        nq = len(q_ids)
+        pool_scores = [[] for _ in range(nq)]
+        pool_ids = [[] for _ in range(nq)]
+        for pdf in batches:
+            rows = [_clean(v) for v in pdf[emb_col]]
+            keep = [i for i, r in enumerate(rows) if r is not None]
+            if not keep:
+                continue
+            x = np.stack([rows[i][0] for i in keep])        # (B, dim)
+            xn = np.asarray([rows[i][1] for i in keep])
+            ids = pdf[id_col].iloc[keep].to_numpy()
+            sims = (x @ qmat.T) / (xn[:, None] * qn[None, :])  # (B, Q)
+            for qi in range(nq):
+                # exact batch top-k WITH the id tie-break: a boundary
+                # tie pruned by score alone could keep the wrong id
+                order = np.lexsort((ids, -sims[:, qi]))[:k]
+                pool_scores[qi].append(sims[order, qi])
+                pool_ids[qi].append(ids[order])
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            if not pool_scores[qi]:
+                continue
+            s = np.concatenate(pool_scores[qi])
+            i = np.concatenate(pool_ids[qi])
+            order = np.lexsort((i, -s))[:k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_i.extend(i[order].tolist())
+            out_s.extend(s[order].tolist())
+        yield pd.DataFrame({"query_id": out_q, id_col: out_i,
+                            "cosine": out_s})
+
+    cand = corpus.select(F.col(id_col), F.col(emb_col)).mapInPandas(
+        part, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
