@@ -343,9 +343,13 @@ def loss_spans(df: DataFrame, turns_col: str = "turns",
     Output: ``(id, turn_idx, role, start_char, end_char, learn)``, one
     row per turn; NULL/empty dialogs contribute no rows (their render
     is '' — nothing to learn).  NULL roles/contents are treated as ''
-    exactly like the renderer, so the invariant
+    and NULL turn STRUCTS are dropped before position numbering —
+    both exactly like the renderer (whose ``concat_ws`` skips the NULL
+    line entirely, separator included), so the invariant
     ``substring(rendered, start_char + 1, end_char - start_char) ==
-    coalesce(content, '')`` holds byte-for-byte (pytest-pinned).
+    coalesce(content, '')`` holds byte-for-byte (pytest-pinned,
+    including the null-turn case) and ``turn_idx`` indexes the RENDERED
+    turn order.
 
     ``id_col`` must uniquely identify rows — spans are meaningless
     without a join key back to the rendered text (render_dialogs itself
@@ -357,8 +361,15 @@ def loss_spans(df: DataFrame, turns_col: str = "turns",
     everything whole-stage codegen, no Python, no lambda HOFs.  Offsets
     count what Spark/DuckDB ``length()`` counts (Unicode code points).
     """
+    # drop NULL turn structs BEFORE posexplode so turn_idx and the
+    # prefix sums match the renderer, which skips the NULL line AND its
+    # separator (a kept-but-empty turn would shift every later span by
+    # len(role_sep) + len(turn_sep)).  One bounded lambda per dialog
+    # row — not a per-token hot path.
     ex = df.select(F.col(id_col),
-                   F.posexplode(F.col(turns_col)).alias("turn_idx", "_t"))
+                   F.posexplode(F.filter(F.col(turns_col),
+                                         lambda t: t.isNotNull()))
+                   .alias("turn_idx", "_t"))
     role = F.coalesce(F.col("_t")["role"], F.lit(""))
     content = F.coalesce(F.col("_t")["content"], F.lit(""))
     line_len = F.length(role) + F.lit(len(role_sep)) + F.length(content)
