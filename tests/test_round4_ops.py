@@ -109,6 +109,18 @@ def test_length_buckets_single_length_spike_stays_whole(spark):
     assert ten[0]["waste_ppm"] == 0
 
 
+def test_length_buckets_all_zero_lengths_no_ansi_abort(spark):
+    """padded_tokens = 0 for an all-zero-length bucket: must report
+    waste_ppm 0, not raise DIVIDE_BY_ZERO under ANSI."""
+    from validr_spark.operators.packing import length_buckets
+
+    df = spark.createDataFrame([(0,), (0,), (0,)], "n_tok int")
+    out = length_buckets(df, num_buckets=2).collect()
+    assert len(out) == 1
+    assert out[0]["padded_tokens"] == 0
+    assert out[0]["waste_ppm"] == 0
+
+
 def test_length_buckets_null_lengths_excluded(spark):
     from validr_spark.operators.packing import length_buckets
 

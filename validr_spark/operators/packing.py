@@ -395,9 +395,14 @@ def length_buckets(df: DataFrame, num_buckets: int = 8,
                 F.max("_len").cast("long").alias("max_len"),
                 F.sum(F.col("_len") * F.col("_n")).alias("total_tokens")))
     padded = F.col("n_seqs") * F.col("max_len")
+    # try_divide + coalesce: an all-zero-length bucket has padded = 0,
+    # and a bare division is an ANSI DIVIDE_BY_ZERO abort (Spark 4
+    # default); report 0 waste, not NULL — packing_stats convention
     return (per.select(
         "bucket", "n_seqs", "min_len", "max_len", "total_tokens",
         padded.alias("padded_tokens"),
-        F.floor((padded - F.col("total_tokens")) * 1000000 / padded)
-        .cast("long").alias("waste_ppm"))
+        F.coalesce(
+            F.floor(F.try_divide(
+                (padded - F.col("total_tokens")) * 1000000, padded)),
+            F.lit(0)).cast("long").alias("waste_ppm"))
         .orderBy("bucket"))

@@ -266,6 +266,9 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
         cents = ivf_centroids(df, n_centroids, id_col, emb_col, seed)
     else:
         cents = np.asarray(centroids, dtype=np.float64)
+        if cents.ndim != 2 or cents.shape[0] == 0:
+            raise ValueError("centroids must be a non-empty (k, dim) "
+                             "array-like")
         norms = np.linalg.norm(cents, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = cents / norms
