@@ -1883,6 +1883,54 @@ def q_template_mining(spark, sf):
                            min_docs=2, top=50)
 
 
+def q_turn_stats(spark, sf):
+    """Per-(source, role) dialog-turn scorecard (operators/dialog.
+    turn_stats) over the dialog_check synthetic dialogs with the real
+    documents source carried as the group.  DuckDB twin rebuilds the
+    turn lists and replays the explode + group-by generically."""
+    from validr_spark.operators.dialog import turn_stats
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    d = F.col("doc_id")
+    ds = d.cast("string")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        content.alias("content"))
+
+    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
+    usr = turn("user", F.concat(F.lit("u-"), ds))
+    asst = turn("assistant", F.concat(F.lit("a-"), ds))
+    ttype = "array<struct<role:string,content:string>>"
+    turns = (
+        F.when(d % 23 == 0, F.array().cast(ttype))
+        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
+                                   usr, asst))
+        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
+                                   asst))
+        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
+        .when(d % 11 == 0, F.array(sys0, usr, asst,
+                                   turn("user", F.lit("bye"))))
+        .otherwise(F.array(sys0, usr, asst)))
+    dialogs = df.select(F.col("source"), turns.alias("turns"))
+    return (turn_stats(dialogs, group_col="source")
+            .orderBy("source", "role"))
+
+
+def q_context_overflow(spark, sf):
+    """Context-length overflow audit (operators/packing.context_overflow)
+    over documents.n_chars per source at four candidate context lengths
+    — one aggregation pass, per-cutoff rows exploded from the
+    group-sized result.  DuckDB twin: the same conditional sums via a
+    VALUES cross join."""
+    from validr_spark.operators.packing import context_overflow
+
+    df = _load(spark, sf, "documents")
+    return (context_overflow(df, cutoffs=(64, 128, 256, 512),
+                             len_col="n_chars", group_col="source")
+            .orderBy("source", "cutoff"))
+
+
 def q_pack_stats(spark, sf):
     """SHARDED sequence packing (operators/packing.py): pack documents
     into 1024-token bins (n_chars plays token length) across 8 parallel
@@ -2467,6 +2515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verifies whatever it samples, so they lose nothing by moving.
         # ------------------------------------------------------------------
         # round-4 additions (newest first — never driver-checked):
+        "turn_stats": q_turn_stats,
+        "context_overflow": q_context_overflow,
         "loss_mask": q_loss_mask,
         "length_buckets": q_length_buckets,
         "template_mining": q_template_mining,
@@ -2520,9 +2570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
+        # ---- end of the 50-slot driver sampling prefix ----
         "dsir_select": q_dsir_select,
         "ccnet_mix": q_ccnet_mix,
-        # ---- end of the 50-slot driver sampling prefix ----
         "token_budget": q_token_budget,
         "budget_mix": q_budget_mix,
         "train_order": q_train_order,
@@ -5804,6 +5854,78 @@ def _pipeline_oracles() -> dict[str, str]:
                         * 1000000 / (n_seqs * max_len)::DOUBLE) AS BIGINT)
                      AS waste_ppm
             FROM per ORDER BY bucket
+        """,
+        # Generic replay of the per-(source, role) turn scorecard over
+        # the rebuilt dialog_check turn lists: unnest + group-by with
+        # the same NULL-role label and empty-content accounting.
+        "turn_stats": r"""
+            WITH t AS (
+              SELECT source,
+                CASE
+                  WHEN doc_id % 23 = 0
+                    THEN CAST([] AS STRUCT(role VARCHAR,
+                                           content VARCHAR)[])
+                  WHEN doc_id % 19 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'system', 'content': 'late'},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 17 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'tool', 'content': 'beep'},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 13 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': ''},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                  WHEN doc_id % 11 = 0 THEN [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id},
+                    {'role': 'user', 'content': 'bye'}]
+                  ELSE [
+                    {'role': 'system', 'content': 'sys-' || doc_id},
+                    {'role': 'user', 'content': 'u-' || doc_id},
+                    {'role': 'assistant', 'content': 'a-' || doc_id}]
+                END AS turns
+              FROM documents WHERE doc_id IS NOT NULL),
+            ex AS (
+              SELECT source, unnest(turns) AS g FROM t),
+            rows_ AS (
+              SELECT source,
+                     coalesce(g.role, 'null') AS role,
+                     coalesce(length(g.content), 0) AS clen,
+                     CASE WHEN g.content IS NULL OR g.content = ''
+                          THEN 1 ELSE 0 END AS empty
+              FROM ex)
+            SELECT source, role,
+                   count(*)::BIGINT AS n_turns,
+                   round(avg(clen), 2) AS avg_content_chars,
+                   max(clen)::BIGINT AS max_content_chars,
+                   sum(empty)::BIGINT AS n_empty
+            FROM rows_ GROUP BY source, role
+            ORDER BY source, role
+        """,
+        # One-pass conditional sums per cutoff, cross-joined from VALUES;
+        # ppm via the same floor(double-division) as the operator.
+        "context_overflow": """
+            WITH c(cutoff) AS (VALUES (64), (128), (256), (512)),
+            b AS (
+              SELECT source, n_chars::BIGINT AS ln
+              FROM documents WHERE n_chars IS NOT NULL)
+            SELECT b.source, c.cutoff,
+                   count(*)::BIGINT AS n_seqs,
+                   sum(CASE WHEN ln > cutoff THEN 1 ELSE 0 END)::BIGINT
+                     AS n_over,
+                   CAST(floor(sum(CASE WHEN ln > cutoff THEN 1 ELSE 0
+                                  END) * 1000000
+                        / count(*)::DOUBLE) AS BIGINT) AS over_ppm,
+                   sum(ln)::BIGINT AS tokens_total,
+                   sum(greatest(ln - cutoff, 0))::BIGINT AS tokens_lost,
+                   CAST(floor(sum(greatest(ln - cutoff, 0)) * 1000000
+                        / sum(ln)::DOUBLE) AS BIGINT) AS lost_ppm
+            FROM b, c GROUP BY b.source, c.cutoff
+            ORDER BY b.source, c.cutoff
         """,
         # Same normalization (lower, digit runs -> '#', whitespace
         # collapse, trim) and md5-keyed grouping as the operator.

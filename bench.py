@@ -229,7 +229,8 @@ HEADLINE = [
     "clean_text", "vocab_coverage", "repair_report", "token_repetition",
     "dialog_check", "ngram_novelty", "preference_check", "dedup_sequences",
     "token_contamination", "dialog_render",
-    "loss_mask", "length_buckets", "template_mining",
+    "loss_mask", "length_buckets", "template_mining", "turn_stats",
+    "context_overflow",
     # pipeline_seq is correctness-gated (CORRECTNESS oracle) but not a
     # HEADLINE timing entry: its wall time is stage planning/codegen
     # fixed cost (~30 s regardless of sf — PERF.md Finding 16 context),

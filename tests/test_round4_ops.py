@@ -169,3 +169,90 @@ def test_template_mining_no_python(spark):
 
     df = spark.createDataFrame([("x 1",)], "text string")
     assert_no_python(template_mining(df))
+
+
+# --------------------------------------------------------------- turn_stats
+def test_turn_stats_per_role_scorecard(spark):
+    from validr_spark.operators.dialog import turn_stats
+
+    rows = [
+        ("s1", [("user", "hi"), ("assistant", "hello!")]),
+        ("s1", [("user", ""), ("assistant", None), (None, "x")]),
+        ("s1", None),
+        ("s2", [("user", "abcd")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, "
+              "turns array<struct<role string, content string>>")
+    out = {(r["source"], r["role"]): r
+           for r in turn_stats(df).collect()}
+    u1 = out[("s1", "user")]
+    assert u1["n_turns"] == 2
+    assert u1["avg_content_chars"] == 1.0      # 'hi' (2) + '' (0)
+    assert u1["n_empty"] == 1
+    a1 = out[("s1", "assistant")]
+    assert a1["n_turns"] == 2
+    assert a1["max_content_chars"] == 6
+    assert a1["n_empty"] == 1                  # the NULL content
+    # NULL role surfaces as the literal 'null' label, not a dropped row
+    assert out[("s1", "null")]["n_turns"] == 1
+    assert out[("s2", "user")]["avg_content_chars"] == 4.0
+
+
+def test_turn_stats_no_python(spark):
+    from validr_spark.operators.dialog import turn_stats
+    from validr_spark.testing import assert_no_python
+
+    df = spark.createDataFrame(
+        [("s", [("user", "x")])],
+        "source string, turns array<struct<role string, content string>>")
+    assert_no_python(turn_stats(df))
+
+
+# --------------------------------------------------------- context_overflow
+def test_context_overflow_counts_and_ppm(spark):
+    from validr_spark.operators.packing import context_overflow
+
+    df = spark.createDataFrame(
+        [(100,), (200,), (300,), (None,)], "n_tok int")
+    out = {r["cutoff"]: r for r in
+           context_overflow(df, cutoffs=(128, 256)).collect()}
+    assert set(out) == {128, 256}
+    r = out[128]
+    assert (r["n_seqs"], r["n_over"]) == (3, 2)
+    assert r["tokens_total"] == 600
+    assert r["tokens_lost"] == (200 - 128) + (300 - 128)
+    assert r["over_ppm"] == 2 * 1_000_000 // 3
+    assert r["lost_ppm"] == r["tokens_lost"] * 1_000_000 // 600
+    r = out[256]
+    assert (r["n_over"], r["tokens_lost"]) == (1, 44)
+
+
+def test_context_overflow_grouped_single_pass(spark):
+    from validr_spark.operators.packing import context_overflow
+    from validr_spark.testing import assert_no_python, count_exchanges
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 50), ("b", 100)], "src string, n_tok int")
+    out = context_overflow(df, cutoffs=(32, 64), len_col="n_tok",
+                           group_col="src")
+    # plan shape BEFORE execution: one aggregation pass = a single
+    # shuffle, cutoffs exploded after (post-collect the AQE final plan
+    # string prints the same exchange twice)
+    assert_no_python(out)
+    assert count_exchanges(out) == 1
+    rows = {(r["src"], r["cutoff"]): r for r in out.collect()}
+    assert rows[("a", 32)]["n_over"] == 1
+    assert rows[("b", 64)]["tokens_lost"] == 36
+
+
+def test_context_overflow_rejects_bad_cutoffs(spark):
+    import pytest as _pytest
+
+    from validr_spark.operators.packing import context_overflow
+
+    df = spark.createDataFrame([(1,)], "n_tok int")
+    with _pytest.raises(ValueError):
+        context_overflow(df, cutoffs=())
+    with _pytest.raises(ValueError):
+        context_overflow(df, cutoffs=(0, 64))

@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dialog_violations", "dialog_stats", "render_dialogs",
-           "preference_violations", "preference_stats", "loss_spans"]
+           "preference_violations", "preference_stats", "loss_spans",
+           "turn_stats"]
 
 
 def _viol(id_col, rule, position, message, value):
@@ -383,3 +384,37 @@ def loss_spans(df: DataFrame, turns_col: str = "turns",
         start.alias("start_char"),
         (start + F.length(content)).cast("long").alias("end_char"),
         role.isin(list(learn_roles)).alias("learn"))
+
+
+def turn_stats(df: DataFrame, turns_col: str = "turns",
+               group_col: str | None = "source") -> DataFrame:
+    """Per-(group, role) turn scorecard for a dialog corpus: turn count,
+    content-length mean/max, and empty-content count — the SFT data
+    card's "are assistant turns substantive, are user prompts
+    degenerate" table, and the pre-flight for loss-mask budgeting
+    (assistant-content mass ≈ supervised-token mass).
+
+    Output: ``(group, role, n_turns, avg_content_chars,
+    max_content_chars, n_empty)``; NULL turn structs are skipped (they
+    render to nothing), NULL roles are reported under the literal
+    ``'null'`` label so schema drift stays visible instead of vanishing
+    into a dropped group.
+
+    Shape at scale: one bounded posexplode + one hash aggregate keyed by
+    (group, role) — group-sized output, everything codegen.
+    """
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+    key = group_col or "group"
+    ex = df.select(grp, F.posexplode(
+        F.filter(F.col(turns_col), lambda t: t.isNotNull()))
+        .alias("_i", "_t"))
+    content = F.col("_t")["content"]
+    clen = F.coalesce(F.length(content), F.lit(0))
+    return (ex.groupBy(F.col("grp").alias(key),
+                       F.coalesce(F.col("_t")["role"], F.lit("null"))
+                       .alias("role"))
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.round(F.avg(clen), 2).alias("avg_content_chars"),
+                 F.max(clen).alias("max_content_chars"),
+                 F.sum((content.isNull() | (content == ""))
+                       .cast("long")).alias("n_empty")))

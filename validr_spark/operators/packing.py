@@ -40,7 +40,7 @@ from pyspark.sql import types as st
 __all__ = ["pack_greedy", "packing_stats", "repartition_by_weight",
            "repartition_by_tokens", "take_weight_budget",
            "take_token_budget", "take_grouped_budgets",
-           "take_token_budgets", "length_buckets"]
+           "take_token_budgets", "length_buckets", "context_overflow"]
 
 
 def _coarse_running_sum(tmp, g_col: str, order_cols,
@@ -406,3 +406,57 @@ def length_buckets(df: DataFrame, num_buckets: int = 8,
                 (padded - F.col("total_tokens")) * 1000000, padded)),
             F.lit(0)).cast("long").alias("waste_ppm"))
         .orderBy("bucket"))
+
+
+def context_overflow(df: DataFrame, cutoffs=(1024, 2048, 4096, 8192),
+                     len_col: str = "n_tok",
+                     group_col: str | None = None) -> DataFrame:
+    """Context-length overflow audit: for each candidate context length,
+    how many sequences exceed it and how many tokens truncation would
+    lose — the "what does context L cost us" table that picks the
+    training context (and decides between truncate / :mod:`chunking` /
+    drop) before :func:`pack_greedy` commits to a window size.
+
+    Output per (group?, cutoff): ``(group?, cutoff, n_seqs, n_over,
+    over_ppm, tokens_total, tokens_lost, lost_ppm)`` — integers and
+    integer-ppm ratios only.  NULL lengths are excluded (validate
+    first).
+
+    Shape at scale: ONE aggregation pass computes every cutoff's
+    conditional sums as separate agg columns (map-side partials), then
+    the per-cutoff rows are exploded from the group-sized result —
+    len(cutoffs) never multiplies the scan or the shuffle.
+    """
+    cutoffs = sorted(set(int(c) for c in cutoffs))
+    if not cutoffs or cutoffs[0] <= 0:
+        raise ValueError("cutoffs must be positive ints")
+    ln = F.col(len_col).cast("long")
+    base = df.filter(ln.isNotNull())
+    keys = [F.col(group_col)] if group_col else []
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum(ln).alias("_tot")]
+    for c in cutoffs:
+        aggs.append(F.sum((ln > c).cast("long")).alias(f"_over_{c}"))
+        aggs.append(F.sum(F.greatest(ln - c, F.lit(0)))
+                    .alias(f"_lost_{c}"))
+    per = base.groupBy(*keys).agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("cutoff"),
+                 F.col(f"_over_{c}").alias("n_over"),
+                 F.col(f"_lost_{c}").alias("tokens_lost"))
+        for c in cutoffs])
+    out_keys = [group_col] if group_col else []
+    ex = per.select(*out_keys, F.col("_n"), F.col("_tot"),
+                    F.explode(rows).alias("_c"))
+    return ex.select(
+        *out_keys,
+        F.col("_c")["cutoff"].alias("cutoff"),
+        F.col("_n").alias("n_seqs"),
+        F.col("_c")["n_over"].alias("n_over"),
+        F.floor(F.coalesce(F.try_divide(F.col("_c")["n_over"] * 1000000,
+                                        F.col("_n")), F.lit(0.0)))
+        .cast("long").alias("over_ppm"),
+        F.col("_tot").alias("tokens_total"),
+        F.col("_c")["tokens_lost"].alias("tokens_lost"),
+        F.floor(F.coalesce(F.try_divide(
+            F.col("_c")["tokens_lost"] * 1000000, F.col("_tot")),
+            F.lit(0.0))).cast("long").alias("lost_ppm"))
