@@ -794,3 +794,51 @@ def test_minhash_tokens_plan_no_python(spark):
     df = spark.createDataFrame(
         [("a", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>")
     assert_no_python(minhash_signatures_tokens(df, num_hashes=8))
+
+
+def test_knn_join_partition_prune_keeps_lowest_id_on_score_tie(spark):
+    """The per-partition top-k prune must keep the LOWEST corpus id
+    among equal scores — a score-only prune could keep the wrong id and
+    the final window would then return a non-minimal tie."""
+    from validr_spark.operators.similarity import knn_join
+
+    # many identical corpus vectors (all cosine 1.0 to the query),
+    # spread over several partitions; k=3 must return ids 10,11,12
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10, 30)],
+        "vec_id long, embedding array<float>").repartition(4)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    got = [(r["vec_id"], r["rank"]) for r in
+           knn_join(corpus, queries, k=3).orderBy("rank").collect()]
+    assert got == [(10, 1), (11, 2), (12, 3)]
+
+
+def test_knn_join_string_ids(spark):
+    from validr_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "doc string, embedding array<float>")
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "doc string, embedding array<float>")
+    got = [(r["doc"], r["rank"]) for r in
+           knn_join(corpus, queries, k=2, id_col="doc")
+           .orderBy("rank").collect()]
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_knn_join_empty_or_all_null_queries(spark):
+    import pytest as _pytest
+
+    from validr_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    # all-NULL query embeddings with no dim -> explicit error
+    bad = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        knn_join(corpus, bad, k=2)
+    # with dim given, NULL queries are skipped -> empty result
+    assert knn_join(corpus, bad, k=2, dim=2).count() == 0
