@@ -1129,15 +1129,14 @@ def q_preference_check(spark, sf):
     return preference_violations(pairs).orderBy("doc_id", "rule_id")
 
 
-def q_dialog_render(spark, sf):
-    """Dialog → training-text rendering (operators/dialog.py
-    render_dialogs) over the SAME synthesized dialogs as dialog_check;
-    the DuckDB twin rebuilds each case's full rendered string
-    closed-form (independent concatenation, chr(10) separators), so the
-    shuffle-reassembly ordering is verified byte-for-byte."""
-    from validr_spark.operators.dialog import render_dialogs
-
-    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+def _synth_dialog_turns():
+    """The shared synthetic-dialog turns Column used by q_dialog_check,
+    q_dialog_render, q_loss_mask, and q_turn_stats — one injected defect
+    class per modulus, first-match-wins, every case a closed-form
+    function of doc_id.  ONE definition on the Spark side so the four
+    queries cannot drift apart; the loss_mask and turn_stats DuckDB
+    twins replicate the same CASE ladder (kept in lockstep by their
+    driver hash checks)."""
     d = F.col("doc_id")
     ds = d.cast("string")
 
@@ -1149,7 +1148,7 @@ def q_dialog_render(spark, sf):
     usr = turn("user", F.concat(F.lit("u-"), ds))
     asst = turn("assistant", F.concat(F.lit("a-"), ds))
     ttype = "array<struct<role:string,content:string>>"
-    turns = (
+    return (
         F.when(d % 23 == 0, F.array().cast(ttype))
         .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
                                    usr, asst))
@@ -1159,7 +1158,20 @@ def q_dialog_render(spark, sf):
         .when(d % 11 == 0, F.array(sys0, usr, asst,
                                    turn("user", F.lit("bye"))))
         .otherwise(F.array(sys0, usr, asst)))
-    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+
+
+def q_dialog_render(spark, sf):
+    """Dialog → training-text rendering (operators/dialog.py
+    render_dialogs) over the SAME synthesized dialogs as dialog_check;
+    the DuckDB twin rebuilds each case's full rendered string
+    closed-form (independent concatenation, chr(10) separators), so the
+    shuffle-reassembly ordering is verified byte-for-byte."""
+    from validr_spark.operators.dialog import render_dialogs
+
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    turns = _synth_dialog_turns()
+    dialogs = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        turns.alias("turns"))
     return render_dialogs(dialogs).orderBy("doc_id")
 
 
@@ -1213,29 +1225,9 @@ def q_dialog_check(spark, sf):
     from validr_spark.operators.dialog import dialog_violations
 
     df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
-    d = F.col("doc_id")
-    ds = d.cast("string")
-
-    def turn(role, content):
-        return F.struct(F.lit(role).alias("role"),
-                        content.alias("content"))
-
-    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
-    usr = turn("user", F.concat(F.lit("u-"), ds))
-    asst = turn("assistant", F.concat(F.lit("a-"), ds))
-    base = F.array(sys0, usr, asst)
-    ttype = "array<struct<role:string,content:string>>"
-    turns = (
-        F.when(d % 23 == 0, F.array().cast(ttype))
-        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
-                                   usr, asst))
-        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
-                                   asst))
-        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
-        .when(d % 11 == 0, F.array(sys0, usr, asst,
-                                   turn("user", F.lit("bye"))))
-        .otherwise(base))
-    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+    turns = _synth_dialog_turns()
+    dialogs = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        turns.alias("turns"))
     return dialog_violations(dialogs).orderBy("doc_id", "rule_id")
 
 
@@ -1821,28 +1813,9 @@ def q_loss_mask(spark, sf):
     from validr_spark.operators.dialog import loss_spans
 
     df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
-    d = F.col("doc_id")
-    ds = d.cast("string")
-
-    def turn(role, content):
-        return F.struct(F.lit(role).alias("role"),
-                        content.alias("content"))
-
-    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
-    usr = turn("user", F.concat(F.lit("u-"), ds))
-    asst = turn("assistant", F.concat(F.lit("a-"), ds))
-    ttype = "array<struct<role:string,content:string>>"
-    turns = (
-        F.when(d % 23 == 0, F.array().cast(ttype))
-        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
-                                   usr, asst))
-        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
-                                   asst))
-        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
-        .when(d % 11 == 0, F.array(sys0, usr, asst,
-                                   turn("user", F.lit("bye"))))
-        .otherwise(F.array(sys0, usr, asst)))
-    dialogs = df.select(ds.alias("doc_id"), turns.alias("turns"))
+    turns = _synth_dialog_turns()
+    dialogs = df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        turns.alias("turns"))
     return loss_spans(dialogs).orderBy("doc_id", "turn_idx")
 
 
@@ -1891,27 +1864,7 @@ def q_turn_stats(spark, sf):
     from validr_spark.operators.dialog import turn_stats
 
     df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
-    d = F.col("doc_id")
-    ds = d.cast("string")
-
-    def turn(role, content):
-        return F.struct(F.lit(role).alias("role"),
-                        content.alias("content"))
-
-    sys0 = turn("system", F.concat(F.lit("sys-"), ds))
-    usr = turn("user", F.concat(F.lit("u-"), ds))
-    asst = turn("assistant", F.concat(F.lit("a-"), ds))
-    ttype = "array<struct<role:string,content:string>>"
-    turns = (
-        F.when(d % 23 == 0, F.array().cast(ttype))
-        .when(d % 19 == 0, F.array(sys0, turn("system", F.lit("late")),
-                                   usr, asst))
-        .when(d % 17 == 0, F.array(sys0, turn("tool", F.lit("beep")),
-                                   asst))
-        .when(d % 13 == 0, F.array(sys0, turn("user", F.lit("")), asst))
-        .when(d % 11 == 0, F.array(sys0, usr, asst,
-                                   turn("user", F.lit("bye"))))
-        .otherwise(F.array(sys0, usr, asst)))
+    turns = _synth_dialog_turns()
     dialogs = df.select(F.col("source"), turns.alias("turns"))
     return (turn_stats(dialogs, group_col="source")
             .orderBy("source", "role"))
@@ -5850,7 +5803,7 @@ def _pipeline_oracles() -> dict[str, str]:
                    max_len::BIGINT AS max_len,
                    total_tokens::BIGINT AS total_tokens,
                    (n_seqs * max_len)::BIGINT AS padded_tokens,
-                   CAST(floor((n_seqs * max_len - total_tokens)
+                   CAST(floor((n_seqs * max_len - total_tokens)::DOUBLE
                         * 1000000 / (n_seqs * max_len)::DOUBLE) AS BIGINT)
                      AS waste_ppm
             FROM per ORDER BY bucket
@@ -5918,12 +5871,13 @@ def _pipeline_oracles() -> dict[str, str]:
                    sum(CASE WHEN ln > cutoff THEN 1 ELSE 0 END)::BIGINT
                      AS n_over,
                    CAST(floor(sum(CASE WHEN ln > cutoff THEN 1 ELSE 0
-                                  END) * 1000000
+                                  END)::DOUBLE * 1000000
                         / count(*)::DOUBLE) AS BIGINT) AS over_ppm,
                    sum(ln)::BIGINT AS tokens_total,
                    sum(greatest(ln - cutoff, 0))::BIGINT AS tokens_lost,
-                   CAST(floor(sum(greatest(ln - cutoff, 0)) * 1000000
-                        / sum(ln)::DOUBLE) AS BIGINT) AS lost_ppm
+                   CAST(floor(sum(greatest(ln - cutoff, 0))::DOUBLE
+                        * 1000000 / sum(ln)::DOUBLE) AS BIGINT)
+                     AS lost_ppm
             FROM b, c GROUP BY b.source, c.cutoff
             ORDER BY b.source, c.cutoff
         """,

@@ -28,6 +28,14 @@ print(os.path.dirname(os.path.dirname(os.path.abspath(
 EOF
 )"
 SRC_DIR="${PKG_PARENT:-$REPO}"
+# A stale NON-editable install would silently ship old code: editable
+# installs resolve back into the checkout, anything else gets a loud
+# pointer so the divergence is visible before the job runs.
+if [ -n "$PKG_PARENT" ] && [ "$PKG_PARENT" != "$REPO" ]; then
+    echo "submit.sh: packaging the INSTALLED distribution at" \
+         "$PKG_PARENT/validr_spark (not the checkout $REPO/validr_spark;" \
+         "pip install -e to track the repo)" >&2
+fi
 (cd "$SRC_DIR" && python - "$ZIP" <<'EOF'
 import sys, zipfile, pathlib
 zf = zipfile.ZipFile(sys.argv[1], "w", zipfile.ZIP_DEFLATED)

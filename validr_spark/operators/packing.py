@@ -397,13 +397,18 @@ def length_buckets(df: DataFrame, num_buckets: int = 8,
     padded = F.col("n_seqs") * F.col("max_len")
     # try_divide + coalesce: an all-zero-length bucket has padded = 0,
     # and a bare division is an ANSI DIVIDE_BY_ZERO abort (Spark 4
-    # default); report 0 waste, not NULL — packing_stats convention
+    # default); report 0 waste, not NULL — packing_stats convention.
+    # The ×1e6 runs in DOUBLE: a long numerator would overflow (ANSI
+    # abort) past ~9.2e12 padded tokens — mid-size for this module's
+    # target scale; doubles are exact here until 2^53/1e6 ≈ 9e9 and a
+    # ±1 ppm wobble beyond that is fine for a waste metric.
     return (per.select(
         "bucket", "n_seqs", "min_len", "max_len", "total_tokens",
         padded.alias("padded_tokens"),
         F.coalesce(
             F.floor(F.try_divide(
-                (padded - F.col("total_tokens")) * 1000000, padded)),
+                (padded - F.col("total_tokens")).cast("double") * 1000000,
+                padded.cast("double"))),
             F.lit(0)).cast("long").alias("waste_ppm"))
         .orderBy("bucket"))
 
@@ -447,16 +452,21 @@ def context_overflow(df: DataFrame, cutoffs=(1024, 2048, 4096, 8192),
     out_keys = [group_col] if group_col else []
     ex = per.select(*out_keys, F.col("_n"), F.col("_tot"),
                     F.explode(rows).alias("_c"))
+    # ppm numerators multiply in DOUBLE, not long: at the module's
+    # 10^12-token target scale `count * 1000000` overflows int64 (ANSI
+    # abort); exact as doubles until 2^53/1e6, ±1 ppm beyond
     return ex.select(
         *out_keys,
         F.col("_c")["cutoff"].alias("cutoff"),
         F.col("_n").alias("n_seqs"),
         F.col("_c")["n_over"].alias("n_over"),
-        F.floor(F.coalesce(F.try_divide(F.col("_c")["n_over"] * 1000000,
-                                        F.col("_n")), F.lit(0.0)))
+        F.floor(F.coalesce(F.try_divide(
+            F.col("_c")["n_over"].cast("double") * 1000000,
+            F.col("_n").cast("double")), F.lit(0.0)))
         .cast("long").alias("over_ppm"),
         F.col("_tot").alias("tokens_total"),
         F.col("_c")["tokens_lost"].alias("tokens_lost"),
         F.floor(F.coalesce(F.try_divide(
-            F.col("_c")["tokens_lost"] * 1000000, F.col("_tot")),
-            F.lit(0.0))).cast("long").alias("lost_ppm"))
+            F.col("_c")["tokens_lost"].cast("double") * 1000000,
+            F.col("_tot").cast("double")), F.lit(0.0)))
+        .cast("long").alias("lost_ppm"))

@@ -275,7 +275,10 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / qn if qn else q
-    probes = np.argsort(-(cents @ q))[:nprobe].tolist()
+    # stable sort: np.argsort's default introsort orders exact dot-ties
+    # arbitrarily, which would diverge from the oracle's deterministic
+    # "ORDER BY dot DESC, cid" at the nprobe boundary
+    probes = np.argsort(-(cents @ q), kind="stable")[:nprobe].tolist()
 
     celled = df.withColumn("_cell", ivf_assign_col(F.col(emb_col), cents))
     return (with_cosine(celled.filter(F.col("_cell")
@@ -392,7 +395,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (either side) whose embedding is NULL, of a different length,
     zero-norm (failed/padding vectors — cosine undefined), or with a
     NULL/NaN/±inf component are skipped, so they can neither poison a
-    matmul nor occupy top-k slots.
+    matmul nor occupy top-k slots.  Corpus rows with a NULL id are
+    skipped too: a rank without a join key is useless, and pandas
+    renders a nullable int id column as float64 whose NaN would
+    otherwise cast to a garbage integer in the output.
     """
     from pyspark.sql import Window
 
@@ -447,8 +453,20 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         nq = len(q_ids)
         pool_scores = [[] for _ in range(nq)]
         pool_ids = [[] for _ in range(nq)]
+
+        def _merge(qi):
+            # exact running top-k: fold the pool back to k entries so
+            # task memory stays O(Q × k), not O(batches × Q × k)
+            s = np.concatenate(pool_scores[qi])
+            i = np.concatenate(pool_ids[qi])
+            order = np.lexsort((i, -s))[:k]
+            pool_scores[qi] = [s[order]]
+            pool_ids[qi] = [i[order]]
+
         for pdf in batches:
-            rows = [_clean(v) for v in pdf[emb_col]]
+            id_ok = pdf[id_col].notna().to_numpy()
+            rows = [_clean(v) if id_ok[i] else None
+                    for i, v in enumerate(pdf[emb_col])]
             keep = [i for i, r in enumerate(rows) if r is not None]
             if not keep:
                 continue
@@ -462,16 +480,16 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 order = np.lexsort((ids, -sims[:, qi]))[:k]
                 pool_scores[qi].append(sims[order, qi])
                 pool_ids[qi].append(ids[order])
+                if len(pool_scores[qi]) >= 32:
+                    _merge(qi)
         out_q, out_i, out_s = [], [], []
         for qi in range(nq):
             if not pool_scores[qi]:
                 continue
-            s = np.concatenate(pool_scores[qi])
-            i = np.concatenate(pool_ids[qi])
-            order = np.lexsort((i, -s))[:k]
-            out_q.extend([q_ids[qi]] * len(order))
-            out_i.extend(i[order].tolist())
-            out_s.extend(s[order].tolist())
+            _merge(qi)
+            out_q.extend([q_ids[qi]] * len(pool_ids[qi][0]))
+            out_i.extend(pool_ids[qi][0].tolist())
+            out_s.extend(pool_scores[qi][0].tolist())
         yield pd.DataFrame({"query_id": out_q, id_col: out_i,
                             "cosine": out_s})
 
