@@ -5515,9 +5515,9 @@ def _pipeline_oracles() -> dict[str, str]:
             WITH RECURSIVE base AS (
               SELECT CAST(doc_id AS VARCHAR) AS id,
                      CAST(n_chars AS BIGINT) AS n,
-                     CAST(coalesce(doc_id, 0) % 8 AS INT) AS shard,
+                     CAST(((coalesce(doc_id, 0) % 8) + 8) % 8 AS INT) AS shard,
                      row_number() OVER (
-                       PARTITION BY CAST(coalesce(doc_id, 0) % 8 AS INT)
+                       PARTITION BY CAST(((coalesce(doc_id, 0) % 8) + 8) % 8 AS INT)
                        ORDER BY n_chars DESC NULLS LAST,
                                 CAST(doc_id AS VARCHAR) ASC) AS rn
               FROM documents),
@@ -5846,7 +5846,7 @@ def _pipeline_oracles() -> dict[str, str]:
               SELECT source, unnest(turns) AS g FROM t),
             rows_ AS (
               SELECT source,
-                     coalesce(g.role, 'null') AS role,
+                     coalesce(g.role, '<null>') AS role,
                      coalesce(length(g.content), 0) AS clen,
                      CASE WHEN g.content IS NULL OR g.content = ''
                           THEN 1 ELSE 0 END AS empty

@@ -301,6 +301,33 @@ def test_knn_join_skips_zero_norm_and_null_element(spark):
     assert all(r["cosine"] is not None for r in got)
 
 
+def test_knn_join_null_id_rows_do_not_corrupt_big_int64_ids(spark):
+    # One NULL-id row in an Arrow batch makes pandas render the whole
+    # int id column as float64; an id above 2^53 would then round-trip
+    # lossily. The DataFrame-level NULL-id filter keeps batches int64.
+    from validr_spark.operators.similarity import knn_join
+
+    big = (1 << 53) + 1                     # not representable in float64
+    corpus = spark.createDataFrame(
+        [(big, [1.0, 0.0]), (None, [0.9, 0.1]), (7, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(9, [1.0, 0.0])],
+                                    "vec_id long, embedding array<float>")
+    got = {r["vec_id"] for r in knn_join(corpus, queries, k=10).collect()}
+    assert got == {big, 7}
+
+
+def test_knn_join_query_collect_guard(spark):
+    # corpus-as-queries mistakes fail with a clear error, not driver OOM
+    from validr_spark.operators.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_query_cells"):
+        knn_join(emb, emb, k=3, max_query_cells=50)
+
+
 def test_knn_join_plan_arrow_scoring_no_join_shuffle(spark):
     """The scoring pass is one Arrow mapInPandas over the corpus (BLAS
     matmul per batch, per-partition exact top-k prune — PERF.md Finding

@@ -116,6 +116,24 @@ def test_utilization_zero_when_all_truncated(spark):
     assert row["utilization"] == 0.0
 
 
+def test_pack_greedy_shard_col_null_raises(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 0), ("b", 20, None)],
+        "doc_id string, n_tok long, sh int")
+    with pytest.raises(Exception, match="contains NULL"):
+        pack_greedy(df, max_tokens=64, shard_col="sh",
+                    num_shards=4).collect()
+
+
+def test_pack_greedy_shard_col_out_of_range_raises(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 0), ("b", 20, 7)],
+        "doc_id string, n_tok long, sh int")
+    with pytest.raises(Exception, match="outside"):
+        pack_greedy(df, max_tokens=64, shard_col="sh",
+                    num_shards=4).collect()
+
+
 # --- token-balanced shards (repartition_by_tokens) --------------------------
 
 def test_repartition_by_tokens_bounds_outlier(spark):

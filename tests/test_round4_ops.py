@@ -194,8 +194,9 @@ def test_turn_stats_per_role_scorecard(spark):
     assert a1["n_turns"] == 2
     assert a1["max_content_chars"] == 6
     assert a1["n_empty"] == 1                  # the NULL content
-    # NULL role surfaces as the literal 'null' label, not a dropped row
-    assert out[("s1", "null")]["n_turns"] == 1
+    # NULL role surfaces under the out-of-band '<null>' sentinel (not a
+    # dropped row, and not merged with a genuine role named "null")
+    assert out[("s1", "<null>")]["n_turns"] == 1
     assert out[("s2", "user")]["avg_content_chars"] == 4.0
 
 

@@ -396,9 +396,14 @@ def turn_stats(df: DataFrame, turns_col: str = "turns",
 
     Output: ``(group, role, n_turns, avg_content_chars,
     max_content_chars, n_empty)``; NULL turn structs are skipped (they
-    render to nothing), NULL roles are reported under the literal
-    ``'null'`` label so schema drift stays visible instead of vanishing
-    into a dropped group.
+    render to nothing), NULL roles are reported under the out-of-band
+    ``'<null>'`` label so schema drift stays visible instead of
+    vanishing into a dropped group.  Unlike the violation labelers in
+    this module (which tag individual messages with ``'null'``), this
+    label keys an AGGREGATION group — a genuine role literally named
+    "null" would silently merge with the drift group, so the sentinel
+    uses ``<>`` (illegal in every chat-template role grammar) to keep
+    the two populations separable.
 
     Shape at scale: one bounded posexplode + one hash aggregate keyed by
     (group, role) — group-sized output, everything codegen.
@@ -411,7 +416,7 @@ def turn_stats(df: DataFrame, turns_col: str = "turns",
     content = F.col("_t")["content"]
     clen = F.coalesce(F.length(content), F.lit(0))
     return (ex.groupBy(F.col("grp").alias(key),
-                       F.coalesce(F.col("_t")["role"], F.lit("null"))
+                       F.coalesce(F.col("_t")["role"], F.lit("<null>"))
                        .alias("role"))
             .agg(F.count(F.lit(1)).alias("n_turns"),
                  F.round(F.avg(clen), 2).alias("avg_content_chars"),

@@ -276,8 +276,10 @@ def pack_greedy(df: DataFrame, max_tokens: int,
     existing integer column — for pre-bucketed tables (pack inside each
     bucket with zero extra shuffle) or when the sharding must be
     replayable by another engine (the pack_stats oracle uses ``id % k``;
-    xxhash64 has no DuckDB counterpart).  Values must lie in
-    [0, num_shards).
+    xxhash64 has no DuckDB counterpart).  Values must be non-NULL and
+    lie in [0, num_shards) — violations raise a clear executor-side
+    ValueError instead of silently producing phantom shards (out of
+    range) or an opaque NaN→int cast failure (NULL).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -297,7 +299,16 @@ def pack_greedy(df: DataFrame, max_tokens: int,
         shard_expr.alias("shard"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["shard"].isna().any():
+            raise ValueError(
+                f"pack_greedy: shard_col {shard_col!r} contains NULL "
+                "values; shard assignments must be non-NULL integers "
+                f"in [0, {num_shards})")
         shard = int(pdf["shard"].iloc[0])
+        if not 0 <= shard < num_shards:
+            raise ValueError(
+                f"pack_greedy: shard_col {shard_col!r} value {shard} "
+                f"is outside [0, num_shards={num_shards})")
         # deterministic within-shard order regardless of arrival order
         if sort_within_shard:
             pdf = pdf.sort_values(["n_tok", "id"],

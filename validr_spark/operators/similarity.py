@@ -365,7 +365,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              q_id_col: str | None = None,
              q_emb_col: str | None = None,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             max_query_cells: int = 10_000_000) -> DataFrame:
     """Batch k-NN similarity join: for EVERY query row, the exact top-k
     corpus rows by cosine — the per-query generalization of
     :func:`cosine_topk` (one query) and the retrieval-shaped complement
@@ -396,14 +397,35 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
     zero-norm (failed/padding vectors — cosine undefined), or with a
     NULL/NaN/±inf component are skipped, so they can neither poison a
     matmul nor occupy top-k slots.  Corpus rows with a NULL id are
-    skipped too: a rank without a join key is useless, and pandas
-    renders a nullable int id column as float64 whose NaN would
-    otherwise cast to a garbage integer in the output.
+    dropped BEFORE the scan reaches pandas: a rank without a join key is
+    useless, and one NULL in an Arrow batch makes pandas render an
+    integer id column as float64 — the surviving ids would then
+    round-trip through float64 and silently lose precision above 2^53.
+    Filtering at the DataFrame level keeps every batch's id dtype
+    exactly the column's type.
+
+    ``max_query_cells`` caps the driver-side query materialization at
+    Q × dim float64 cells (default 10M ≈ 80 MB): a corpus mistakenly
+    passed as the query side fails with a clear error instead of a
+    driver OOM.
     """
     from pyspark.sql import Window
 
     q_id_col = q_id_col or id_col
     q_emb_col = q_emb_col or emb_col
+    probe = queries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(q_emb_col))).alias("d")).first()
+    n_q = int(probe["n"])
+    probe_dim = dim if dim is not None else int(probe["d"] or 0)
+    if n_q * max(probe_dim, 1) > max_query_cells:
+        raise ValueError(
+            f"knn_join: query side has {n_q} rows × dim≈{probe_dim} = "
+            f"{n_q * probe_dim} cells, over the max_query_cells bound "
+            f"({max_query_cells}). The query side is collected to the "
+            "driver by contract (an eval/probe set, small by "
+            "construction) — if this is intentional, raise "
+            "max_query_cells; if the sides are swapped, swap them back.")
     qrows = queries.select(F.col(q_id_col).alias("qid"),
                            F.col(q_emb_col).alias("qe")).collect()
     if dim is None:
@@ -464,6 +486,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
             pool_ids[qi] = [i[order]]
 
         for pdf in batches:
+            # NULL ids are filtered at the DataFrame level below; this
+            # in-batch guard is belt-and-suspenders for direct callers.
             id_ok = pdf[id_col].notna().to_numpy()
             rows = [_clean(v) if id_ok[i] else None
                     for i, v in enumerate(pdf[emb_col])]
@@ -493,8 +517,9 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 10,
         yield pd.DataFrame({"query_id": out_q, id_col: out_i,
                             "cosine": out_s})
 
-    cand = corpus.select(F.col(id_col), F.col(emb_col)).mapInPandas(
-        part, schema=out_schema)
+    cand = (corpus.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col), F.col(emb_col))
+            .mapInPandas(part, schema=out_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
