@@ -1,0 +1,180 @@
+"""True merge-based BPE: training determinism, the published-algorithm
+application loop, the single-occurrence equivalence the DuckDB oracle
+relies on, and the tokens_match_tokenizer violation rule."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from validr_spark.operators.bpe import (
+    apply_bpe, bpe_encode_word, bpe_vocab, learn_bpe,
+    learn_bpe_from_counts, tokens_match_tokenizer)
+
+# the classic Sennrich-2016 toy corpus (no end-of-word marker)
+TOY = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_learn_bpe_from_counts_classic_corpus():
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    # ('e','s') and ('s','t') both count 9 -> lexicographic tie-break
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_learn_bpe_training_is_deterministic():
+    wc = {f"w{i}{'ab' * (i % 5)}": i + 1 for i in range(50)}
+    assert (learn_bpe_from_counts(wc, 30)
+            == learn_bpe_from_counts(dict(reversed(list(wc.items()))), 30))
+
+
+def test_bpe_encode_word_applies_merges_in_rank_order():
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est"]
+    assert bpe_encode_word("low", ranks) == ["low"]
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_encode_word("", ranks) == []
+
+
+def _encode_single_occurrence(word, ranks):
+    """Independent reference: merge ONE occurrence per step — the
+    leftmost occurrence of the lowest-rank pair present.  This is the
+    exact semantics the DuckDB driver oracle's recursive CTE replays."""
+    syms = list(word)
+    while True:
+        best = None
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best is None or (r, i) < best):
+                best = (r, i)
+        if best is None:
+            return syms
+        i = best[1]
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+
+
+def test_trained_table_single_occurrence_equivalence():
+    """For a TRAINED merge table, the all-occurrences GPT-2 loop and
+    the single-occurrence-per-step loop agree (training creates a
+    symbol before any pair containing it, so merging cannot introduce
+    a lower-rank pair) — the property the recursive-CTE oracle needs."""
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcdeft ") for _ in range(rng.randint(1, 12)))
+             .strip() or "a" for _ in range(400)]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges = learn_bpe_from_counts(wc, num_merges=60, min_pair_count=2)
+    assert merges, "training produced no merges; corpus too small"
+    ranks = {m: i for i, m in enumerate(merges)}
+    probes = words + ["aaaa", "aaaaa", "abababab", "deftdeft"]
+    for w in probes:
+        assert bpe_encode_word(w, ranks) == \
+            _encode_single_occurrence(w, ranks), w
+
+
+def test_bpe_vocab_ids_are_alphabet_then_merge_order():
+    merges = [("a", "b"), ("ab", "c")]
+    v = bpe_vocab(merges, ["c", "a", "b"])
+    assert v == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+
+
+def test_apply_bpe_pieces_and_ids(spark):
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    df = spark.createDataFrame(
+        [(1, "low lowest"), (2, "  newest\tlow "), (3, None), (4, "")],
+        "doc_id long, text string")
+    pieces = {r["doc_id"]: r["tokens"]
+              for r in apply_bpe(df, merges).collect()}
+    assert pieces[1] == ["low", "low", "est"]
+    assert pieces[2] == ["n", "e", "w", "est", "low"]
+    assert pieces[3] is None
+    assert pieces[4] == []
+    vocab = bpe_vocab(merges, list("abcdefghijklmnopqrstuvwxyz"))
+    ids = {r["doc_id"]: r["tokens"]
+           for r in apply_bpe(df, merges, vocab=vocab).collect()}
+    assert ids[1] == [vocab["low"], vocab["low"], vocab["est"]]
+    # unknown piece (not in vocab/alphabet) -> unk_id
+    df2 = spark.createDataFrame([(9, "l√w")], "doc_id long, text string")
+    got = apply_bpe(df2, merges, vocab=vocab).collect()[0]["tokens"]
+    assert got == [vocab["l"], -1, vocab["w"]]
+
+
+def test_apply_bpe_matches_local_loop_on_corpus(spark):
+    """Distributed apply == the local published-algorithm loop on a
+    trained table over real corpus text (round-trip differential)."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("text").isNotNull()).limit(60))
+    merges = learn_bpe(docs, num_merges=80, max_words=5_000)
+    assert len(merges) > 10
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {r["doc_id"]: r["tokens"]
+           for r in apply_bpe(docs, merges).collect()}
+    import re
+    for row in docs.select("doc_id", "text").collect():
+        expect = []
+        for w in re.findall(r"[^ \t\n\r\f\x0B]+", row["text"]):
+            expect.extend(bpe_encode_word(w, ranks))
+        assert got[row["doc_id"]] == expect, row["doc_id"]
+
+
+def test_learn_bpe_distributed_equals_local_counts(spark):
+    df = spark.createDataFrame(
+        [(w,) for w, c in TOY.items() for _ in range(c)], "text string")
+    assert learn_bpe(df, num_merges=4) == \
+        learn_bpe_from_counts(TOY, num_merges=4)
+
+
+def test_tokens_match_tokenizer_flags_only_corrupted_rows(spark):
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    vocab = bpe_vocab(merges, list("abcdefghijklmnopqrstuvwxyz"))
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lowest", "newest", "widest low", "lower"])],
+        "doc_id long, text string")
+    good = apply_bpe(base, merges, vocab=vocab)
+    # corrupt doc 1 (drop last token) and doc 3 (flip first token)
+    tampered = good.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == 1,
+               F.slice("tokens", 1, F.size("tokens") - 1))
+        .when(F.col("doc_id") == 3,
+              F.concat(F.array(F.lit(9999)),
+                       F.slice("tokens", 2, F.size("tokens"))))
+        .otherwise(F.col("tokens")))
+    v = {r["id"]: r for r in tokens_match_tokenizer(
+        tampered, merges, vocab=vocab).collect()}
+    assert set(v) == {1, 3}
+    assert v[1]["rule_id"] == "tokens.bpe_mismatch"
+    # doc 1: prefix of expected -> first diff at the truncated tail
+    n1 = len(good.filter("doc_id = 1").first()["tokens"])
+    assert v[1]["value"] == str(n1 - 1)
+    assert v[3]["value"] == "0"
+    assert "expected" in v[1]["message"] and "got" in v[1]["message"]
+
+
+def test_tokens_match_tokenizer_null_asymmetry(spark):
+    merges = learn_bpe_from_counts(TOY, num_merges=2)
+    df = spark.createDataFrame(
+        [(1, None, [0]), (2, "low", None), (3, None, None)],
+        "doc_id long, text string, tokens array<int>")
+    vocab = bpe_vocab(merges, list("abcdefghijklmnopqrstuvwxyz"))
+    got = {r["id"]: r for r in tokens_match_tokenizer(
+        df, merges, vocab=vocab).collect()}
+    assert set(got) == {1, 2}                 # both-NULL row 3 agrees
+    assert got[1]["value"] is None
+    assert "null" in got[1]["message"]
+
+
+def test_apply_bpe_single_python_stage(spark):
+    """The expected-tokens column is computed by ONE ArrowEvalPython
+    pass even though the validator references it several times (the
+    nondeterministic barrier must keep CollapseProject from inlining
+    the pandas_udf per reference)."""
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    df = spark.createDataFrame([(1, "low", [0])],
+                               "doc_id long, text string, tokens array<int>")
+    plan = (tokens_match_tokenizer(df, merges,
+                                   vocab=bpe_vocab(merges, ["l", "o", "w"]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("ArrowEvalPython") == 1
