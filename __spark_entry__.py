@@ -2452,6 +2452,87 @@ def q_numeric_corr(spark, sf):
     return out.select("col_a", "col_b", "corr").orderBy("col_a", "col_b")
 
 
+# ---------------------------------------------------------------------------
+# true merge-based BPE (operators/bpe.py) — round-5 north-rule closure
+# ---------------------------------------------------------------------------
+
+# Trained ONCE with operators.bpe.learn_bpe(num_merges=48) on the sf0.01
+# documents corpus and PINNED literally, so every scale factor and both
+# engines replay the identical table (the r4 pinnable-override pattern:
+# training itself is deterministic but sf-dependent; the applied table
+# must not be).  Rank = list index.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector")]
+# the training corpus's character inventory, pinned with the merges
+BPE_ALPHABET = "abcdefghijklmnopqrstuvwy"
+
+
+def _bpe_vocab() -> dict[str, int]:
+    from validr_spark.operators.bpe import bpe_vocab
+    return bpe_vocab(BPE_MERGES, list(BPE_ALPHABET))
+
+
+def q_bpe_tokens(spark, sf):
+    """True BPE application (operators/bpe.py): tokenize the first 120
+    chars of every document under the pinned 48-merge table, exploded
+    to (doc_id, pos, token_id) rows.  The DuckDB twin replays the
+    greedy merge loop with a recursive CTE — one merge step per
+    recursion level, lowest-rank pair first, leftmost occurrence per
+    step, which is provably step-equivalent to the all-occurrences
+    GPT-2 loop for any TRAINED table (training creates a symbol before
+    any pair containing it; equivalence asserted in tests/test_bpe.py).
+    Unknown pieces map to -1 on both sides."""
+    from validr_spark.operators.bpe import apply_bpe
+
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+          .select("doc_id", F.substring("text", 1, 120).alias("text")))
+    toks = apply_bpe(df, BPE_MERGES, vocab=_bpe_vocab())
+    return (toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token_id"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("pos").cast("long").alias("pos"),
+                F.col("token_id").cast("long").alias("token_id"))
+        .orderBy("doc_id", "pos"))
+
+
+def q_bpe_check(spark, sf):
+    """The north-rule invariant end-to-end: tokens_match_tokenizer
+    (operators/bpe.py) over a tokens column that is BPE(text) for most
+    docs but corrupted (one appended token id 9999) where
+    pmod(doc_id, 13) == 0 — exactly the corrupted docs must surface as
+    violation rows with the first-divergence index in ``value``.  The
+    twin recomputes per-doc token counts with the same recursive CTE
+    and emits the identical (id, rule_id, position, message, value)
+    strings."""
+    from validr_spark.operators.bpe import apply_bpe, tokens_match_tokenizer
+
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+          .select("doc_id", F.substring("text", 1, 120).alias("text")))
+    vocab = _bpe_vocab()
+    good = apply_bpe(df, BPE_MERGES, vocab=vocab)
+    tampered = good.withColumn(
+        "tokens",
+        F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+               F.concat("tokens", F.array(F.lit(9999))))
+        .otherwise(F.col("tokens")))
+    return (tokens_match_tokenizer(tampered, BPE_MERGES, vocab=vocab)
+            .select(F.col("id").cast("long").alias("id"),
+                    "rule_id", "position", "message", "value")
+            .orderBy("id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -2467,7 +2548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Proven-green round-3 rows rotate to the back: the driver
         # re-verifies whatever it samples, so they lose nothing by moving.
         # ------------------------------------------------------------------
-        # round-4 additions (newest first — never driver-checked):
+        # round-5 additions (newest first — never driver-checked):
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_check": q_bpe_check,
+        # round-4 additions:
         "turn_stats": q_turn_stats,
         "context_overflow": q_context_overflow,
         "loss_mask": q_loss_mask,
@@ -2659,6 +2743,57 @@ def _doc_viol_cte(doc_src_list: str, lang_expects: str, src_expects: str,
             )"""
 
 
+def _bpe_bestpos(sym: str) -> str:
+    """Scalar subquery: position of the leftmost occurrence of the
+    lowest-rank mergeable pair in symbol list ``sym`` (NULL when no
+    adjacent pair is in the merge table).  (rank, position) is encoded
+    as rank*1000+position — words are capped at 120 chars upstream, so
+    position < 1000 and the decode is exact."""
+    return (f"(SELECT CAST(min(mm.rank * 1000 + p.i) % 1000 AS BIGINT) "
+            f"FROM (SELECT unnest({sym}[1:len({sym})-1]) AS a, "
+            f"unnest({sym}[2:len({sym})]) AS b, "
+            f"unnest(range(1, len({sym}))) AS i) p "
+            f"JOIN m mm ON mm.l = p.a AND mm.r = p.b)")
+
+
+def _bpe_cte() -> str:
+    """Shared recursive-CTE body replaying the pinned BPE merge table
+    (single-leftmost-occurrence-per-step — step-equivalent to the
+    engine's all-occurrences loop for trained tables, see
+    tests/test_bpe.py): documents → per-word symbol lists → iterated
+    merges → ``fin(doc_id, widx, syms)`` terminal states, plus the
+    merge-rank table ``m`` and id table ``v``."""
+    merges_values = ", ".join(f"('{l}', '{r}', {i})"
+                              for i, (l, r) in enumerate(BPE_MERGES))
+    vocab_values = ", ".join(f"('{t}', {i})"
+                             for t, i in _bpe_vocab().items())
+    return f"""
+            m(l, r, rank) AS (VALUES {merges_values}),
+            v(tok, tid) AS (VALUES {vocab_values}),
+            words AS (
+              SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                     unnest(ws) AS word
+              FROM (SELECT doc_id,
+                           regexp_extract_all(substr(text, 1, 120),
+                               '[^ \\t\\n\\r\\f\\x0B]+') AS ws
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL) s),
+            init AS (
+              SELECT doc_id, widx,
+                     regexp_extract_all(word, '.', 0) AS syms
+              FROM words),
+            bpe(doc_id, widx, syms, bp) AS (
+              SELECT doc_id, widx, syms, {_bpe_bestpos('syms')}
+              FROM init
+              UNION ALL
+              SELECT doc_id, widx, ns, {_bpe_bestpos('ns')}
+              FROM (SELECT doc_id, widx,
+                           syms[1:bp-1] || [syms[bp] || syms[bp+1]]
+                               || syms[bp+2:] AS ns
+                    FROM bpe WHERE bp IS NOT NULL) t),
+            fin AS (SELECT doc_id, widx, syms FROM bpe WHERE bp IS NULL)"""
+
+
 def oracle_sql() -> dict[str, str]:
     # single quotes inside SQL string literals must be doubled
     lang_expects = _enum_expects(DOC_LANGS).replace("'", "''")
@@ -2667,6 +2802,47 @@ def oracle_sql() -> dict[str, str]:
     clip = ("CASE WHEN length({c}) > 75 THEN '''' || substr({c}, 1, 75) "
             "|| '..''' ELSE '''' || {c} || '''' END")
     return {
+        # true BPE application: recursive-CTE replay of the pinned
+        # merge table (see _bpe_cte); unknown pieces -> -1 both sides
+        "bpe_tokens": f"""
+            WITH RECURSIVE {_bpe_cte()},
+            toks AS (
+              SELECT doc_id, widx, generate_subscripts(syms, 1) AS si,
+                     unnest(syms) AS piece
+              FROM fin),
+            out AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY widx, si) - 1 AS pos,
+                     coalesce(vv.tid, -1) AS token_id
+              FROM toks LEFT JOIN v vv ON vv.tok = toks.piece)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(token_id AS BIGINT) AS token_id
+            FROM out ORDER BY doc_id, pos
+        """,
+        # tokens-match-tokenizer violations: docs with pmod(doc_id,13)=0
+        # carry one appended token 9999, so expected n / got n+1 and the
+        # first divergence sits at index n (the appended position)
+        "bpe_check": f"""
+            WITH RECURSIVE {_bpe_cte()},
+            cnt AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
+                    FROM fin GROUP BY doc_id),
+            docs AS (SELECT doc_id FROM documents
+                     WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+            n_by_doc AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+                         FROM docs d LEFT JOIN cnt c USING (doc_id))
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   'tokens.bpe_mismatch' AS rule_id,
+                   'tokens' AS position,
+                   'tokens != bpe(text): expected ' || CAST(n AS VARCHAR)
+                     || ' tokens, got ' || CAST(n + 1 AS VARCHAR)
+                     AS message,
+                   CAST(n AS VARCHAR) AS value
+            FROM n_by_doc
+            WHERE ((doc_id % 13) + 13) % 13 = 0
+            ORDER BY id
+        """,
         "doc_null_rate": """
             SELECT count(*)::BIGINT AS n_rows,
                    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
