@@ -2533,6 +2533,79 @@ def q_bpe_check(spark, sf):
             .orderBy("id"))
 
 
+# ---------------------------------------------------------------------------
+# language identification (operators/langid.py) — round-5
+# ---------------------------------------------------------------------------
+
+# Pinned trilingual training templates: the model is TRAINED in-query
+# (train_lang_model, round_to=8 pins the float boundary) and the DuckDB
+# twin replays the training math too — counts, the shared smoothing
+# vocabulary V, ln((c+1)/(tot+V)) — so the whole train→score→predict
+# path is hash-verified, not just scoring.  All-lowercase ASCII so the
+# lower() step and char indexing cannot diverge between engines.
+LANG_TEMPLATES = {
+    "en": "the quick brown fox jumps over the lazy dog and runs far "
+          "away today",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und "
+          "lief heute weg",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux "
+          "et court loin",
+}
+
+
+def _lang_model(spark):
+    from validr_spark.operators.langid import train_lang_model
+    df = spark.createDataFrame(
+        [(t, l) for l, t in sorted(LANG_TEMPLATES.items())],
+        "text string, lang string")
+    return train_lang_model(df, n=3, alpha=1.0, round_to=8)
+
+
+def _lang_docs(spark, sf):
+    """Deterministic synthetic trilingual corpus keyed off doc_id:
+    template by pmod(doc_id,3), sliced at a pmod(doc_id,7) offset for
+    per-doc gram variety."""
+    df = _load(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    tpl = (F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                  F.lit(LANG_TEMPLATES["en"]))
+           .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+                 F.lit(LANG_TEMPLATES["de"]))
+           .otherwise(F.lit(LANG_TEMPLATES["fr"])))
+    txt = F.substr(tpl, F.pmod(F.col("doc_id"), F.lit(7)) + F.lit(1),
+                   F.lit(60))
+    return df.select("doc_id", txt.alias("text"))
+
+
+def q_lang_scores(spark, sf):
+    """Char-trigram Naive-Bayes language scores (operators/langid.py)
+    over the synthetic trilingual corpus: one (id, lang, score,
+    n_grams) row per doc × language, model trained in-query on the
+    pinned templates.  Scoring is zero-Python codegen (gram posexplode
+    + broadcast model join + two hash aggs); the twin replays training
+    AND scoring in SQL."""
+    from validr_spark.operators.langid import lang_scores
+
+    out = lang_scores(_lang_docs(spark, sf), _lang_model(spark),
+                      round_to=6)
+    return (out.select(F.col("id").cast("long").alias("id"), "lang",
+                       "score", F.col("n_grams").cast("long")
+                       .alias("n_grams"))
+            .orderBy("id", "lang"))
+
+
+def q_lang_predict(spark, sf):
+    """Argmax + top-two-margin prediction (langid.lang_predict) over
+    the same scores — the lang_filter gate's inputs.  Deterministic
+    tie-break (score desc, lang asc) replayed by the twin's window."""
+    from validr_spark.operators.langid import lang_predict, lang_scores
+
+    pred = lang_predict(lang_scores(_lang_docs(spark, sf),
+                                    _lang_model(spark), round_to=6))
+    return (pred.select(F.col("id").cast("long").alias("id"), "lang",
+                        "score", F.round("margin", 6).alias("margin"))
+            .orderBy("id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -2551,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions (newest first — never driver-checked):
         "bpe_tokens": q_bpe_tokens,
         "bpe_check": q_bpe_check,
+        "lang_scores": q_lang_scores,
+        "lang_predict": q_lang_predict,
         # round-4 additions:
         "turn_stats": q_turn_stats,
         "context_overflow": q_context_overflow,
@@ -2794,6 +2869,62 @@ def _bpe_cte() -> str:
             fin AS (SELECT doc_id, widx, syms FROM bpe WHERE bp IS NULL)"""
 
 
+def _langid_cte() -> str:
+    """Shared CTE body replaying langid TRAINING (per-lang trigram
+    counts, shared smoothing vocabulary V, ln((c+1)/(tot+V)) rounded
+    to the same 8-decimal pin) and SCORING (gram explode → model join
+    → NB log-sum with floor backoff) over the synthetic trilingual
+    corpus — ends at ``scores(id, lang, score, n_grams)``."""
+    en, de, fr = (LANG_TEMPLATES["en"], LANG_TEMPLATES["de"],
+                  LANG_TEMPLATES["fr"])
+    return f"""
+            tpl(lang, txt) AS (
+              VALUES ('de', '{de}'), ('en', '{en}'), ('fr', '{fr}')),
+            tg AS (
+              SELECT lang, substr(txt, CAST(i AS INT), 3) AS gram
+              FROM tpl, unnest(range(1, length(txt) - 1)) AS t(i)),
+            counts AS (
+              SELECT lang, gram, count(*) AS c
+              FROM tg GROUP BY lang, gram),
+            vs AS (SELECT count(DISTINCT gram) AS v FROM counts),
+            tot AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang),
+            m AS (
+              SELECT c.lang, c.gram,
+                     round(ln((c.c + 1.0) / (t.tot + 1.0 * v.v)), 8)
+                       AS logp
+              FROM counts c JOIN tot t USING (lang) CROSS JOIN vs v),
+            fl AS (
+              SELECT t.lang,
+                     round(ln(1.0 / (t.tot + 1.0 * v.v)), 8)
+                       AS floor_logp
+              FROM tot t CROSS JOIN vs v),
+            docs AS (
+              SELECT doc_id AS id,
+                     substr(CASE ((doc_id % 3) + 3) % 3
+                              WHEN 0 THEN '{en}'
+                              WHEN 1 THEN '{de}'
+                              ELSE '{fr}' END,
+                            CAST(((doc_id % 7) + 7) % 7 + 1 AS INT),
+                            60) AS txt
+              FROM documents WHERE doc_id IS NOT NULL),
+            g AS (
+              SELECT id, substr(txt, CAST(i AS INT), 3) AS gram
+              FROM docs, unnest(range(1, length(txt) - 1)) AS t(i)),
+            per_doc AS (
+              SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+            present AS (
+              SELECT g.id, m.lang, sum(m.logp) AS ps, count(*) AS pc
+              FROM g JOIN m ON m.gram = g.gram GROUP BY g.id, m.lang),
+            scores AS (
+              SELECT d.id, f.lang,
+                     round(coalesce(p.ps, 0.0)
+                           + (d.n_grams - coalesce(p.pc, 0))
+                             * f.floor_logp, 6) AS score,
+                     CAST(d.n_grams AS BIGINT) AS n_grams
+              FROM per_doc d CROSS JOIN fl f
+              LEFT JOIN present p ON p.id = d.id AND p.lang = f.lang)"""
+
+
 def oracle_sql() -> dict[str, str]:
     # single quotes inside SQL string literals must be doubled
     lang_expects = _enum_expects(DOC_LANGS).replace("'", "''")
@@ -2842,6 +2973,25 @@ def oracle_sql() -> dict[str, str]:
             FROM n_by_doc
             WHERE ((doc_id % 13) + 13) % 13 = 0
             ORDER BY id
+        """,
+        # char-trigram NB language ID: training AND scoring replayed
+        "lang_scores": f"""
+            WITH {_langid_cte()}
+            SELECT CAST(id AS BIGINT) AS id, lang, score, n_grams
+            FROM scores ORDER BY id, lang
+        """,
+        "lang_predict": f"""
+            WITH {_langid_cte()},
+            pred AS (
+              SELECT id, lang, score,
+                     row_number() OVER w AS rn,
+                     score - lead(score) OVER w AS mg
+              FROM scores
+              WINDOW w AS (PARTITION BY id
+                           ORDER BY score DESC, lang ASC))
+            SELECT CAST(id AS BIGINT) AS id, lang, score,
+                   round(mg, 6) AS margin
+            FROM pred WHERE rn = 1 ORDER BY id
         """,
         "doc_null_rate": """
             SELECT count(*)::BIGINT AS n_rows,
