@@ -166,6 +166,33 @@ def test_tokens_match_tokenizer_null_asymmetry(spark):
     assert "null" in got[1]["message"]
 
 
+def test_check_suite_tokens_match_gate(spark):
+    """Check.tokens_match folds the BPE recompute into the declarative
+    suite's single scan and gates on the match ratio."""
+    from validr_spark.operators.checks import Check, CheckSuite
+
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    vocab = bpe_vocab(merges, list("abcdefghijklmnopqrstuvwxyz"))
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["low", "newest", "widest",
+                                       "lower"])],
+        "doc_id long, text string")
+    good = apply_bpe(base, merges, vocab=vocab)
+    tampered = good.withColumn(
+        "tokens", F.when(F.col("doc_id") == 0,
+                         F.array(F.lit(1), F.lit(2)))
+        .otherwise(F.col("tokens")))
+    suite = CheckSuite("bpe", [
+        Check.tokens_match(merges, vocab=vocab, min_ratio=1.0),
+        Check.row_count(min=1)])
+    rep = {r["check_id"]: r for r in suite.run(tampered).collect()}
+    gate = rep["tokens_match(tokens)"]
+    assert gate["observed"] == pytest.approx(0.75)
+    assert not gate["passed"]
+    clean = {r["check_id"]: r for r in suite.run(good).collect()}
+    assert clean["tokens_match(tokens)"]["passed"]
+
+
 def test_apply_bpe_single_python_stage(spark):
     """The expected-tokens column is computed by ONE ArrowEvalPython
     pass even though the validator references it several times (the

@@ -198,11 +198,11 @@ def bpe_encode_word(word: str,
     return syms
 
 
-def _tokens_expr(df: DataFrame, merges, text_col: str,
+def _tokens_expr(spark, merges, text_col: str,
                  vocab: dict[str, int] | None, unk_id: int):
     """Column expression: BPE token array for ``text_col`` — pieces
     (array<string>) without a vocab, ids (array<int>) with one."""
-    sc = df.sparkSession.sparkContext
+    sc = spark.sparkContext
     bc = sc.broadcast((dict({tuple(m): i for i, m in enumerate(merges)}),
                        dict(vocab) if vocab is not None else None))
 
@@ -257,8 +257,8 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
     downstream agg without moving data.  NULL text → NULL tokens.
     """
     return df.withColumn(out_col,
-                         _tokens_expr(df, merges, text_col, vocab,
-                                      unk_id))
+                         _tokens_expr(df.sparkSession, merges, text_col,
+                                      vocab, unk_id))
 
 
 def tokens_match_tokenizer(df: DataFrame,
@@ -280,7 +280,8 @@ def tokens_match_tokenizer(df: DataFrame,
     codegen array ops (``zip_with`` + ``array_position``) on the
     recomputed column — one scan, no shuffle, no second Python pass.
     """
-    expected = _tokens_expr(df, merges, text_col, vocab, unk_id)
+    expected = _tokens_expr(df.sparkSession, merges, text_col, vocab,
+                            unk_id)
     # nondeterministic-guarded barrier (house pattern, PERF.md Finding
     # 4): "_exp" is referenced several times below; without the guard
     # CollapseProject would inline the pandas_udf call per reference

@@ -154,6 +154,36 @@ class Check:
                      lo=min_ratio)
 
     @staticmethod
+    def tokens_match(merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     tokens_col: str = "tokens",
+                     vocab: dict[str, int] | None = None,
+                     unk_id: int = -1,
+                     min_ratio: float = 1.0) -> "Check":
+        """Fraction of rows whose ``tokens_col`` equals ``BPE(text)``
+        under the trained merge table (operators/bpe.py) — the north
+        rule's per-row token-array-equality invariant as a suite gate,
+        the table-level complement of
+        ``bpe.tokens_match_tokenizer``'s per-row violation listing.
+        The recompute is ONE Arrow-batched pandas UDF column folded
+        into the suite's single scan (Spark lifts it into a projection
+        before the aggregate); both-NULL rows count as matching — no
+        evidence of drift."""
+        from pyspark.sql import SparkSession
+        from validr_spark.operators.bpe import _tokens_expr
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:                     # pragma: no cover
+            raise RuntimeError("tokens_match needs an active "
+                               "SparkSession to broadcast the merge "
+                               "table")
+        expected = _tokens_expr(spark, merges, text_col, vocab, unk_id)
+        ok = F.col(tokens_col).eqNullSafe(expected)
+        m = F.sum(ok.cast("long")) / F.count(F.lit(1))
+        return Check(f"tokens_match({tokens_col})", tokens_col, m,
+                     lo=min_ratio)
+
+    @staticmethod
     def array_finite_ratio(column: str, min_ratio: float = 1.0) -> "Check":
         """Fraction of non-null float-array rows containing no NaN/±Inf
         and no NULL elements (operators/embedding.py hygiene semantics:
