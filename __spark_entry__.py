@@ -563,11 +563,15 @@ def q_minhash_oracle(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
-def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
-                        seed: int = 42) -> str:
-    """DuckDB twin of q_minhash_oracle, generated from the SAME
-    portable_hash_params constants the Spark operator inlines — one
-    source of truth for the hash family."""
+def _minhash_band_cte(num_hashes: int = 32, bands: int = 8,
+                      seed: int = 42) -> str:
+    """Shared CTE chain replaying the portable minhash banding
+    (shingle → md5 hash → affine-mod-p signature → band buckets →
+    ``pairs(id_a, id_b)``, one row per matching band), generated from
+    the SAME portable_hash_params constants the Spark operator inlines
+    — one source of truth for the hash family.  Used by the
+    minhash_oracle twin and (since round 5) chained into the
+    ngram_jaccard verify twin."""
     p = dedup.MERSENNE31
     params = dedup.portable_hash_params(num_hashes, seed)
     rows = num_hashes // bands
@@ -579,8 +583,7 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
             b=b, key=" || ',' || ".join(
                 f"h{b * rows + j}::VARCHAR" for j in range(rows)))
         for b in range(bands))
-    return f"""
-            WITH pre AS (
+    return f"""pre AS (
               SELECT doc_id AS doc,
                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
               FROM documents WHERE text IS NOT NULL),
@@ -606,10 +609,53 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
             pairs AS (
               SELECT l.doc AS id_a, r.doc AS id_b
               FROM bands l JOIN bands r
-                ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
+                ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        seed: int = 42) -> str:
+    """DuckDB twin of q_minhash_oracle (≥2 matching bands)."""
+    return f"""
+            WITH {_minhash_band_cte(num_hashes, bands, seed)}
             SELECT id_a, id_b, count(*)::BIGINT AS n_bands_matched
             FROM pairs GROUP BY 1, 2
             HAVING count(*) >= 2
+            ORDER BY id_a, id_b
+        """
+
+
+def _ngram_jaccard_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                              seed: int = 42,
+                              threshold: float = 0.4) -> str:
+    """DuckDB twin of q_ngram_jaccard: the portable band CTE (≥1
+    matching band = candidate) chained into the distinct word-3-gram
+    Jaccard algebra the jaccard_exact twin proved."""
+    return f"""
+            WITH {_minhash_band_cte(num_hashes, bands, seed)},
+            cand AS (SELECT DISTINCT id_a, id_b FROM pairs),
+            w AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            g3 AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> array_to_string(ws[i:i+2], ' '))) AS gram
+              FROM w),
+            sz AS (SELECT doc_id, count(*) AS n FROM g3 GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cand c
+              JOIN g3 a ON a.doc_id = c.id_a
+              JOIN g3 b ON b.doc_id = c.id_b AND b.gram = a.gram
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
             ORDER BY id_a, id_b
         """
 
@@ -805,12 +851,20 @@ def q_manifest_run(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """LSH candidates → exact n-gram Jaccard verify.  Rows-only: the
-    candidate set comes from xxhash64 minhash banding (no DuckDB
-    counterpart); the verify algebra itself is hash-oracled by
-    jaccard_exact/containment and the banding by minhash_oracle."""
+    """End-to-end near-dup pipeline: LSH candidates → exact word-3-gram
+    Jaccard verify (dedup.ngram_jaccard_pairs).  HASH-ORACLED since
+    round 5 (upgraded from rows-only via the r4 pinnable-override
+    pattern): ``portable=True`` generates candidates with the
+    md5/affine family whose banding DuckDB replays exactly
+    (minhash_oracle proved that half), and the twin chains the same
+    band CTE into the distinct-gram Jaccard algebra jaccard_exact
+    proved — so the composed candidates→verify pipeline is now
+    value-verified, not just its halves.  The xxhash64 production
+    family stays covered rows-only by minhash_pairs."""
     df = _load(spark, sf, "documents")
-    return (dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.4)
+    return (dedup.ngram_jaccard_pairs(df, ngram=3, threshold=0.4,
+                                      portable=True, num_hashes=32,
+                                      bands=8)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
 
@@ -2609,24 +2663,107 @@ def q_lang_predict(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
-        # Ordering is DELIBERATE (rotated round-4): the correctness driver
-        # samples a prefix of this dict, so the 20 never-driver-checked
-        # entries come first (the whole round-3 LLM tail: dialog/preference
-        # QC, token-gram contamination, novelty, sequence dedup — plus the
-        # older unchecked rows and the three rows-only -> hash-oracle
-        # upgrades semantic_dups / ivf_topk / pack_stats), then the five
-        # rows whose oracles carried the HUGEINT defect (now ::BIGINT-cast
-        # — proving them green is this round's top ask), then the
-        # longest-unverified round-1/2 greens for regression re-checks.
-        # Proven-green round-3 rows rotate to the back: the driver
-        # re-verifies whatever it samples, so they lose nothing by moving.
+        # Ordering is DELIBERATE (rotated round-5): the correctness driver
+        # samples a prefix of this dict.  The four round-5 queries lead
+        # (never driver-checked), then the VERDICT-r4 rotation ask: the
+        # longest-unverified round-1/2 greens (sessions, events_diff,
+        # psi_drift, key_skew, the streaming-adjacent and skew rows --
+        # none re-checked since r1/r2) and the round-2/3 lineage rows the
+        # r04 sample missed, plus two never-sampled rows-only entries.
+        # 46 of the 50 prefix slots were NOT in r04's sample.  Proven r3/
+        # r4 greens rotate to the back: the driver re-verifies whatever
+        # it samples, so they lose nothing by moving.
         # ------------------------------------------------------------------
-        # round-5 additions (newest first — never driver-checked):
         "bpe_tokens": q_bpe_tokens,
         "bpe_check": q_bpe_check,
         "lang_scores": q_lang_scores,
         "lang_predict": q_lang_predict,
-        # round-4 additions:
+        # longest-unverified round-1/2 driver-greens (not re-checked
+        # since r1/r2 -- the r5 rotation ask):
+        "sessions": q_sessions,
+        "events_diff": q_events_diff,
+        "psi_drift": q_psi_drift,
+        "key_skew": q_key_skew,
+        "heavy_keys": q_heavy_keys,
+        "encoding_audit": q_encoding_audit,
+        "fd_check": q_fd_check,
+        "ordering_check": q_ordering_check,
+        "jsd_drift": q_jsd_drift,
+        "robust_outliers": q_robust_outliers,
+        "embedding_audit": q_embedding_audit,
+        "span_cut": q_span_cut,
+        "jaccard_exact": q_jaccard_exact,
+        "containment": q_containment,
+        "edit_sim": q_edit_sim,
+        "collocations": q_collocations,
+        "join_fanout": q_join_fanout,
+        "resample_daily": q_resample,
+        "temperature_mix": q_temperature_mix,
+        "upsample": q_upsample,
+        "fuzzy_ref": q_fuzzy_ref,
+        "source_overlap": q_source_overlap,
+        "split_leakage": q_split_leakage,
+        "psi_groups": q_psi_groups,
+        "token_counts": q_token_counts,
+        "lang_hist": q_lang_hist,
+        "ann_topk": q_ann_topk,
+        "embedding_stats": q_embedding_stats,
+        "events_validate": q_events_validate,
+        "doc_profile": q_doc_profile,
+        "chars_quantiles": q_chars_quantiles,
+        "orphan_rows": q_orphan_rows,
+        "dup_keys_salted": q_dup_keys_salted,
+        # round-2/3 lineage rows that were NOT in the r04 sample:
+        "dsir_select": q_dsir_select,
+        "ccnet_mix": q_ccnet_mix,
+        "token_budget": q_token_budget,
+        "budget_mix": q_budget_mix,
+        "train_order": q_train_order,
+        "pipeline_prep": q_pipeline_prep,
+        "token_hist": q_token_hist,
+        "quality_filter": q_quality_filter,
+        "top_ngram": q_top_ngram,
+        "repetition_topk": q_repetition_topk,
+        # rows-only entries never yet driver-sampled (the weaker
+        # rows-only check is still a first signal):
+        "sequences_validate": q_sequences_validate,
+        "manifest_run": q_manifest_run,
+        # upgraded rows-only -> hash-oracle this round (never hash-checked):
+        "ngram_jaccard": q_ngram_jaccard,
+        # ---- end of the 50-slot driver sampling prefix ----
+        # round-3 greens (many re-verified by the r4 judge session):
+        "scalar_net_violations": q_scalar_net_violations,
+        "scalar_net_coerced": q_scalar_net_coerced,
+        "scalar_temporal": q_scalar_temporal,
+        "scalar_strnum": q_scalar_strnum,
+        "sequences_oracle": q_sequences_oracle,
+        "pack_oracle": q_pack_oracle,
+        "check_suite": q_check_suite,
+        "frame_check": q_frame_check,
+        "json_props_validate": q_json_props_validate,
+        "repair_report": q_repair_report,
+        "minhash_oracle": q_minhash_oracle,
+        "simhash_oracle": q_simhash_oracle,
+        "image_audit": q_image_audit,
+        "kmeans_clusters": q_kmeans_clusters,
+        "map_validate": q_map_validate,
+        "suggest_schema": q_suggest_schema,
+        "sample_split": q_sample_split,
+        "sample_mix": q_sample_mix,
+        "pii_audit": q_pii_audit,
+        "violation_triage": q_violation_triage,
+        "asof_clicks": q_asof_clicks,
+        "asof_forward": q_asof_forward,
+        "anomaly_scan": q_anomaly_scan,
+        "dup_components": q_dup_components,
+        "contamination": q_contamination,
+        "decontaminated": q_decontaminated,
+        "knn_join": q_knn_join,
+        "bm25_topk": q_bm25,
+        "vocab": q_vocab,
+        "psi_quantile": q_psi_quantile,
+        "table_fp": q_table_fp,
+        # round-4 driver-greens (proven newest -- rotate to the back):
         "turn_stats": q_turn_stats,
         "context_overflow": q_context_overflow,
         "loss_mask": q_loss_mask,
@@ -2647,21 +2784,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "chunk_tokens": q_chunk_tokens,
         "numeric_corr": q_numeric_corr,
-        # rows-only -> hash-oracle upgrades (round 4):
         "semantic_dups": q_semantic_dups,
         "ivf_topk": q_ivf_topk,
         "pack_stats": q_pack_stats,
-        # never-checked rows-only (genuinely un-oracle-able: zlib / file
-        # metadata — the driver's rows-only check is still a first signal):
-        "compression_stats": q_compression_stats,
-        "file_layout": q_file_layout,
-        # the five ex-HUGEINT oracles (hash-FAIL r2+r3, recast this round):
         "nfc_audit": q_nfc_audit,
         "clean_text": q_clean_text,
         "position_stats": q_position_stats,
         "vocab_coverage": q_vocab_coverage,
         "value_variants": q_value_variants,
-        # longest-unverified driver-greens (round 1/2) — regression slots:
         "doc_null_rate": q_doc_null_rate,
         "doc_length_stats": q_doc_length_stats,
         "unique_doc_id": q_unique_doc_id,
@@ -2682,90 +2812,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "src_entropy": q_src_entropy,
         "doc_logprob": q_doc_logprob,
-        # ---- end of the 50-slot driver sampling prefix ----
-        "dsir_select": q_dsir_select,
-        "ccnet_mix": q_ccnet_mix,
-        "token_budget": q_token_budget,
-        "budget_mix": q_budget_mix,
-        "train_order": q_train_order,
-        # round-3 driver-greens (verified r3, rotated out of the window):
-        "scalar_net_violations": q_scalar_net_violations,
-        "scalar_net_coerced": q_scalar_net_coerced,
-        "scalar_temporal": q_scalar_temporal,
-        "scalar_strnum": q_scalar_strnum,
-        "sequences_oracle": q_sequences_oracle,
-        "pack_oracle": q_pack_oracle,
-        "check_suite": q_check_suite,
-        "frame_check": q_frame_check,
-        "json_props_validate": q_json_props_validate,
-        "repair_report": q_repair_report,
-        "minhash_oracle": q_minhash_oracle,
-        "simhash_oracle": q_simhash_oracle,
-        "image_audit": q_image_audit,
-        "kmeans_clusters": q_kmeans_clusters,
         "text_profile": q_text_profile,
-        "map_validate": q_map_validate,
-        "suggest_schema": q_suggest_schema,
-        "sample_split": q_sample_split,
-        "sample_mix": q_sample_mix,
-        "pii_audit": q_pii_audit,
-        "violation_triage": q_violation_triage,
-        "asof_clicks": q_asof_clicks,
-        "asof_forward": q_asof_forward,
-        "dup_components": q_dup_components,
-        "contamination": q_contamination,
-        "decontaminated": q_decontaminated,
-        "knn_join": q_knn_join,
-        "bm25_topk": q_bm25,
-        "repetition_topk": q_repetition_topk,
-        "top_ngram": q_top_ngram,
-        "quality_filter": q_quality_filter,
-        "pipeline_prep": q_pipeline_prep,
-        "token_hist": q_token_hist,
-        "sessions": q_sessions,
-        "anomaly_scan": q_anomaly_scan,
-        "events_diff": q_events_diff,
-        "psi_drift": q_psi_drift,
-        "key_skew": q_key_skew,
-        "heavy_keys": q_heavy_keys,
-        "encoding_audit": q_encoding_audit,
-        "fd_check": q_fd_check,
-        "ordering_check": q_ordering_check,
-        "jsd_drift": q_jsd_drift,
-        "robust_outliers": q_robust_outliers,
-        "embedding_audit": q_embedding_audit,
-        "span_cut": q_span_cut,
-        "jaccard_exact": q_jaccard_exact,
-        "containment": q_containment,
-        "edit_sim": q_edit_sim,
-        "collocations": q_collocations,
-        "join_fanout": q_join_fanout,
-        "resample_daily": q_resample,
-        "temperature_mix": q_temperature_mix,
-        "psi_quantile": q_psi_quantile,
-        "table_fp": q_table_fp,
-        "upsample": q_upsample,
-        "fuzzy_ref": q_fuzzy_ref,
-        "source_overlap": q_source_overlap,
-        "split_leakage": q_split_leakage,
-        "psi_groups": q_psi_groups,
-        "vocab": q_vocab,
-        "token_counts": q_token_counts,
-        "lang_hist": q_lang_hist,
-        "ann_topk": q_ann_topk,
-        "embedding_stats": q_embedding_stats,
-        "events_validate": q_events_validate,
-        "doc_profile": q_doc_profile,
-        "chars_quantiles": q_chars_quantiles,
-        "orphan_rows": q_orphan_rows,
-        "dup_keys_salted": q_dup_keys_salted,
         # rows-only (no SQL oracle)
-        "manifest_run": q_manifest_run,
-        "ngram_jaccard": q_ngram_jaccard,
+        "compression_stats": q_compression_stats,
+        "file_layout": q_file_layout,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
-        "sequences_validate": q_sequences_validate,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -3861,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pw GROUP BY doc_id ORDER BY doc_id
         """,
         "minhash_oracle": _minhash_oracle_sql(),
+        "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "simhash_oracle": _simhash_oracle_sql(),
         "jaccard_exact": r"""
             WITH w AS (

@@ -434,10 +434,19 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
-                        threshold: float = 0.8, **lsh_kwargs) -> DataFrame:
-    """End-to-end near-dup detection: LSH candidates → exact verification."""
-    cand = minhash_candidates(df, text_col, id_col, **lsh_kwargs)
-    return jaccard_verify(df, cand, text_col, id_col, ngram, threshold)
+                        threshold: float = 0.8, portable: bool = False,
+                        **lsh_kwargs) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates → exact
+    verification.  ``portable=True`` generates candidates with the
+    md5/affine-mod-p family (:func:`minhash_candidates_portable`) whose
+    every step an independent SQL engine reproduces — the mode that
+    lets the WHOLE candidates→verify pipeline be hash-oracled; the
+    default xxhash64 family is ~2-3× cheaper per shingle and stays the
+    production path (rows-only in the driver contract)."""
+    gen = minhash_candidates_portable if portable else minhash_candidates
+    cand = gen(df, text_col, id_col, **lsh_kwargs)
+    return jaccard_verify(df, cand.select("id_a", "id_b"),
+                          text_col, id_col, ngram, threshold)
 
 
 def edit_distance_verify(df: DataFrame, candidates: DataFrame,
