@@ -255,10 +255,17 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
     a per-worker word cache riding the Zipfian word distribution.
     Zero shuffle — a pure map-side projection, so it composes with any
     downstream agg without moving data.  NULL text → NULL tokens.
+
+    The output column carries the nondeterministic-guarded barrier
+    (house pattern, PERF.md Finding 4): a downstream generator's
+    implicit ``size(tokens) > 0`` pruning filter — or any other second
+    reference — would otherwise make Catalyst extract the pandas UDF
+    TWICE (once for the filter, once for the projection), doubling the
+    Python work per row.
     """
-    return df.withColumn(out_col,
-                         _tokens_expr(df.sparkSession, merges, text_col,
-                                      vocab, unk_id))
+    toks = _tokens_expr(df.sparkSession, merges, text_col, vocab, unk_id)
+    return df.withColumn(
+        out_col, F.when(F.monotonically_increasing_id() >= 0, toks))
 
 
 def tokens_match_tokenizer(df: DataFrame,

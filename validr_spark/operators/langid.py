@@ -106,7 +106,9 @@ def train_lang_model(df: DataFrame, text_col: str = "text",
     if round_to is not None:
         logp = F.round(logp, round_to)
         floor = F.round(floor, round_to)
-    joined = counts.join(totals, "lang")
+    # totals is |langs| rows — broadcast, or this (lang,gram)-sized join
+    # plans as a SortMergeJoin with two pointless shuffles
+    joined = counts.join(F.broadcast(totals), "lang")
     return LangModel(
         ngrams=joined.select("lang", "gram", logp.alias("logp")),
         floors=totals.select("lang", floor.alias("floor_logp")),
