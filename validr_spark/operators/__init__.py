@@ -39,6 +39,10 @@ from .stats import (column_profile, mad_outliers, null_rates,
                     robust_center_scale, robust_clip, table_fingerprint,
                     top_k_per_group)
 from .tokenize import bpe_pieces, hash_tokens, tokenize_documents
+from .bpe import (apply_bpe, bpe_vocab, learn_bpe,
+                  learn_bpe_from_counts, tokens_match_tokenizer)
+from .langid import (lang_filter, lang_predict, lang_scores,
+                     train_lang_model)
 from .files import file_report, small_file_advice
 from .uniqueness import duplicate_keys, duplication_report
 
@@ -62,6 +66,9 @@ __all__ = [
     "build_fingerprint_bloom", "incremental_dedup", "incremental_new_rows",
     "heavy_hitters", "key_skew_report", "suggest_salt", "salted_join",
     "bpe_pieces", "hash_tokens", "tokenize_documents",
+    "learn_bpe", "learn_bpe_from_counts", "bpe_vocab", "apply_bpe",
+    "tokens_match_tokenizer",
+    "train_lang_model", "lang_scores", "lang_predict", "lang_filter",
     "dedup_paragraphs", "paragraph_stats",
     "dsir_weights", "importance_sample", "dsir_select",
     "sampled_violation_rates", "wilson_bounds", "violation_triage",
