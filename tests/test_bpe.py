@@ -73,6 +73,48 @@ def test_trained_table_single_occurrence_equivalence():
             _encode_single_occurrence(w, ranks), w
 
 
+def test_trained_table_single_occurrence_equivalence_fuzz():
+    """Hypothesis sweep of the same property: for ANY table trained by
+    learn_bpe_from_counts, the oracle's single-occurrence loop agrees
+    with the engine's all-occurrences loop on arbitrary words —
+    including words never seen in training."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alph = "abcd"
+    words_s = st.text(alphabet=alph, min_size=1, max_size=10)
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.dictionaries(words_s, st.integers(1, 9),
+                           min_size=2, max_size=25),
+           st.lists(words_s, min_size=1, max_size=8))
+    def run(wc, probes):
+        merges = learn_bpe_from_counts(wc, num_merges=30,
+                                       min_pair_count=2)
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w in list(wc) + probes:
+            assert bpe_encode_word(w, ranks) == \
+                _encode_single_occurrence(w, ranks), (w, merges)
+
+    run()
+
+
+def test_merges_txt_round_trip(tmp_path):
+    from validr_spark.operators.bpe import load_merges, save_merges
+
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    p = str(tmp_path / "merges.txt")
+    save_merges(merges, p)
+    text = open(p).read()
+    assert text.startswith("#version") and "e s\n" in text
+    assert load_merges(p) == merges
+    bad = tmp_path / "bad.txt"
+    bad.write_text("#version: 0.2\na b c\n")
+    with pytest.raises(ValueError, match="expected 'left right'"):
+        load_merges(str(bad))
+
+
 def test_bpe_vocab_ids_are_alphabet_then_merge_order():
     merges = [("a", "b"), ("ab", "c")]
     v = bpe_vocab(merges, ["c", "a", "b"])

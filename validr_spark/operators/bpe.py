@@ -59,7 +59,7 @@ from pyspark.sql import types as st
 
 __all__ = ["WORD_REGEX", "learn_bpe", "learn_bpe_from_counts",
            "bpe_vocab", "bpe_encode_word", "apply_bpe",
-           "tokens_match_tokenizer"]
+           "tokens_match_tokenizer", "save_merges", "load_merges"]
 
 # non-whitespace runs; explicit class because \s differs across regex
 # dialects (Java adds \x0B, RE2 lacks it, Python adds unicode spaces)
@@ -155,6 +155,37 @@ def learn_bpe(df: DataFrame, text_col: str = "text",
             .collect())
     return learn_bpe_from_counts({r["word"]: r["c"] for r in rows},
                                  num_merges, min_pair_count)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write a merge table in the public GPT-2/huggingface
+    ``merges.txt`` format: a ``#version`` header then one
+    space-separated pair per line, rank = line order."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for left, right in merges:
+            f.write(f"{left} {right}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a GPT-2/huggingface-format ``merges.txt`` merge table —
+    the interop point for validating corpora against a REAL pretrained
+    tokenizer's merges (``apply_bpe(df, load_merges("merges.txt"))``).
+    ``#``-prefixed header lines and blank lines are skipped; each
+    remaining line must be exactly two space-separated symbols."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right', got "
+                    f"{line!r}")
+            merges.append((parts[0], parts[1]))
+    return merges
 
 
 def bpe_vocab(merges: list[tuple[str, str]],
