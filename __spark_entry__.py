@@ -2587,6 +2587,30 @@ def q_bpe_check(spark, sf):
             .orderBy("id"))
 
 
+def q_bpe_coverage(spark, sf):
+    """Per-source unknown-piece coverage of a TRUNCATED BPE vocab (ids
+    < 40 kept, the rest dropped so the -1 unk path is exercised with
+    real hits) — the vocab-acceptance report for subword ids, the BPE
+    complement of vocab_coverage's word-vocab OOV report.  One guarded
+    Arrow pass + explode + per-source hash agg; the twin reuses the
+    recursive merge CTE and filters the id table the same way."""
+    from validr_spark.operators.bpe import apply_bpe
+
+    vocab40 = {t: i for t, i in _bpe_vocab().items() if i < 40}
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+          .select("doc_id", F.col("source"),
+                  F.substring("text", 1, 120).alias("text")))
+    toks = apply_bpe(df, BPE_MERGES, vocab=vocab40)
+    ex = toks.select("source", F.explode("tokens").alias("tid"))
+    return (ex.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum((F.col("tid") == -1).cast("long")).alias("n_unk"),
+                 F.round(F.sum((F.col("tid") == -1).cast("long"))
+                         / F.count(F.lit(1)), 6).alias("unk_rate"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # language identification (operators/langid.py) — round-5
 # ---------------------------------------------------------------------------
@@ -2676,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "bpe_tokens": q_bpe_tokens,
         "bpe_check": q_bpe_check,
+        "bpe_coverage": q_bpe_coverage,
         "lang_scores": q_lang_scores,
         "lang_predict": q_lang_predict,
         # longest-unverified round-1/2 driver-greens (not re-checked
@@ -2723,7 +2748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_hist": q_token_hist,
         "quality_filter": q_quality_filter,
         "top_ngram": q_top_ngram,
-        "repetition_topk": q_repetition_topk,
         # rows-only entries never yet driver-sampled (the weaker
         # rows-only check is still a first signal):
         "sequences_validate": q_sequences_validate,
@@ -2731,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upgraded rows-only -> hash-oracle this round (never hash-checked):
         "ngram_jaccard": q_ngram_jaccard,
         # ---- end of the 50-slot driver sampling prefix ----
+        "repetition_topk": q_repetition_topk,
         # round-3 greens (many re-verified by the r4 judge session):
         "scalar_net_violations": q_scalar_net_violations,
         "scalar_net_coerced": q_scalar_net_coerced,
@@ -3004,6 +3029,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos AS BIGINT) AS pos,
                    CAST(token_id AS BIGINT) AS token_id
             FROM out ORDER BY doc_id, pos
+        """,
+        # per-source unk coverage of the TRUNCATED (ids<40) vocab —
+        # same merge CTE, id table filtered the same way both sides
+        "bpe_coverage": f"""
+            WITH RECURSIVE {_bpe_cte()},
+            v40 AS (SELECT tok, tid FROM v WHERE tid < 40),
+            toks AS (
+              SELECT f.doc_id, unnest(f.syms) AS piece FROM fin f),
+            lab AS (
+              SELECT t.doc_id,
+                     CASE WHEN vv.tid IS NULL THEN -1 ELSE vv.tid END
+                       AS tid
+              FROM toks t LEFT JOIN v40 vv ON vv.tok = t.piece),
+            src AS (SELECT doc_id, source FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+            SELECT s.source,
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(sum(CASE WHEN l.tid = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unk,
+                   round(sum(CASE WHEN l.tid = -1 THEN 1 ELSE 0 END)
+                         ::DOUBLE / count(*), 6) AS unk_rate
+            FROM lab l JOIN src s USING (doc_id)
+            GROUP BY s.source ORDER BY s.source
         """,
         # tokens-match-tokenizer violations: docs with pmod(doc_id,13)=0
         # carry one appended token 9999, so expected n / got n+1 and the

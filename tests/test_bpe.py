@@ -235,6 +235,32 @@ def test_check_suite_tokens_match_gate(spark):
     assert clean["tokens_match(tokens)"]["passed"]
 
 
+def test_check_suite_single_scan_with_tokens_match(spark):
+    """tokens_match composes into the suite's ONE aggregation pass next
+    to JVM-only checks: a single source scan, one partial/final agg
+    pair, and exactly one ArrowEvalPython projection feeding it."""
+    from validr_spark.operators.checks import Check, CheckSuite
+
+    merges = learn_bpe_from_counts(TOY, num_merges=4)
+    vocab = bpe_vocab(merges, list("abcdefghijklmnopqrstuvwxyz"))
+    df = apply_bpe(
+        spark.createDataFrame([(1, "low"), (2, "newest")],
+                              "doc_id long, text string"),
+        merges, vocab=vocab)
+    suite = CheckSuite("gate", [
+        Check.tokens_match(merges, vocab=vocab),
+        Check.row_count(min=1),
+        Check.null_rate("text", max=0.5)])
+    plan = (suite.run(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    # apply_bpe's own guarded UDF + the validator's recompute = 2 max;
+    # the three checks must NOT multiply scans or aggs
+    assert plan.count("ArrowEvalPython") == 2
+    assert (plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+            + plan.count("FileScan")) == 1
+    assert plan.count("HashAggregate") <= 2       # partial + final
+
+
 def test_apply_bpe_single_python_stage(spark):
     """The expected-tokens column is computed by ONE ArrowEvalPython
     pass even though the validator references it several times (the
