@@ -2684,6 +2684,124 @@ def q_lang_predict(spark, sf):
             .orderBy("id"))
 
 
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (operators/unigram.py) — round-5
+# ---------------------------------------------------------------------------
+
+# Trained ONCE with operators.unigram.train_unigram (max_piece_len=4 so
+# real multi-piece segmentations occur, em_iters=5, round_to=8) on the
+# sf0.01 documents word counts and PINNED; tests/test_unigram.py
+# verifies the table is TIE-FREE over every corpus word and every
+# prefix (any substr cut), so Viterbi's argmax and the oracle's
+# exhaustive-lattice argmax agree independent of tie rules.
+UNIGRAM_VOCAB: dict[str, float] = {
+    'a': -3.8311024, 'ab': -51.53376106, 'abl': -36.12940789,
+    'able': -17.73118928, 'ag': -29.89447876, 'agg': -3.81376252,
+    'al': -42.6391927, 'all': -13.99351512, 'alu': -37.95458685,
+    'alue': -19.55636825, 'am': -4.86908812, 'an': -78.29030866,
+    'ar': -44.49443733, 'ark': -13.53307478, 'art': -30.10177937,
+    'as': -55.02641431, 'ash': -29.73559025, 'ast': -92.55032501,
+    'at': -31.24820115, 'ata': -64.46901472, 'atc': -31.02253318,
+    'atch': -5.05087748, 'b': -5.03041048, 'ba': -5.1916069,
+    'bat': -5.34573826, 'batc': -5.10277983, 'bi': -29.92258237,
+    'big': -3.84186613, 'bl': -38.49832043, 'ble': -20.10010183,
+    'c': -26.46602449, 'ca': -88.13630441, 'can': -24.25390659,
+    'ch': -5.34565979, 'co': -4.86419382, 'col': -4.8654129,
+    'colu': -4.89990699, 'ct': -32.62614369, 'cto': -42.8178869,
+    'ctor': -11.72693638, 'cu': -27.73428149, 'cus': -34.7016756,
+    'cust': -3.77775578, 'd': -21.80012009, 'da': -38.49831925,
+    'dat': -24.52499428, 'data': -3.80598784, 'de': -35.70276703,
+    'der': -4.61181651, 'do': -74.74360839, 'dow': -5.02027901,
+    'du': -33.62132949, 'dup': -7.35913574, 'e': -2.69416947,
+    'ea': -38.08339185, 'eam': -4.99394957, 'ec': -45.89336133,
+    'ect': -37.93871493, 'ecto': -48.13045815, 'er': -3.34032642,
+    'erg': -36.88448392, 'erge': -18.48626531, 'ery': -5.17981563,
+    'ey': -35.14457574, 'f': -42.42281845, 'fa': -28.93113555,
+    'fas': -36.19071989, 'fast': -3.86730102, 'fi': -12.07635247,
+    'fil': -11.99156885, 'filt': -3.77934746, 'g': -5.01102674,
+    'ge': -19.09811034, 'gg': -24.53276896, 'gr': -5.35746793,
+    'gro': -5.38788467, 'grou': -5.19293082, 'h': -5.10276423,
+    'ha': -43.87640884, 'has': -29.73559025, 'hash': -3.76393455,
+    'he': -36.20725059, 'i': -47.68330894, 'ig': -29.76161948,
+    'il': -100.67459284, 'ilt': -92.46237145, 'ilte': -102.87595433,
+    'in': -44.80331963, 'ind': -74.49141747, 'indo': -119.24302975,
+    'ine': -34.0392376, 'j': -112.65038581, 'jo': -93.09252066,
+    'joi': -67.62853875, 'join': -3.74614092, 'k': -14.57047258,
+    'ke': -30.06461033, 'key': -3.81929411, 'l': -12.61683541,
+    'le': -20.20462257, 'li': -77.79336304, 'lin': -22.20200623,
+    'line': -3.80378763, 'll': -14.0347855, 'lo': -93.9966578,
+    'low': -24.27332842, 'lt': -32.7539781, 'lte': -43.16756098,
+    'lter': -12.07661045, 'lu': -27.64592506, 'lue': -20.43130701,
+    'lum': -68.74683933, 'lumn': -4.86444151, 'm': -13.8611257,
+    'ma': -34.53530726, 'mal': -34.01978051, 'mall': -3.78433054,
+    'me': -20.1754351, 'mer': -15.82872362, 'merg': -3.79504164,
+    'mn': -4.89990698, 'n': -26.58699479, 'nd': -29.99253327,
+    'ndo': -74.74414555, 'ndow': -5.02081616, 'ne': -115.50158817,
+    'o': -15.34436363, 'oi': -205.94188489, 'oin': -142.05948706,
+    'ol': -67.57320313, 'olu': -67.60769721, 'olum': -106.53125039,
+    'om': -24.45512346, 'ome': -34.86870634, 'omer': -3.77775582,
+    'or': -3.43413934, 'ord': -4.38997684, 'orde': -14.80355972,
+    'ort': -24.32473724, 'ou': -31.6194574, 'oup': -5.35726365,
+    'ow': -4.76789079, 'p': -5.19277728, 'pa': -33.52162025,
+    'par': -31.79333018, 'park': -3.8374122, 'part': -3.83958562,
+    'q': -5.46384464, 'qu': -5.07866894, 'que': -5.23289157,
+    'quer': -5.19800473, 'r': -10.82419905, 'rd': -37.85125934,
+    'rde': -48.26484222, 'rder': -17.1738917, 're': -29.99995313,
+    'rea': -38.01106709, 'ream': -4.92162481, 'rg': -38.34058813,
+    'rge': -19.94236953, 'rk': -14.61409196, 'ro': -29.72765176,
+    'rou': -31.27364707, 'roup': -5.01145332, 'row': -3.76823488,
+    'rt': -42.84894075, 'ry': -5.16113042, 's': -3.11727795,
+    'sc': -80.25220229, 'sca': -67.65801457, 'scan': -3.77561674,
+    'sh': -44.44684259, 'sl': -28.76675568, 'slo': -73.51836796,
+    'slow': -3.79503857, 'sm': -13.98191684, 'sma': -14.05701742,
+    'smal': -13.54149066, 'so': -60.06683677, 'sor': -36.16986626,
+    'sort': -3.8464474, 'sp': -14.50978698, 'spa': -14.67377198,
+    'spar': -14.68440398, 'st': -4.92184546, 'sto': -84.20296974,
+    'stom': -71.17905009, 'str': -4.92314247, 'stre': -4.9361186,
+    't': -12.51268366, 'ta': -20.22550572, 'tab': -19.21034219,
+    'tabl': -3.80598902, 'tc': -31.13980458, 'tch': -5.16814888,
+    'te': -43.08771839, 'ter': -11.99676787, 'th': -22.28205033,
+    'the': -3.88383173, 'to': -41.44778867, 'tom': -73.14483663,
+    'tome': -83.55841951, 'tor': -11.76163235, 'tr': -25.40143232,
+    'tre': -25.41440844, 'trea': -33.42552241, 'u': -24.36482196,
+    'ue': -16.55673855, 'uer': -31.70917568, 'uery': -5.46385945,
+    'um': -68.74756281, 'umn': -4.86516498, 'up': -5.38784673,
+    'us': -97.40946583, 'ust': -66.485546, 'usto': -79.61281875,
+    'v': -17.51441855, 'va': -20.47574902, 'val': -20.17602591,
+    'valu': -3.81817664, 've': -11.7296005, 'vec': -11.75695112,
+    'vect': -3.80230472, 'w': -35.51480003, 'wi': -5.02081616,
+    'win': -5.020279, 'wind': -4.76808808, 'y': -5.16209212
+}
+UNIGRAM_MAX_PIECE = 4
+
+
+def q_unigram_tokens(spark, sf):
+    """Unigram-LM (SentencePiece-family) tokenization
+    (operators/unigram.py): Viterbi-best segmentation of the first 120
+    chars of every document under the pinned 228-piece model, exploded
+    to (doc_id, pos, token_id).  The DuckDB twin enumerates EVERY
+    segmentation of each distinct word with a recursive path CTE and
+    arg_max-picks the best — exhaustive replay is exact because the
+    pinned table is verified tie-free, and per-path float sums are
+    left-to-right on both sides."""
+    from validr_spark.operators.unigram import apply_unigram, unigram_ids
+
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+          .select("doc_id", F.substring("text", 1, 120).alias("text")))
+    toks = apply_unigram(df, UNIGRAM_VOCAB,
+                         max_piece_len=UNIGRAM_MAX_PIECE,
+                         ids=unigram_ids(UNIGRAM_VOCAB))
+    return (toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token_id"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("pos").cast("long").alias("pos"),
+                F.col("token_id").cast("long").alias("token_id"))
+        .orderBy("doc_id", "pos"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -2701,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "bpe_check": q_bpe_check,
         "bpe_coverage": q_bpe_coverage,
+        "unigram_tokens": q_unigram_tokens,
         "lang_scores": q_lang_scores,
         "lang_predict": q_lang_predict,
         # longest-unverified round-1/2 driver-greens (not re-checked
@@ -2747,7 +2866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prep": q_pipeline_prep,
         "token_hist": q_token_hist,
         "quality_filter": q_quality_filter,
-        "top_ngram": q_top_ngram,
         # rows-only entries never yet driver-sampled (the weaker
         # rows-only check is still a first signal):
         "sequences_validate": q_sequences_validate,
@@ -2755,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upgraded rows-only -> hash-oracle this round (never hash-checked):
         "ngram_jaccard": q_ngram_jaccard,
         # ---- end of the 50-slot driver sampling prefix ----
+        "top_ngram": q_top_ngram,
         "repetition_topk": q_repetition_topk,
         # round-3 greens (many re-verified by the r4 judge session):
         "scalar_net_violations": q_scalar_net_violations,
@@ -3003,6 +3122,60 @@ def _langid_cte() -> str:
               LEFT JOIN present p ON p.id = d.id AND p.lang = f.lang)"""
 
 
+def _unigram_oracle_sql() -> str:
+    """DuckDB twin of q_unigram_tokens: exhaustive segmentation paths
+    per DISTINCT word via a recursive CTE over the pinned piece table
+    (piece, logp, id), arg_max over the (tie-free, verified) per-path
+    left-to-right float sums, joined back to word instances."""
+    from validr_spark.operators.unigram import unigram_ids
+
+    ids = unigram_ids(UNIGRAM_VOCAB)
+    vals = ", ".join(f"('{s}', {lp!r}, {ids[s]})"
+                     for s, lp in sorted(UNIGRAM_VOCAB.items()))
+    return f"""
+            WITH RECURSIVE
+            u(piece, lp, tid) AS (VALUES {vals}),
+            words AS (
+              SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                     unnest(ws) AS word
+              FROM (SELECT doc_id,
+                           regexp_extract_all(substr(text, 1, 120),
+                               '[^ \\t\\n\\r\\f\\x0B]+') AS ws
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL) s),
+            dw AS (SELECT DISTINCT word FROM words),
+            paths(word, pos, score, path) AS (
+              SELECT word, 0, CAST(0 AS DOUBLE),
+                     CAST([] AS VARCHAR[]) FROM dw
+              UNION ALL
+              SELECT p.word, p.pos + len(u.piece), p.score + u.lp,
+                     p.path || [u.piece]
+              FROM paths p
+              JOIN u ON u.piece
+                        = substr(p.word, p.pos + 1, len(u.piece))
+              WHERE p.pos < len(p.word)),
+            best AS (
+              SELECT word, arg_max(path, score) AS path
+              FROM paths WHERE pos = len(word) GROUP BY word),
+            toks AS (
+              SELECT w.doc_id, w.widx,
+                     generate_subscripts(b.path, 1) AS si,
+                     unnest(b.path) AS piece
+              FROM words w JOIN best b USING (word)),
+            out AS (
+              SELECT t.doc_id,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.widx, t.si) - 1
+                       AS pos,
+                     uu.tid AS token_id
+              FROM toks t JOIN u uu ON uu.piece = t.piece)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(token_id AS BIGINT) AS token_id
+            FROM out ORDER BY doc_id, pos
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # single quotes inside SQL string literals must be doubled
     lang_expects = _enum_expects(DOC_LANGS).replace("'", "''")
@@ -3053,6 +3226,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lab l JOIN src s USING (doc_id)
             GROUP BY s.source ORDER BY s.source
         """,
+        # unigram-LM Viterbi tokens: exhaustive tie-free lattice replay
+        "unigram_tokens": _unigram_oracle_sql(),
         # tokens-match-tokenizer violations: docs with pmod(doc_id,13)=0
         # carry one appended token 9999, so expected n / got n+1 and the
         # first divergence sits at index n (the appended position)
