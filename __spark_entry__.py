@@ -2802,6 +2802,37 @@ def q_unigram_tokens(spark, sf):
         .orderBy("doc_id", "pos"))
 
 
+def q_unigram_check(spark, sf):
+    """tokens_match_unigram end-to-end (operators/unigram.py): a
+    tokens column that is unigram(text) for most docs but corrupted
+    (one appended 9999) where pmod(doc_id, 11) == 0 — exactly those
+    docs must surface with the first-divergence index, mirroring
+    bpe_check for the second tokenizer family.  The twin reuses the
+    exhaustive-lattice CTE for per-doc counts and matches the message
+    strings byte-for-byte."""
+    from validr_spark.operators.unigram import (apply_unigram,
+                                                tokens_match_unigram,
+                                                unigram_ids)
+
+    ids = unigram_ids(UNIGRAM_VOCAB)
+    df = (_load(spark, sf, "documents")
+          .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+          .select("doc_id", F.substring("text", 1, 120).alias("text")))
+    good = apply_unigram(df, UNIGRAM_VOCAB,
+                         max_piece_len=UNIGRAM_MAX_PIECE, ids=ids)
+    tampered = good.withColumn(
+        "tokens",
+        F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+               F.concat("tokens", F.array(F.lit(9999))))
+        .otherwise(F.col("tokens")))
+    return (tokens_match_unigram(tampered, UNIGRAM_VOCAB,
+                                 max_piece_len=UNIGRAM_MAX_PIECE,
+                                 ids=ids)
+            .select(F.col("id").cast("long").alias("id"),
+                    "rule_id", "position", "message", "value")
+            .orderBy("id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -2820,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_check": q_bpe_check,
         "bpe_coverage": q_bpe_coverage,
         "unigram_tokens": q_unigram_tokens,
+        "unigram_check": q_unigram_check,
         "lang_scores": q_lang_scores,
         "lang_predict": q_lang_predict,
         # longest-unverified round-1/2 driver-greens (not re-checked
@@ -2865,7 +2897,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "pipeline_prep": q_pipeline_prep,
         "token_hist": q_token_hist,
-        "quality_filter": q_quality_filter,
         # rows-only entries never yet driver-sampled (the weaker
         # rows-only check is still a first signal):
         "sequences_validate": q_sequences_validate,
@@ -2873,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upgraded rows-only -> hash-oracle this round (never hash-checked):
         "ngram_jaccard": q_ngram_jaccard,
         # ---- end of the 50-slot driver sampling prefix ----
+        "quality_filter": q_quality_filter,
         "top_ngram": q_top_ngram,
         "repetition_topk": q_repetition_topk,
         # round-3 greens (many re-verified by the r4 judge session):
@@ -3122,18 +3154,17 @@ def _langid_cte() -> str:
               LEFT JOIN present p ON p.id = d.id AND p.lang = f.lang)"""
 
 
-def _unigram_oracle_sql() -> str:
-    """DuckDB twin of q_unigram_tokens: exhaustive segmentation paths
-    per DISTINCT word via a recursive CTE over the pinned piece table
-    (piece, logp, id), arg_max over the (tie-free, verified) per-path
-    left-to-right float sums, joined back to word instances."""
+def _unigram_cte() -> str:
+    """Shared CTE chain for the unigram twins: pinned piece table
+    ``u(piece, lp, tid)``, word instances, exhaustive segmentation
+    paths per DISTINCT word (recursive), tie-free arg_max best path,
+    and ``toks(doc_id, widx, si, piece)``."""
     from validr_spark.operators.unigram import unigram_ids
 
     ids = unigram_ids(UNIGRAM_VOCAB)
     vals = ", ".join(f"('{s}', {lp!r}, {ids[s]})"
                      for s, lp in sorted(UNIGRAM_VOCAB.items()))
     return f"""
-            WITH RECURSIVE
             u(piece, lp, tid) AS (VALUES {vals}),
             words AS (
               SELECT doc_id, generate_subscripts(ws, 1) AS widx,
@@ -3161,7 +3192,16 @@ def _unigram_oracle_sql() -> str:
               SELECT w.doc_id, w.widx,
                      generate_subscripts(b.path, 1) AS si,
                      unnest(b.path) AS piece
-              FROM words w JOIN best b USING (word)),
+              FROM words w JOIN best b USING (word))"""
+
+
+def _unigram_oracle_sql() -> str:
+    """DuckDB twin of q_unigram_tokens: exhaustive segmentation paths
+    per DISTINCT word via a recursive CTE over the pinned piece table
+    (piece, logp, id), arg_max over the (tie-free, verified) per-path
+    left-to-right float sums, joined back to word instances."""
+    return f"""
+            WITH RECURSIVE {_unigram_cte()},
             out AS (
               SELECT t.doc_id,
                      row_number() OVER (PARTITION BY t.doc_id
@@ -3173,6 +3213,31 @@ def _unigram_oracle_sql() -> str:
                    CAST(pos AS BIGINT) AS pos,
                    CAST(token_id AS BIGINT) AS token_id
             FROM out ORDER BY doc_id, pos
+        """
+
+
+def _unigram_check_oracle_sql() -> str:
+    """DuckDB twin of q_unigram_check: per-doc token counts from the
+    same best paths; docs with pmod(doc_id,11)==0 carry one appended
+    token, so expected n / got n+1, first divergence at index n."""
+    return f"""
+            WITH RECURSIVE {_unigram_cte()},
+            cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                    FROM toks GROUP BY doc_id),
+            docs AS (SELECT doc_id FROM documents
+                     WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+            n_by_doc AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+                         FROM docs d LEFT JOIN cnt c USING (doc_id))
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   'tokens.unigram_mismatch' AS rule_id,
+                   'tokens' AS position,
+                   'tokens != unigram(text): expected '
+                     || CAST(n AS VARCHAR) || ' tokens, got '
+                     || CAST(n + 1 AS VARCHAR) AS message,
+                   CAST(n AS VARCHAR) AS value
+            FROM n_by_doc
+            WHERE ((doc_id % 11) + 11) % 11 = 0
+            ORDER BY id
         """
 
 
@@ -3228,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # unigram-LM Viterbi tokens: exhaustive tie-free lattice replay
         "unigram_tokens": _unigram_oracle_sql(),
+        "unigram_check": _unigram_check_oracle_sql(),
         # tokens-match-tokenizer violations: docs with pmod(doc_id,13)=0
         # carry one appended token 9999, so expected n / got n+1 and the
         # first divergence sits at index n (the appended position)

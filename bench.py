@@ -232,7 +232,7 @@ HEADLINE = [
     "loss_mask", "length_buckets", "template_mining", "turn_stats",
     "context_overflow",
     "bpe_tokens", "bpe_check", "lang_scores", "lang_predict",
-    "ngram_jaccard", "bpe_coverage", "unigram_tokens",
+    "ngram_jaccard", "bpe_coverage", "unigram_tokens", "unigram_check",
     # pipeline_seq is correctness-gated (CORRECTNESS oracle) but not a
     # HEADLINE timing entry: its wall time is stage planning/codegen
     # fixed cost (~30 s regardless of sf — PERF.md Finding 16 context),

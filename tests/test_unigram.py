@@ -123,6 +123,30 @@ def test_train_unigram_distributed_equals_counts(spark):
         train_unigram_from_counts(TOY, em_iters=3)
 
 
+def test_tokens_match_unigram_flags_only_corrupted_rows(spark):
+    from validr_spark.operators.unigram import tokens_match_unigram
+
+    v = train_unigram_from_counts(TOY, em_iters=4, round_to=8)
+    ids = unigram_ids(v)
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["low newest", "widest", "lower"])],
+        "doc_id long, text string")
+    good = apply_unigram(base, v, ids=ids)
+    tampered = good.withColumn(
+        "tokens",
+        F.when(F.col("doc_id") == 1,
+               F.concat("tokens", F.array(F.lit(777))))
+        .otherwise(F.col("tokens")))
+    viol = {r["id"]: r for r in tokens_match_unigram(
+        tampered, v, ids=ids).collect()}
+    assert set(viol) == {1}
+    assert viol[1]["rule_id"] == "tokens.unigram_mismatch"
+    n = len(good.filter("doc_id = 1").first()["tokens"])
+    assert viol[1]["value"] == str(n)          # appended position
+    assert "unigram(text)" in viol[1]["message"]
+    assert tokens_match_unigram(good, v, ids=ids).count() == 0
+
+
 def test_pinned_driver_vocab_is_tie_free():
     """The entry-file pinned table must stay tie-free over every
     sf0.01 corpus word AND every prefix of one (any substr cut) — the

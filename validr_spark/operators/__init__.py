@@ -43,9 +43,9 @@ from .bpe import (apply_bpe, bpe_vocab, learn_bpe,
                   learn_bpe_from_counts, tokens_match_tokenizer)
 from .langid import (lang_filter, lang_predict, lang_scores,
                      train_lang_model)
-from .unigram import (apply_unigram, train_unigram,
-                      train_unigram_from_counts, unigram_ids,
-                      viterbi_segment)
+from .unigram import (apply_unigram, tokens_match_unigram,
+                      train_unigram, train_unigram_from_counts,
+                      unigram_ids, viterbi_segment)
 from .files import file_report, small_file_advice
 from .uniqueness import duplicate_keys, duplication_report
 
@@ -73,7 +73,7 @@ __all__ = [
     "tokens_match_tokenizer",
     "train_lang_model", "lang_scores", "lang_predict", "lang_filter",
     "train_unigram", "train_unigram_from_counts", "unigram_ids",
-    "viterbi_segment", "apply_unigram",
+    "viterbi_segment", "apply_unigram", "tokens_match_unigram",
     "dedup_paragraphs", "paragraph_stats",
     "dsir_weights", "importance_sample", "dsir_select",
     "sampled_violation_rates", "wilson_bounds", "violation_triage",

@@ -59,7 +59,8 @@ from pyspark.sql import types as st
 
 __all__ = ["WORD_REGEX", "learn_bpe", "learn_bpe_from_counts",
            "bpe_vocab", "bpe_encode_word", "apply_bpe",
-           "tokens_match_tokenizer", "save_merges", "load_merges"]
+           "tokens_match_tokenizer", "mismatch_violations",
+           "save_merges", "load_merges"]
 
 # non-whitespace runs; explicit class because \s differs across regex
 # dialects (Java adds \x0B, RE2 lacks it, Python adds unicode spaces)
@@ -320,6 +321,21 @@ def tokens_match_tokenizer(df: DataFrame,
     """
     expected = _tokens_expr(df.sparkSession, merges, text_col, vocab,
                             unk_id)
+    return mismatch_violations(df, expected, tokens_col, id_col,
+                               rule_id=f"{tokens_col}.bpe_mismatch",
+                               label="bpe(text)")
+
+
+def mismatch_violations(df: DataFrame, expected, tokens_col: str,
+                        id_col: str, rule_id: str,
+                        label: str) -> DataFrame:
+    """Shared token-array-equality violation builder: compare
+    ``tokens_col`` against the recomputed ``expected`` column
+    expression and emit house-shape rows — used by
+    :func:`tokens_match_tokenizer` (BPE) and
+    :func:`unigram.tokens_match_unigram`.  The message reads
+    ``tokens != <label>: expected N tokens, got M``; ``value`` is the
+    0-based first-divergence index."""
     # nondeterministic-guarded barrier (house pattern, PERF.md Finding
     # 4): "_exp" is referenced several times below; without the guard
     # CollapseProject would inline the pandas_udf call per reference
@@ -338,10 +354,10 @@ def tokens_match_tokenizer(df: DataFrame,
         (got.isNotNull() & exp.isNotNull() & F.exists(diff, lambda x: x))
     return (pre.filter(bad).select(
         "id",
-        F.lit(f"{tokens_col}.bpe_mismatch").alias("rule_id"),
+        F.lit(rule_id).alias("rule_id"),
         F.lit(tokens_col).alias("position"),
         F.concat(
-            F.lit("tokens != bpe(text): expected "),
+            F.lit(f"tokens != {label}: expected "),
             F.coalesce(F.size(exp).cast("string"), F.lit("null")),
             F.lit(" tokens, got "),
             F.coalesce(F.size(got).cast("string"), F.lit("null")))

@@ -38,7 +38,8 @@ from pyspark.sql import types as st
 from .bpe import WORD_REGEX
 
 __all__ = ["train_unigram_from_counts", "train_unigram",
-           "unigram_ids", "viterbi_segment", "apply_unigram"]
+           "unigram_ids", "viterbi_segment", "apply_unigram",
+           "tokens_match_unigram"]
 
 
 def train_unigram_from_counts(word_counts: dict[str, int],
@@ -185,20 +186,12 @@ def viterbi_segment(word: str, vocab_logp: dict[str, float],
     return out
 
 
-def apply_unigram(df: DataFrame, vocab_logp: dict[str, float],
-                  text_col: str = "text", out_col: str = "tokens",
-                  max_piece_len: int = 8,
-                  ids: dict[str, int] | None = None,
-                  unk_id: int = -1) -> DataFrame:
-    """Append ``out_col``: the Viterbi unigram tokenization of
-    ``text_col`` — piece strings (``array<string>``) by default, ids
-    (``array<int>``, :func:`unigram_ids` order) when ``ids`` is given.
-    Unsegmentable words fall back to per-character pieces with unknown
-    characters mapped to ``unk_id`` in id mode (SentencePiece's
-    byte/char fallback shape).  Same scale contract as
-    :func:`bpe.apply_bpe`: one codegen word split, one broadcast
-    table, one BARRIER-guarded Arrow pass, zero shuffle."""
-    sc = df.sparkSession.sparkContext
+def _unigram_tokens_expr(spark, vocab_logp, text_col: str,
+                         max_piece_len: int,
+                         ids: dict[str, int] | None, unk_id: int):
+    """Column expression: Viterbi unigram token array for
+    ``text_col`` — pieces without ``ids``, int ids with them."""
+    sc = spark.sparkContext
     bc = sc.broadcast((dict(vocab_logp),
                        dict(ids) if ids is not None else None))
     out_type = (st.ArrayType(st.IntegerType()) if ids is not None
@@ -231,7 +224,49 @@ def apply_unigram(df: DataFrame, vocab_logp: dict[str, float],
 
         return words.map(enc)
 
-    toks = _encode(F.regexp_extract_all(F.col(text_col),
+    return _encode(F.regexp_extract_all(F.col(text_col),
                                         F.lit(WORD_REGEX), 0))
+
+
+def apply_unigram(df: DataFrame, vocab_logp: dict[str, float],
+                  text_col: str = "text", out_col: str = "tokens",
+                  max_piece_len: int = 8,
+                  ids: dict[str, int] | None = None,
+                  unk_id: int = -1) -> DataFrame:
+    """Append ``out_col``: the Viterbi unigram tokenization of
+    ``text_col`` — piece strings (``array<string>``) by default, ids
+    (``array<int>``, :func:`unigram_ids` order) when ``ids`` is given.
+    Unsegmentable words fall back to per-character pieces with unknown
+    characters mapped to ``unk_id`` in id mode (SentencePiece's
+    byte/char fallback shape).  Same scale contract as
+    :func:`bpe.apply_bpe`: one codegen word split, one broadcast
+    table, one BARRIER-guarded Arrow pass (PERF.md Finding 18), zero
+    shuffle."""
+    toks = _unigram_tokens_expr(df.sparkSession, vocab_logp, text_col,
+                                max_piece_len, ids, unk_id)
     return df.withColumn(
         out_col, F.when(F.monotonically_increasing_id() >= 0, toks))
+
+
+def tokens_match_unigram(df: DataFrame, vocab_logp: dict[str, float],
+                         text_col: str = "text",
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id",
+                         max_piece_len: int = 8,
+                         ids: dict[str, int] | None = None,
+                         unk_id: int = -1) -> DataFrame:
+    """The north-rule token-array-equality invariant for the unigram
+    family: recompute ``unigram(text)`` and emit one house-shape
+    violation row per disagreeing row — the exact counterpart of
+    :func:`bpe.tokens_match_tokenizer`, sharing its comparison core
+    (``rule_id = '<tokens_col>.unigram_mismatch'``, ``value`` = first
+    divergent index, both-NULL agrees)."""
+    from .bpe import mismatch_violations
+
+    expected = _unigram_tokens_expr(df.sparkSession, vocab_logp,
+                                    text_col, max_piece_len, ids,
+                                    unk_id)
+    return mismatch_violations(
+        df, expected, tokens_col, id_col,
+        rule_id=f"{tokens_col}.unigram_mismatch",
+        label="unigram(text)")
